@@ -1,0 +1,19 @@
+"""Test harness: virtual 8-device CPU mesh (SURVEY.md §4 'Implication for the
+rebuild') so DP/FSDP/TP and packing tests run hostside without TPU hardware."""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# CPU XLA defaults to reduced-precision matmul in this JAX version; correctness
+# tests need deterministic fp32 (production uses bf16 compute explicitly).
+jax.config.update("jax_default_matmul_precision", "highest")
+

@@ -1,0 +1,349 @@
+"""Single typed config tree for the whole framework.
+
+The reference scatters configuration across four systems (HF dataclasses, hydra
+yamls, plain OmegaConf, and env-var model flags — SURVEY.md §5 "Config / flag
+system"). Here every model/trainer takes one frozen dataclass; behavioral
+env-vars of the reference (INTERNVL, IMAGE_448, NO_CAUSAL_IMG, ...) become
+explicit fields.
+
+Reference hyperparameters cited per field come from:
+- InternViT: /root/reference Vlaser_VLM/internvl_chat/internvl/model/internvl_chat/
+  configuration_intern_vit.py:63-90
+- VLM wrapper: configuration_internvl_chat.py:24-76
+- VLA mixtures: Vlaser_VLA/Simpler/config/eval/bridge_internvl_448.yaml and
+  src/model/vla/pizero_internvl.py:117-141 (action expert dims)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+
+def _replace(cfg, **kw):
+    return dataclasses.replace(cfg, **kw)
+
+
+@dataclass(frozen=True)
+class VisionConfig:
+    """InternViT-style vision transformer."""
+
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_layers: int = 24
+    num_heads: int = 16
+    patch_size: int = 14
+    image_size: int = 448
+    qkv_bias: bool = True
+    qk_normalization: bool = False  # RMSNorm over the flattened (H*D) dim when on
+    norm_type: str = "layer_norm"  # 'layer_norm' (300M) | 'rms_norm' (6B)
+    layer_norm_eps: float = 1e-6
+    hidden_act: str = "gelu"
+    initializer_factor: float = 0.1  # layer-scale init
+    drop_path_rate: float = 0.0
+    use_cls_token: bool = True
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def num_patches_per_side(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def seq_len(self) -> int:
+        n = self.num_patches_per_side**2
+        return n + 1 if self.use_cls_token else n
+
+
+@dataclass(frozen=True)
+class LLMConfig:
+    """Qwen2.5-style causal LM (also reused for the 768-wide action expert)."""
+
+    vocab_size: int = 151936
+    hidden_size: int = 1536
+    intermediate_size: int = 8960
+    num_layers: int = 28
+    num_heads: int = 12
+    num_kv_heads: int = 2
+    head_dim: int = 128  # NOT hidden_size // num_heads for the action expert
+    rope_theta: float = 1_000_000.0
+    rms_norm_eps: float = 1e-6
+    max_position_embeddings: int = 32768
+    tie_word_embeddings: bool = False
+    attention_bias: bool = True  # Qwen2: q/k/v bias, no o bias
+    has_embed: bool = True  # action expert has no token embedding
+    has_lm_head: bool = True
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+
+@dataclass(frozen=True)
+class VLMConfig:
+    """InternVL-chat-style fusion of vision encoder + LLM.
+
+    Parity surface: modeling_internvl_chat.py:39-141 (mlp1, pixel-shuffle,
+    num_image_token) and chat template wiring (:343-398).
+    """
+
+    vision: VisionConfig = field(default_factory=VisionConfig)
+    llm: LLMConfig = field(default_factory=LLMConfig)
+    downsample_ratio: float = 0.5
+    ps_version: str = "v2"
+    select_layer: int = -1
+    template: str = "internvl2_5"
+    # dynamic tiling (dataset.py:813-866)
+    dynamic_image_size: bool = True
+    use_thumbnail: bool = True
+    min_dynamic_patch: int = 1
+    max_dynamic_patch: int = 12
+    # special token ids (set after tokenizer extension; Vlaser-2B values:
+    # config/eval/bridge_internvl_448.yaml:44-50)
+    img_context_token_id: int = 151667
+    img_start_token_id: int = 151665
+    img_end_token_id: int = 151666
+    pad_token_id: int = 151643
+
+    @property
+    def num_image_token(self) -> int:
+        """Tokens per 448px tile after pixel-shuffle: (448/14)^2 * 0.25 = 256."""
+        v = self.vision
+        return int((v.image_size // v.patch_size) ** 2 * (self.downsample_ratio**2))
+
+    @property
+    def vit_proj_in_dim(self) -> int:
+        return self.vision.hidden_size * int(1 / self.downsample_ratio) ** 2
+
+
+@dataclass(frozen=True)
+class VLAConfig:
+    """PiZero-style flow-matching VLA: VLM mixture + proprio/action expert.
+
+    Parity surface: pizero_internvl.py:154-330 (construction), :517-604 (mask),
+    :1064-1197 (flow loss), :798-936 (cached denoise loop).
+    """
+
+    vlm: VLMConfig = field(default_factory=VLMConfig)
+    expert: LLMConfig = field(default_factory=LLMConfig)  # 768-wide action expert
+    # sequence layout
+    max_image_text_tokens: int = 384
+    cond_steps: int = 1  # proprio history
+    horizon_steps: int = 4
+    action_dim: int = 7
+    proprio_dim: int = 7
+    # flow matching
+    num_inference_steps: int = 10
+    flow_sig_min: float = 0.001
+    flow_alpha: float = 1.5  # Beta(alpha, beta) time sampling, s*(1-z)
+    flow_beta: float = 1.0
+    flow_t_max: float = 1.0 - 0.001
+    final_action_clip_value: Optional[float] = 1.0
+    time_max_period: float = 10_000.0
+    # structure flags (reference env vars made explicit)
+    causal_image_text: bool = False  # NO_CAUSAL_IMG / DEBUG_CAUSAL analogue
+
+    @property
+    def num_proprio_tokens(self) -> int:
+        return 1  # reference hard-codes 1 (pizero_internvl.py:209)
+
+    @property
+    def num_action_tokens(self) -> int:
+        return self.horizon_steps + self.cond_steps - 1
+
+    @property
+    def total_tokens(self) -> int:
+        return (
+            self.max_image_text_tokens
+            + self.num_proprio_tokens
+            + self.num_action_tokens
+        )
+
+
+# ---------------------------------------------------------------------------
+# Named model configs
+# ---------------------------------------------------------------------------
+
+
+def internvit_300m(image_size: int = 448) -> VisionConfig:
+    """InternViT-300M-448px as used by InternVL3-2B/8B."""
+    return VisionConfig(
+        hidden_size=1024,
+        intermediate_size=4096,
+        num_layers=24,
+        num_heads=16,
+        image_size=image_size,
+        qkv_bias=True,
+        qk_normalization=False,
+        norm_type="layer_norm",
+    )
+
+
+def internvit_6b(image_size: int = 448) -> VisionConfig:
+    return VisionConfig(
+        hidden_size=3200,
+        intermediate_size=12800,
+        num_layers=45,
+        num_heads=25,
+        image_size=image_size,
+        qkv_bias=False,
+        qk_normalization=True,
+        norm_type="rms_norm",
+    )
+
+
+def qwen2_5_1_5b(vocab_size: int = 151936) -> LLMConfig:
+    return LLMConfig(
+        vocab_size=vocab_size,
+        hidden_size=1536,
+        intermediate_size=8960,
+        num_layers=28,
+        num_heads=12,
+        num_kv_heads=2,
+        head_dim=128,
+        rope_theta=1_000_000.0,
+    )
+
+
+def qwen2_5_7b(vocab_size: int = 151936) -> LLMConfig:
+    return LLMConfig(
+        vocab_size=vocab_size,
+        hidden_size=3584,
+        intermediate_size=18944,
+        num_layers=28,
+        num_heads=28,
+        num_kv_heads=4,
+        head_dim=128,
+        rope_theta=1_000_000.0,
+    )
+
+
+def action_expert_2b() -> LLMConfig:
+    """768-wide expert sharing head layout with Qwen2.5-1.5B.
+
+    pizero_internvl.py:123-127: hidden 768, intermediate 8960, head_dim 128;
+    num_heads/num_kv_heads inherited from the 1.5B config (12 / 2).
+    """
+    return LLMConfig(
+        vocab_size=0,
+        hidden_size=768,
+        intermediate_size=8960,
+        num_layers=28,
+        num_heads=12,
+        num_kv_heads=2,
+        head_dim=128,
+        rope_theta=1_000_000.0,
+        has_embed=False,
+        has_lm_head=False,
+    )
+
+
+def action_expert_8b() -> LLMConfig:
+    """pizero_internvl.py:132-134: hidden 768, intermediate 5600, head_dim 128."""
+    return LLMConfig(
+        vocab_size=0,
+        hidden_size=768,
+        intermediate_size=5600,
+        num_layers=28,
+        num_heads=28,
+        num_kv_heads=4,
+        head_dim=128,
+        rope_theta=1_000_000.0,
+        has_embed=False,
+        has_lm_head=False,
+    )
+
+
+def vlaser_2b(vocab_size: int = 151674) -> VLMConfig:
+    """Vlaser-2B = InternViT-300M + Qwen2.5-1.5B (+9 special tokens)."""
+    return VLMConfig(vision=internvit_300m(), llm=qwen2_5_1_5b(vocab_size))
+
+
+def vlaser_8b(vocab_size: int = 151674) -> VLMConfig:
+    return VLMConfig(vision=internvit_300m(), llm=qwen2_5_7b(vocab_size))
+
+
+def vlaser_2b_vla(vocab_size: int = 151674 + 256) -> VLAConfig:
+    """Vlaser-2B-VLA: VLM mixture + 768-wide expert, bridge/fractal recipe.
+
+    Dims: config/eval/bridge_internvl_448.yaml:44-125; 256 action tokens <a_i>
+    appended to the vocab (pizero_internvl.py:47-49).
+    """
+    return VLAConfig(vlm=vlaser_2b(vocab_size), expert=action_expert_2b())
+
+
+# Tiny configs for tests ----------------------------------------------------
+
+
+def tiny_vision(image_size: int = 28) -> VisionConfig:
+    return VisionConfig(
+        hidden_size=32,
+        intermediate_size=64,
+        num_layers=2,
+        num_heads=4,
+        patch_size=14,
+        image_size=image_size,
+        qkv_bias=True,
+        qk_normalization=True,
+        norm_type="layer_norm",
+    )
+
+
+def tiny_llm(vocab_size: int = 512) -> LLMConfig:
+    return LLMConfig(
+        vocab_size=vocab_size,
+        hidden_size=64,
+        intermediate_size=128,
+        num_layers=2,
+        num_heads=4,
+        num_kv_heads=2,
+        head_dim=16,
+        rope_theta=10_000.0,
+    )
+
+
+def tiny_expert() -> LLMConfig:
+    return LLMConfig(
+        vocab_size=0,
+        hidden_size=32,
+        intermediate_size=64,
+        num_layers=2,
+        num_heads=4,
+        num_kv_heads=2,
+        head_dim=16,
+        rope_theta=10_000.0,
+        has_embed=False,
+        has_lm_head=False,
+    )
+
+
+def tiny_vlm() -> VLMConfig:
+    return VLMConfig(
+        vision=tiny_vision(),
+        llm=tiny_llm(),
+        img_context_token_id=500,
+        img_start_token_id=498,
+        img_end_token_id=499,
+        pad_token_id=0,
+        max_dynamic_patch=4,
+    )
+
+
+def tiny_vla(max_image_text_tokens: int = 16) -> VLAConfig:
+    return VLAConfig(
+        vlm=tiny_vlm(),
+        expert=tiny_expert(),
+        max_image_text_tokens=max_image_text_tokens,
+        horizon_steps=4,
+        cond_steps=1,
+        action_dim=7,
+        proprio_dim=7,
+        num_inference_steps=4,
+    )

@@ -1,0 +1,65 @@
+"""HBM-resident functional KV cache.
+
+Unlike the reference's per-layer Python list of tensors (src/model/kv_cache.py:6-46)
+this is a static-shape pytree threaded through jitted scan loops: [L, B, max_len,
+KVH, D] buffers plus per-slot segment ids and a scalar fill length. Static shapes
+mean one compilation for the whole decode; validity is data (segment id 0 = empty
+slot), not shape.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class KVCache:
+    k: jax.Array  # [L, B, max_len, KVH, D]
+    v: jax.Array  # [L, B, max_len, KVH, D]
+    seg: jax.Array  # [B, max_len] int32; 0 = empty/padding
+    length: jax.Array  # [] int32 — next write offset
+
+    @classmethod
+    def create(
+        cls,
+        num_layers: int,
+        batch: int,
+        max_len: int,
+        num_kv_heads: int,
+        head_dim: int,
+        dtype=jnp.bfloat16,
+    ) -> "KVCache":
+        shape = (num_layers, batch, max_len, num_kv_heads, head_dim)
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            seg=jnp.zeros((batch, max_len), jnp.int32),
+            length=jnp.zeros((), jnp.int32),
+        )
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    def write_seg(self, seg_ids: jax.Array) -> "KVCache":
+        """Record segment ids for the next `S` slots (call once per step)."""
+        s = seg_ids.shape[1]
+        new_seg = jax.lax.dynamic_update_slice(self.seg, seg_ids, (0, self.length))
+        return self.replace(seg=new_seg, length=self.length + s)
+
+    def write_layer(self, layer_k: jax.Array, layer_v: jax.Array, layer_idx):
+        """Functional per-layer write used inside scanned layers.
+
+        layer_k/v: [B, S, KVH, D]. Returns updated [B, max, KVH, D] slices.
+        (The scan carries the sliced buffers; see Qwen2Model.)
+        """
+        raise NotImplementedError("use write_layer_buffers")
+
+
+def write_kv(buf: jax.Array, new: jax.Array, offset: jax.Array) -> jax.Array:
+    """buf [B, max, KVH, D] <- new [B, S, KVH, D] at position offset."""
+    return jax.lax.dynamic_update_slice(buf, new.astype(buf.dtype), (0, offset, 0, 0))

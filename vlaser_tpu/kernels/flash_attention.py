@@ -1,0 +1,316 @@
+"""Pallas TPU flash attention.
+
+One kernel family covers the reference's three flash-attn uses (SURVEY.md §2.9):
+  (a) non-causal ViT attention (modeling_intern_vit.py:229-247),
+  (b) causal packed-LLM attention with cu_seqlens -> segment ids here
+      (qwen2_packed_training_patch.py:70-96),
+  (c) the VLA joint block mask (pizero_internvl.py:517-587) -> "levels":
+      img/text=0, proprio=1, action=2; allowed iff kv_level <= q_level.
+
+Masking is composed from per-token int32 metadata (segment id + level packed
+into one word) instead of materialized [B,1,S,S] masks — O(S) instead of O(S^2)
+HBM traffic. fp32 online softmax in VMEM; bf16 in/out.
+
+Layout: q [B, H, Sq, D], k/v [B, KVH, Skv, D] with GQA folded via block
+index_map (no KV repetition in HBM). Grid (B, H, nq, nk); m/l/acc live in VMEM
+scratch across the sequential nk dimension.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import ops
+
+LEVEL_BITS = 2
+LEVEL_MASK = (1 << LEVEL_BITS) - 1
+NEG_INF = -1e30
+
+
+def pack_meta(segment_ids: jax.Array, levels: Optional[jax.Array] = None) -> jax.Array:
+    """Pack per-token (segment, level) into one int32. segment 0 = padding."""
+    meta = segment_ids.astype(jnp.int32) << LEVEL_BITS
+    if levels is not None:
+        meta = meta | levels.astype(jnp.int32)
+    return meta
+
+
+def _flash_fwd_kernel(
+    # scalar prefetch
+    q_offset_ref,
+    # inputs
+    q_ref,  # [1, 1, bq, D]
+    k_ref,  # [1, 1, bk, D]
+    v_ref,
+    qm_ref,  # [1, bq] int32 meta
+    km_ref,  # [1, bk]
+    # outputs
+    o_ref,  # [1, 1, bq, D]
+    lse_ref,  # [1, 1, bq]
+    # scratch
+    m_scr,  # [bq, 1] f32
+    l_scr,  # [bq, 1] f32
+    acc_scr,  # [bq, D] f32
+    *,
+    causal: bool,
+    block_q: int,
+    block_k: int,
+    num_k_blocks: int,
+    scale: float,
+):
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    iq = pl.program_id(2)
+    q_start = q_offset_ref[0] + iq * block_q
+    k_start = ik * block_k
+
+    run = True
+    if causal:
+        # skip blocks entirely above the diagonal
+        run = k_start <= q_start + block_q - 1
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32) * scale  # [bq, D]
+        k = k_ref[0, 0].astype(jnp.float32)  # [bk, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+
+        qm = qm_ref[0]  # [bq] int32
+        km = km_ref[0]  # [bk]
+        q_seg = (qm >> LEVEL_BITS)[:, None]
+        k_seg = (km >> LEVEL_BITS)[None, :]
+        q_lev = (qm & LEVEL_MASK)[:, None]
+        k_lev = (km & LEVEL_MASK)[None, :]
+        allowed = jnp.logical_and(q_seg == k_seg, k_seg != 0)
+        allowed = jnp.logical_and(allowed, k_lev <= q_lev)
+        if causal:
+            rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            allowed = jnp.logical_and(allowed, rows >= cols)
+        s = jnp.where(allowed, s, NEG_INF)
+
+        m_prev = m_scr[:]  # [bq, 1]
+        l_prev = l_scr[:]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        # rows that are fully masked keep m = NEG_INF; guard exp overflow
+        p = jnp.exp(s - m_new)
+        p = jnp.where(allowed, p, 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0, 0].astype(jnp.float32)  # [bk, D]
+        pv = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        acc_scr[:] = acc_scr[:] * alpha + pv
+        m_scr[:] = m_new
+        l_scr[:] = l_new
+
+    @pl.when(ik == num_k_blocks - 1)
+    def _finalize():
+        l = l_scr[:]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+        lse_ref[0, 0] = (m_scr[:] + jnp.log(safe_l))[:, 0]
+
+
+def _pad_to(x: jax.Array, axis: int, multiple: int, value=0):
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "scale", "block_q", "block_k", "interpret"),
+)
+def flash_attention_fwd(
+    q: jax.Array,  # [B, Sq, H, D]
+    k: jax.Array,  # [B, Skv, KVH, D]
+    v: jax.Array,
+    q_meta: jax.Array,  # [B, Sq] int32 (pack_meta)
+    kv_meta: jax.Array,  # [B, Skv]
+    q_offset: jax.Array,  # [] int32 — global position of q[0] (decode)
+    causal: bool = False,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+):
+    b, sq, h, d = q.shape
+    skv, kvh = k.shape[1], k.shape[2]
+    groups = h // kvh
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    block_q = min(block_q, max(16, _round_up(sq, 16)))
+    block_k = min(block_k, max(128, _round_up(skv, 128)))
+
+    # [B, H, S, D] layout for clean (sublane=seq, lane=head_dim) tiling
+    qt = _pad_to(jnp.transpose(q, (0, 2, 1, 3)), 2, block_q)
+    kt = _pad_to(jnp.transpose(k, (0, 2, 1, 3)), 2, block_k)
+    vt = _pad_to(jnp.transpose(v, (0, 2, 1, 3)), 2, block_k)
+    qm = _pad_to(q_meta, 1, block_q)  # padding meta=0 -> segment 0 (masked)
+    km = _pad_to(kv_meta, 1, block_k)
+    sq_p, skv_p = qt.shape[2], kt.shape[2]
+    nq, nk = sq_p // block_q, skv_p // block_k
+
+    grid = (b, h, nq, nk)
+    kernel = functools.partial(
+        _flash_fwd_kernel,
+        causal=causal,
+        block_q=block_q,
+        block_k=block_k,
+        num_k_blocks=nk,
+        scale=scale,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik, *refs: (b, h, iq, 0)),
+                pl.BlockSpec(
+                    (1, 1, block_k, d),
+                    lambda b, h, iq, ik, *refs, groups=groups: (b, h // groups, ik, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_k, d),
+                    lambda b, h, iq, ik, *refs, groups=groups: (b, h // groups, ik, 0),
+                ),
+                pl.BlockSpec((1, block_q), lambda b, h, iq, ik, *refs: (b, iq)),
+                pl.BlockSpec((1, block_k), lambda b, h, iq, ik, *refs: (b, ik)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik, *refs: (b, h, iq, 0)),
+                pl.BlockSpec((1, 1, block_q), lambda b, h, iq, ik, *refs: (b, h, iq)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, d), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq_p), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.atleast_1d(q_offset).astype(jnp.int32), qt, kt, vt, qm, km)
+    out = jnp.transpose(out[:, :, :sq], (0, 2, 1, 3))
+    return out, lse[:, :, :sq]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Public entry: differentiable attention with pallas forward.
+# Backward currently recomputes via the XLA reference path (correct, O(S^2)
+# memory in bwd only); a Pallas backward replaces it for long-seq training.
+# ---------------------------------------------------------------------------
+
+
+def _ref_attention(q, k, v, q_meta, kv_meta, q_offset, causal, scale):
+    b, sq = q.shape[0], q.shape[1]
+    skv = k.shape[1]
+    mask = ops.make_attention_mask(
+        batch=b,
+        q_len=sq,
+        kv_len=skv,
+        causal=causal,
+        q_offset=q_offset,
+        q_segment_ids=q_meta >> LEVEL_BITS,
+        kv_segment_ids=kv_meta >> LEVEL_BITS,
+        q_levels=q_meta & LEVEL_MASK,
+        kv_levels=kv_meta & LEVEL_MASK,
+    )
+    return ops.attention_reference(q, k, v, mask=mask, scale=scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _attention(q, k, v, q_meta, kv_meta, q_offset, causal, scale, use_pallas):
+    if use_pallas:
+        out, _ = flash_attention_fwd(
+            q, k, v, q_meta, kv_meta, q_offset, causal=causal, scale=scale
+        )
+        return out
+    return _ref_attention(q, k, v, q_meta, kv_meta, q_offset, causal, scale)
+
+
+def _attention_fwd(q, k, v, q_meta, kv_meta, q_offset, causal, scale, use_pallas):
+    out = _attention(q, k, v, q_meta, kv_meta, q_offset, causal, scale, use_pallas)
+    return out, (q, k, v, q_meta, kv_meta, q_offset)
+
+
+def _attention_bwd(causal, scale, use_pallas, res, g):
+    q, k, v, q_meta, kv_meta, q_offset = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _ref_attention(
+            q_, k_, v_, q_meta, kv_meta, q_offset, causal, scale
+        ),
+        q,
+        k,
+        v,
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None, None
+
+
+_attention.defvjp(_attention_fwd, _attention_bwd)
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    q_segment_ids: Optional[jax.Array] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
+    q_levels: Optional[jax.Array] = None,
+    kv_levels: Optional[jax.Array] = None,
+    q_offset: jax.Array | int = 0,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    impl: str = "auto",  # auto | pallas | reference
+) -> jax.Array:
+    """Unified attention entry. q [B,Sq,H,D]; k/v [B,Skv,KVH,D] (GQA).
+
+    Segment id 0 marks padding keys. Levels implement the VLA block rule.
+    """
+    b, sq = q.shape[0], q.shape[1]
+    skv = k.shape[1]
+    if q_segment_ids is None:
+        q_segment_ids = jnp.ones((b, sq), jnp.int32)
+    if kv_segment_ids is None:
+        kv_segment_ids = jnp.ones((b, skv), jnp.int32)
+    q_meta = pack_meta(q_segment_ids, q_levels)
+    kv_meta = pack_meta(kv_segment_ids, kv_levels)
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        # tiny decode shapes gain nothing from a kernel launch
+        impl = "pallas" if (on_tpu and sq >= 16) else "reference"
+    use_pallas = impl == "pallas"
+    return _attention(
+        q, k, v, q_meta, kv_meta, jnp.asarray(q_offset, jnp.int32),
+        causal, scale, use_pallas,
+    )

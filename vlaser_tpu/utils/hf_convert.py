@@ -1,0 +1,159 @@
+"""HF (torch) checkpoint -> vlaser_tpu param-tree conversion.
+
+Covers Qwen2ForCausalLM, InternViT, and the full InternVLChat (Vlaser-2B/8B)
+layout so published Vlaser weights load directly. Per-layer weights are stacked
+along a leading [num_layers] axis to match the scanned flax stacks.
+
+Torch nn.Linear stores [out, in]; flax Dense kernels are [in, out] -> transpose.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+
+def _np(t):
+    try:
+        import torch
+
+        if isinstance(t, torch.Tensor):
+            return t.detach().to(torch.float32).cpu().numpy()
+    except ImportError:
+        pass
+    return np.asarray(t, dtype=np.float32)
+
+
+def _stack(sd: Mapping, fmt: str, n: int, transpose: bool = False):
+    mats = []
+    for i in range(n):
+        m = _np(sd[fmt.format(i)])
+        mats.append(m.T if transpose else m)
+    return np.stack(mats, axis=0)
+
+
+def convert_qwen2(sd: Mapping, num_layers: int, prefix: str = "") -> Dict:
+    """HF Qwen2ForCausalLM state_dict -> Qwen2ForCausalLM flax params."""
+    p = prefix
+    layers: Dict = {"self_attn": {}, "mlp": {}}
+    for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+        entry = {
+            "kernel": _stack(
+                sd, f"{p}model.layers.{{}}.self_attn.{proj}.weight", num_layers, True
+            )
+        }
+        bias_key = f"{p}model.layers.0.self_attn.{proj}.bias"
+        if bias_key in sd:
+            entry["bias"] = _stack(
+                sd, f"{p}model.layers.{{}}.self_attn.{proj}.bias", num_layers
+            )
+        layers["self_attn"][proj] = entry
+    for proj in ("gate_proj", "up_proj", "down_proj"):
+        layers["mlp"][proj] = {
+            "kernel": _stack(
+                sd, f"{p}model.layers.{{}}.mlp.{proj}.weight", num_layers, True
+            )
+        }
+    for norm in ("input_layernorm", "post_attention_layernorm"):
+        layers[norm] = {
+            "weight": _stack(sd, f"{p}model.layers.{{}}.{norm}.weight", num_layers)
+        }
+    params: Dict = {
+        "model": {"layers": layers, "norm": {"weight": _np(sd[f"{p}model.norm.weight"])}},
+    }
+    if f"{p}model.embed_tokens.weight" in sd:
+        params["embed_tokens"] = {"embedding": _np(sd[f"{p}model.embed_tokens.weight"])}
+    if f"{p}lm_head.weight" in sd:
+        params["lm_head"] = {"kernel": _np(sd[f"{p}lm_head.weight"]).T}
+    return params
+
+
+def convert_internvit(sd: Mapping, num_layers: int, prefix: str = "") -> Dict:
+    """InternVisionModel state_dict -> InternViT flax params.
+
+    Reference layout: modeling_intern_vit.py (embeddings.{class_embedding,
+    patch_embedding,position_embedding}, encoder.layers.{i}.{attn,mlp,norm1,
+    norm2,ls1,ls2}).
+    """
+    p = prefix
+    emb = {
+        "class_embedding": _np(sd[f"{p}embeddings.class_embedding"]).reshape(1, 1, -1),
+        "position_embedding": _np(sd[f"{p}embeddings.position_embedding"]),
+        "patch_embedding": {
+            # torch conv [out, in, kh, kw] -> flax conv [kh, kw, in, out]
+            "kernel": _np(sd[f"{p}embeddings.patch_embedding.weight"]).transpose(2, 3, 1, 0),
+            "bias": _np(sd[f"{p}embeddings.patch_embedding.bias"]),
+        },
+    }
+    L = num_layers
+    lay: Dict = {
+        "attn": {
+            "qkv": {"kernel": _stack(sd, f"{p}encoder.layers.{{}}.attn.qkv.weight", L, True)},
+            "proj": {
+                "kernel": _stack(sd, f"{p}encoder.layers.{{}}.attn.proj.weight", L, True),
+                "bias": _stack(sd, f"{p}encoder.layers.{{}}.attn.proj.bias", L),
+            },
+        },
+        "mlp": {
+            "fc1": {
+                "kernel": _stack(sd, f"{p}encoder.layers.{{}}.mlp.fc1.weight", L, True),
+                "bias": _stack(sd, f"{p}encoder.layers.{{}}.mlp.fc1.bias", L),
+            },
+            "fc2": {
+                "kernel": _stack(sd, f"{p}encoder.layers.{{}}.mlp.fc2.weight", L, True),
+                "bias": _stack(sd, f"{p}encoder.layers.{{}}.mlp.fc2.bias", L),
+            },
+        },
+        "ls1": _stack(sd, f"{p}encoder.layers.{{}}.ls1", L),
+        "ls2": _stack(sd, f"{p}encoder.layers.{{}}.ls2", L),
+    }
+    if f"{p}encoder.layers.0.attn.qkv.bias" in sd:
+        lay["attn"]["qkv"]["bias"] = _stack(
+            sd, f"{p}encoder.layers.{{}}.attn.qkv.bias", L
+        )
+    for norm in ("norm1", "norm2"):
+        lay[norm] = {"weight": _stack(sd, f"{p}encoder.layers.{{}}.{norm}.weight", L)}
+        bias_key = f"{p}encoder.layers.0.{norm}.bias"
+        if bias_key in sd:
+            lay[norm]["bias"] = _stack(sd, f"{p}encoder.layers.{{}}.{norm}.bias", L)
+    if f"{p}encoder.layers.0.attn.q_norm.weight" in sd:
+        lay["attn"]["q_norm"] = {
+            "weight": _stack(sd, f"{p}encoder.layers.{{}}.attn.q_norm.weight", L)
+        }
+        lay["attn"]["k_norm"] = {
+            "weight": _stack(sd, f"{p}encoder.layers.{{}}.attn.k_norm.weight", L)
+        }
+    return {"embeddings": emb, "encoder": {"layers": lay}}
+
+
+def convert_internvl_chat(sd: Mapping, vision_layers: int, llm_layers: int) -> Dict:
+    """Full InternVLChatModel state_dict -> VLM flax params.
+
+    mlp1 = Sequential(LayerNorm, Linear, GELU, Linear) (modeling_internvl_chat.py:91-96).
+    """
+    params = {
+        "vision_model": convert_internvit(sd, vision_layers, "vision_model."),
+        "language_model": convert_qwen2(sd, llm_layers, "language_model."),
+        "mlp1": {
+            "norm": {"weight": _np(sd["mlp1.0.weight"]), "bias": _np(sd["mlp1.0.bias"])},
+            "fc1": {"kernel": _np(sd["mlp1.1.weight"]).T, "bias": _np(sd["mlp1.1.bias"])},
+            "fc2": {"kernel": _np(sd["mlp1.3.weight"]).T, "bias": _np(sd["mlp1.3.bias"])},
+        },
+    }
+    return params
+
+
+def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
+    """Load all *.safetensors shards in a directory into one flat dict."""
+    import glob
+    import os
+
+    from safetensors import safe_open
+
+    sd = {}
+    for f in sorted(glob.glob(os.path.join(path, "*.safetensors"))):
+        with safe_open(f, framework="np") as fh:
+            for k in fh.keys():
+                sd[k] = fh.get_tensor(k)
+    return sd
