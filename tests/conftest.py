@@ -11,8 +11,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+
 import jax  # noqa: E402
 
+# The axon TPU plugin ignores JAX_PLATFORMS; force CPU via the config flag too.
+jax.config.update("jax_platforms", "cpu")
 # CPU XLA defaults to reduced-precision matmul in this JAX version; correctness
 # tests need deterministic fp32 (production uses bf16 compute explicitly).
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,116 @@
+"""Jitted autoregressive generation: one prefill + one lax.scan decode.
+
+Replaces HF `language_model.generate(inputs_embeds=..., use_cache=True)`
+(modeling_internvl_chat.py:400-438). The whole decode is a single compiled
+scan over static shapes — no per-token Python, no recompiles across steps;
+EOS is handled with done-flags, right-padded rows via segment ids and per-row
+position counters.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .kv_cache import KVCache
+
+
+def _sample(logits, rng, temperature: float, top_k: int):
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_k > 0:
+        top = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < top, -1e30, logits)
+    return jax.random.categorical(rng, logits).astype(jnp.int32)
+
+
+def make_generate_fn(
+    model,
+    *,
+    max_new_tokens: int,
+    eos_token_ids: Sequence[int],
+    pad_token_id: int,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    cache_dtype=jnp.bfloat16,
+):
+    """Build a jitted fn(params, input_ids, seg_ids, pixel_values, rng) ->
+    (tokens [B, max_new_tokens], lengths [B]).
+
+    `model` is InternVLChatModel (or anything exposing .prefill/.decode_step
+    via flax method apply). pixel_values may be None (text-only trace).
+    """
+    eos = jnp.asarray(list(eos_token_ids), jnp.int32)
+    llm = model.cfg.llm
+
+    @functools.partial(jax.jit, static_argnames=())
+    def generate(params, input_ids, seg_ids, pixel_values, rng):
+        b, n = input_ids.shape
+        cache = KVCache.create(
+            llm.num_layers, b, n + max_new_tokens, llm.num_kv_heads,
+            llm.head_dim, dtype=cache_dtype,
+        )
+        lengths = jnp.sum((seg_ids != 0).astype(jnp.int32), axis=1)  # [B]
+        logits, _, cache = model.apply(
+            params, input_ids, pixel_values, seg_ids, cache,
+            method=model.prefill,
+        )
+        last = jnp.take_along_axis(
+            logits, (lengths - 1)[:, None, None], axis=1
+        )[:, 0]  # [B, V]
+        rng, sub = jax.random.split(rng)
+        token = _sample(last, sub, temperature, top_k)
+        done = jnp.any(token[:, None] == eos[None, :], axis=-1)
+
+        def step(carry, t):
+            cache, token, done, lengths, rng = carry
+            out_token = jnp.where(done, pad_token_id, token)
+            positions = (lengths + t)[:, None]
+            logits, _, cache = model.apply(
+                params, token[:, None], cache, positions,
+                method=model.decode_step,
+            )
+            rng, sub = jax.random.split(rng)
+            nxt = _sample(logits[:, 0], sub, temperature, top_k)
+            nxt_done = jnp.logical_or(
+                done, jnp.any(nxt[:, None] == eos[None, :], axis=-1)
+            )
+            return (cache, nxt, nxt_done, lengths, rng), out_token
+
+        (cache, token, done, _, _), tokens = jax.lax.scan(
+            step,
+            (cache, token, done, lengths, rng),
+            jnp.arange(max_new_tokens - 1),
+        )
+        last_token = jnp.where(done, pad_token_id, token)
+        tokens = jnp.concatenate(
+            [jnp.transpose(tokens, (1, 0)), last_token[:, None]], axis=1
+        )
+        num = jnp.sum(
+            jnp.cumprod((tokens != pad_token_id).astype(jnp.int32), axis=1), axis=1
+        )
+        return tokens, num
+
+    return generate
+
+
+def trim_output(tokens, num, eos_token_ids: Sequence[int]) -> list:
+    """Host-side: cut each row at its first EOS/pad."""
+    import numpy as np
+
+    tokens = np.asarray(tokens)
+    num = np.asarray(num)
+    out = []
+    eos = set(int(e) for e in eos_token_ids)
+    for row, n in zip(tokens, num):
+        ids = []
+        for t in row[: int(n)]:
+            if int(t) in eos:
+                break
+            ids.append(int(t))
+        out.append(ids)
+    return out

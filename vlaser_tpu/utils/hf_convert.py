@@ -124,7 +124,7 @@ def convert_internvit(sd: Mapping, num_layers: int, prefix: str = "") -> Dict:
         lay["attn"]["k_norm"] = {
             "weight": _stack(sd, f"{p}encoder.layers.{{}}.attn.k_norm.weight", L)
         }
-    return {"embeddings": emb, "encoder": {"layers": lay}}
+    return {"embeddings": emb, "encoder": lay}
 
 
 def convert_internvl_chat(sd: Mapping, vision_layers: int, llm_layers: int) -> Dict:
