@@ -1,0 +1,323 @@
+"""PiZero-style flow-matching VLA (the Vlaser-2B-VLA model), TPU-native.
+
+Parity surface: src/model/vla/pizero_internvl.py —
+- construction (:154-330): InternViT vision + mlp1 + embed_tokens shared with
+  the VLM; 768-wide action expert; proprio/action tied to the same expert
+- block mask + position ids (:517-604): here the mask is the level rule fed to
+  the flash kernel; positions start at 1 (vlm 1..S, proprio 1, action 2..)
+- flow matching (:1050-1197): psi_t = (1-(1-sig_min)t)x0 + t*x1; loss
+  ||v_psi - (x1 - (1-sig_min)x0)||^2
+- cached inference (:798-936): one prefix forward (vlm+proprio) producing KV,
+  then num_inference_steps Euler steps running only the action suffix.
+
+The TPU redesign turns the denoise loop into a single jitted lax.scan over a
+[L, B, Sp, KVH, D] prefix cache (north-star item, SURVEY.md §2.9.5); noise is
+drawn from jax PRNG keys passed in explicitly.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.config import VLAConfig
+from ..kernels import ops
+from ..models.internvit import InternVisionModel
+from ..models.layers import Dense, RMSNorm
+from ..models.vlm import MLP1, scatter_image_embeds
+from .joint import JointModel
+
+
+def sinusoidal_pos_emb(t: jax.Array, dim: int, max_period: float) -> jax.Array:
+    """modules.py:9-22 — t [B] -> [B, dim], fp32."""
+    half = dim // 2
+    freq = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / (half - 1)
+    )
+    emb = t.astype(jnp.float32)[:, None] * freq[None, :]
+    return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+
+
+class ActionEncoder(nn.Module):
+    """pi0 appendix action encoder (modules.py:25-55): Linear -> [concat time]
+    -> SiLU -> Linear."""
+
+    width: int
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, action: jax.Array, time_emb: jax.Array) -> jax.Array:
+        d = lambda f, name: Dense(f, use_bias=True, param_dtype=self.param_dtype,
+                                  compute_dtype=self.compute_dtype, name=name)
+        emb = d(self.width, "linear_1")(action)
+        time_full = jnp.broadcast_to(
+            time_emb[:, None, :], (*emb.shape[:-1], time_emb.shape[-1])
+        ).astype(emb.dtype)
+        emb = jnp.concatenate([time_full, emb], axis=-1)
+        emb = nn.silu(d(self.width, "linear_2")(emb))
+        return d(self.width, "linear_3")(emb)
+
+
+class PiZeroVLA(nn.Module):
+    cfg: VLAConfig
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
+    attn_impl: str = "auto"
+
+    def setup(self):
+        cfg = self.cfg
+        vlm, expert = cfg.vlm, cfg.expert
+        self.vision_model = InternVisionModel(
+            vlm.vision, self.param_dtype, self.compute_dtype, self.remat,
+            self.attn_impl,
+        )
+        self.mlp1 = MLP1(vlm.vit_proj_in_dim, vlm.llm.hidden_size,
+                         self.param_dtype, self.compute_dtype)
+        self.embed_tokens = nn.Embed(
+            vlm.llm.vocab_size, vlm.llm.hidden_size,
+            param_dtype=self.param_dtype, dtype=self.compute_dtype,
+        )
+        self.joint = JointModel(
+            vlm.llm, expert, self.param_dtype, self.compute_dtype, self.remat,
+            self.attn_impl,
+        )
+        mkd = lambda f: Dense(f, use_bias=True, param_dtype=self.param_dtype,
+                              compute_dtype=self.compute_dtype)
+        self.proprio_encoder = mkd(expert.hidden_size)
+        self.action_encoder = ActionEncoder(expert.hidden_size,
+                                            self.param_dtype, self.compute_dtype)
+        self.action_decoder = mkd(cfg.action_dim)
+
+    # ------------------------------------------------------------------ #
+    # shared embedding / metadata builders
+    # ------------------------------------------------------------------ #
+
+    def _image_text_embeds(self, input_ids, pixel_values):
+        """[B,S] ids + [T,H,W,3] tiles -> fused [B,S,1536]
+        (pizero_internvl.py:718-796 _forward_siglip_and_text_embedding)."""
+        cfg = self.cfg.vlm
+        tok = self.embed_tokens(input_ids)
+        vit = self.vision_model(pixel_values, select_layer=cfg.select_layer)
+        vit = vit[:, 1:, :]
+        t, s, c = vit.shape
+        side = int(s**0.5)
+        vit = vit.reshape(t, side, side, c)
+        vit = ops.pixel_shuffle(vit, cfg.downsample_ratio, cfg.ps_version)
+        vit = self.mlp1(vit.reshape(t, -1, vit.shape[-1]))
+        return scatter_image_embeds(input_ids, tok, vit, None,
+                                    cfg.img_context_token_id)
+
+    def _positions(self, batch: int):
+        cfg = self.cfg
+        vlm_pos = jnp.broadcast_to(
+            jnp.arange(1, cfg.max_image_text_tokens + 1)[None, :],
+            (batch, cfg.max_image_text_tokens),
+        )
+        p_pos = jnp.broadcast_to(
+            jnp.arange(1, cfg.num_proprio_tokens + 1)[None, :],
+            (batch, cfg.num_proprio_tokens),
+        )
+        a_pos = jnp.broadcast_to(
+            jnp.arange(
+                cfg.num_proprio_tokens + 1,
+                cfg.num_proprio_tokens + cfg.num_action_tokens + 1,
+            )[None, :],
+            (batch, cfg.num_action_tokens),
+        )
+        return vlm_pos, p_pos, a_pos
+
+    def _meta(self, text_mask: jax.Array, include_action: bool):
+        """(segments, levels) over [vlm | proprio (| action)]."""
+        cfg = self.cfg
+        b = text_mask.shape[0]
+        n_pa = cfg.num_proprio_tokens + (cfg.num_action_tokens if include_action else 0)
+        seg = jnp.concatenate(
+            [text_mask.astype(jnp.int32), jnp.ones((b, n_pa), jnp.int32)], axis=1
+        )
+        lev = jnp.concatenate(
+            [
+                jnp.zeros((b, cfg.max_image_text_tokens), jnp.int32),
+                jnp.ones((b, cfg.num_proprio_tokens), jnp.int32),
+                *( [jnp.full((b, cfg.num_action_tokens), 2, jnp.int32)]
+                   if include_action else [] ),
+            ],
+            axis=1,
+        )
+        return seg, lev
+
+    def _rope(self, positions, theta):
+        return ops.rope_cos_sin(positions, self.cfg.expert.head_dim, theta)
+
+    # ------------------------------------------------------------------ #
+    # flow-matching training forward (pizero_internvl.py:1064-1197)
+    # ------------------------------------------------------------------ #
+
+    def __call__(
+        self,
+        input_ids: jax.Array,  # [B, S_it]
+        pixel_values: jax.Array,  # [T, H, W, 3]
+        text_mask: jax.Array,  # [B, S_it] 1=valid
+        proprios: jax.Array,  # [B, cond_steps, proprio_dim]
+        actions: jax.Array,  # [B, num_action_tokens, action_dim]
+        t: jax.Array,  # [B] flow time
+        x0: jax.Array,  # [B, num_action_tokens, action_dim] noise
+    ) -> jax.Array:
+        cfg = self.cfg
+        b = input_ids.shape[0]
+        x1 = actions
+        tt = t[:, None, None]
+        psi_t = (1.0 - (1.0 - cfg.flow_sig_min) * tt) * x0 + tt * x1
+
+        embeds_vlm = self._image_text_embeds(input_ids, pixel_values)
+        proprio_embeds = self.proprio_encoder(
+            proprios.reshape(b, cfg.num_proprio_tokens, -1).astype(self.compute_dtype)
+        )
+        time_emb = sinusoidal_pos_emb(
+            t, cfg.expert.hidden_size, cfg.time_max_period
+        )
+        action_embeds = self.action_encoder(
+            psi_t.astype(self.compute_dtype), time_emb
+        )
+        x_pa = jnp.concatenate([proprio_embeds, action_embeds], axis=1)
+
+        vlm_pos, p_pos, a_pos = self._positions(b)
+        cos_v, sin_v = self._rope(vlm_pos, cfg.vlm.llm.rope_theta)
+        cos_pa, sin_pa = self._rope(
+            jnp.concatenate([p_pos, a_pos], axis=1), cfg.expert.rope_theta
+        )
+        seg, lev = self._meta(text_mask, include_action=True)
+
+        _, pa_out = self.joint(
+            "train", embeds_vlm, x_pa, cos_v, sin_v, cos_pa, sin_pa, seg, lev
+        )
+        action_out = pa_out[:, cfg.num_proprio_tokens :]
+        v_psi = self.action_decoder(action_out).astype(jnp.float32)
+        d_psi = (x1 - (1.0 - cfg.flow_sig_min) * x0).astype(jnp.float32)
+        return jnp.mean((v_psi - d_psi) ** 2)
+
+    # ------------------------------------------------------------------ #
+    # cached inference (pizero_internvl.py:798-936)
+    # ------------------------------------------------------------------ #
+
+    def prefix_forward(self, input_ids, pixel_values, text_mask, proprios):
+        """One vlm+proprio pass -> per-layer K/V [L, B, S_it+1, KVH, D]."""
+        cfg = self.cfg
+        b = input_ids.shape[0]
+        embeds_vlm = self._image_text_embeds(input_ids, pixel_values)
+        proprio_embeds = self.proprio_encoder(
+            proprios.reshape(b, cfg.num_proprio_tokens, -1).astype(self.compute_dtype)
+        )
+        vlm_pos, p_pos, _ = self._positions(b)
+        cos_v, sin_v = self._rope(vlm_pos, cfg.vlm.llm.rope_theta)
+        cos_p, sin_p = self._rope(p_pos, cfg.expert.rope_theta)
+        seg, lev = self._meta(text_mask, include_action=False)
+        k_pre, v_pre = self.joint(
+            "prefix", embeds_vlm, proprio_embeds, cos_v, sin_v, cos_p, sin_p,
+            seg, lev,
+        )
+        return k_pre, v_pre, seg, lev
+
+    def denoise_step(self, action, t, k_pre, v_pre, seg_pre, lev_pre):
+        """One velocity evaluation of the action suffix (768-wide only)."""
+        cfg = self.cfg
+        b = action.shape[0]
+        time_emb = sinusoidal_pos_emb(t, cfg.expert.hidden_size, cfg.time_max_period)
+        action_embeds = self.action_encoder(action.astype(self.compute_dtype), time_emb)
+        _, _, a_pos = self._positions(b)
+        cos_a, sin_a = self._rope(a_pos, cfg.expert.rope_theta)
+        seg_q = jnp.ones((b, cfg.num_action_tokens), jnp.int32)
+        lev_q = jnp.full((b, cfg.num_action_tokens), 2, jnp.int32)
+        seg_kv = jnp.concatenate([seg_pre, seg_q], axis=1)
+        lev_kv = jnp.concatenate([lev_pre, lev_q], axis=1)
+        out = self.joint(
+            "suffix", action_embeds, cos_a, sin_a, seg_q, seg_kv, lev_q, lev_kv,
+            k_pre, v_pre,
+        )
+        return self.action_decoder(out).astype(jnp.float32)
+
+    def infer_action(
+        self,
+        input_ids: jax.Array,
+        pixel_values: jax.Array,
+        text_mask: jax.Array,
+        proprios: jax.Array,
+        noise: jax.Array,  # [B, num_action_tokens, action_dim] ~ N(0, I)
+    ) -> jax.Array:
+        """Prefix once, then num_inference_steps Euler steps as one lax.scan."""
+        cfg = self.cfg
+        k_pre, v_pre, seg_pre, lev_pre = self.prefix_forward(
+            input_ids, pixel_values, text_mask, proprios
+        )
+        delta_t = 1.0 / cfg.num_inference_steps
+        action0 = noise.astype(jnp.float32)
+        if self.is_initializing():
+            action, _ = self.denoise_scan_body(
+                action0, jnp.zeros((), jnp.int32), delta_t, k_pre, v_pre,
+                seg_pre, lev_pre,
+            )
+        else:
+            action, _ = nn.scan(
+                lambda mdl, a, i: mdl.denoise_scan_body(
+                    a, i, delta_t, k_pre, v_pre, seg_pre, lev_pre
+                ),
+                variable_broadcast="params",
+                split_rngs={"params": False},
+            )(self, action0, jnp.arange(cfg.num_inference_steps))
+        if cfg.final_action_clip_value is not None:
+            action = jnp.clip(
+                action, -cfg.final_action_clip_value, cfg.final_action_clip_value
+            )
+        return action[:, -cfg.horizon_steps :]
+
+    def denoise_scan_body(self, action, i, delta_t, k_pre, v_pre, seg_pre, lev_pre):
+        b = action.shape[0]
+        t = jnp.full((b,), 0.0, jnp.float32) + i.astype(jnp.float32) * delta_t
+        v = self.denoise_step(action, t, k_pre, v_pre, seg_pre, lev_pre)
+        return action + delta_t * v, None
+
+    def infer_action_naive(
+        self, input_ids, pixel_values, text_mask, proprios, noise
+    ) -> jax.Array:
+        """No-cache oracle (pizero_internvl.py:938-1003): each Euler step runs
+        the full joint [vlm|proprio|action] forward. Used by parity tests."""
+        cfg = self.cfg
+        b = input_ids.shape[0]
+        embeds_vlm = self._image_text_embeds(input_ids, pixel_values)
+        proprio_embeds = self.proprio_encoder(
+            proprios.reshape(b, cfg.num_proprio_tokens, -1).astype(self.compute_dtype)
+        )
+        vlm_pos, p_pos, a_pos = self._positions(b)
+        cos_v, sin_v = self._rope(vlm_pos, cfg.vlm.llm.rope_theta)
+        cos_pa, sin_pa = self._rope(
+            jnp.concatenate([p_pos, a_pos], axis=1), cfg.expert.rope_theta
+        )
+        seg, lev = self._meta(text_mask, include_action=True)
+        delta_t = 1.0 / cfg.num_inference_steps
+
+        action = noise.astype(jnp.float32)
+        for i in range(cfg.num_inference_steps):
+            t = jnp.full((b,), i * delta_t, jnp.float32)
+            time_emb = sinusoidal_pos_emb(t, cfg.expert.hidden_size,
+                                          cfg.time_max_period)
+            action_embeds = self.action_encoder(
+                action.astype(self.compute_dtype), time_emb
+            )
+            x_pa = jnp.concatenate([proprio_embeds, action_embeds], axis=1)
+            _, pa_out = self.joint(
+                "train", embeds_vlm, x_pa, cos_v, sin_v, cos_pa, sin_pa, seg, lev
+            )
+            v = self.action_decoder(
+                pa_out[:, cfg.num_proprio_tokens :]
+            ).astype(jnp.float32)
+            action = action + delta_t * v
+        if cfg.final_action_clip_value is not None:
+            action = jnp.clip(
+                action, -cfg.final_action_clip_value, cfg.final_action_clip_value
+            )
+        return action[:, -cfg.horizon_steps :]
