@@ -1,0 +1,106 @@
+"""Benchmark: Vlaser-2B-VLA closed-loop control step on one TPU chip.
+
+Metric (BASELINE.json): policy actions/sec — one control step = ViT prefill of
+a 448px frame + joint vlm+proprio prefix (384 tokens) + 10 Euler denoise steps
+of the 768-wide action expert, emitting horizon_steps=4 actions. bf16, batch 1,
+the exact serving configuration of the reference's closed-loop eval
+(config/eval/bridge_internvl_448.yaml; reference runs fp32 on one GPU).
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md). The
+denominator is an estimate of the PyTorch reference's single-A100 fp32
+torch.compile control rate: ~1.4 TFLOP/step at TF32 plus 10-step expert
+streaming => ~30 ms/step => ~133 actions/sec. Documented estimate; replace
+with a measured GPU number when hardware is available.
+
+Prints ONE JSON line.
+"""
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ESTIMATED_GPU_BASELINE_ACTIONS_PER_SEC = 133.0
+
+
+def main():
+    from vlaser_tpu.core.config import vlaser_2b_vla
+    from vlaser_tpu.policy.pizero import PiZeroVLA
+    from vlaser_tpu.utils.benchmark import time_scanned
+
+    cfg = vlaser_2b_vla()
+    model = PiZeroVLA(cfg, param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    B, S = 1, cfg.max_image_text_tokens
+    img = cfg.vlm.vision.image_size
+
+    ids = np.full((B, S), cfg.vlm.pad_token_id, np.int32)
+    ids[:, :256] = cfg.vlm.img_context_token_id
+    ids[:, 256:300] = 7
+    text_mask = np.zeros((B, S), np.int32)
+    text_mask[:, :300] = 1
+    ids, text_mask = jnp.asarray(ids), jnp.asarray(text_mask)
+    proprios = jnp.zeros((B, cfg.cond_steps, cfg.proprio_dim), jnp.float32)
+
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), ids,
+            jnp.zeros((B, img, img, 3), jnp.float32), text_mask, proprios,
+            jnp.zeros((B, cfg.num_action_tokens, cfg.action_dim)),
+            jnp.zeros((B,)),
+            jnp.zeros((B, cfg.num_action_tokens, cfg.action_dim)),
+        )
+    )
+    @jax.jit
+    def mkparams():
+        key = jax.random.PRNGKey(0)
+        return jax.tree_util.tree_map(
+            lambda s: (jax.random.normal(key, s.shape, jnp.float32) * 0.02).astype(
+                s.dtype
+            ),
+            shapes,
+        )
+
+    params = mkparams()
+
+    def control_step(carry, params):
+        # dependency chain: pixels and noise derive from the previous action
+        # chunk so scan iterations cannot be overlapped or elided
+        prev = carry  # [B, horizon, action_dim] f32
+        feed = jnp.mean(prev) * 1e-6
+        pixels = jnp.full((B, img, img, 3), 0.5, jnp.float32) + feed
+        noise = jnp.zeros((B, cfg.num_action_tokens, cfg.action_dim)) + feed
+        out = model.apply(
+            params, ids, pixels, text_mask, proprios, noise,
+            method=model.infer_action,
+        )
+        return out.astype(jnp.float32)
+
+    carry0 = jnp.zeros((B, cfg.horizon_steps, cfg.action_dim), jnp.float32)
+    sec_per_step = time_scanned(control_step, carry0, params, iters=20, repeats=3)
+    actions_per_sec = cfg.horizon_steps / sec_per_step
+
+    print(
+        json.dumps(
+            {
+                "metric": "vlaser2b_vla_policy_actions_per_sec",
+                "value": round(actions_per_sec, 2),
+                "unit": "actions/sec",
+                "vs_baseline": round(
+                    actions_per_sec / ESTIMATED_GPU_BASELINE_ACTIONS_PER_SEC, 3
+                ),
+                "extra": {
+                    "control_step_ms": round(sec_per_step * 1e3, 3),
+                    "batch": B,
+                    "denoise_steps": cfg.num_inference_steps,
+                    "device": str(jax.devices()[0]),
+                    "baseline_note": "estimated A100 fp32 torch.compile reference (no published numbers)",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -49,11 +49,11 @@ def _flash_fwd_kernel(
     q_ref,  # [1, 1, bq, D]
     k_ref,  # [1, 1, bk, D]
     v_ref,
-    qm_ref,  # [1, bq] int32 meta
-    km_ref,  # [1, bk]
+    qm_ref,  # [1, 1, bq] int32 meta
+    km_ref,  # [1, 1, bk]
     # outputs
     o_ref,  # [1, 1, bq, D]
-    lse_ref,  # [1, 1, bq]
+    lse_ref,  # [1, 1, bq, 1]
     # scratch
     m_scr,  # [bq, 1] f32
     l_scr,  # [bq, 1] f32
@@ -90,8 +90,8 @@ def _flash_fwd_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [bq, bk]
 
-        qm = qm_ref[0]  # [bq] int32
-        km = km_ref[0]  # [bk]
+        qm = qm_ref[0, 0]  # [bq] int32
+        km = km_ref[0, 0]  # [bk]
         q_seg = (qm >> LEVEL_BITS)[:, None]
         k_seg = (km >> LEVEL_BITS)[None, :]
         q_lev = (qm & LEVEL_MASK)[:, None]
@@ -126,7 +126,7 @@ def _flash_fwd_kernel(
         l = l_scr[:]
         safe_l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
-        lse_ref[0, 0] = (m_scr[:] + jnp.log(safe_l))[:, 0]
+        lse_ref[0, 0] = m_scr[:] + jnp.log(safe_l)
 
 
 def _pad_to(x: jax.Array, axis: int, multiple: int, value=0):
@@ -167,8 +167,8 @@ def flash_attention_fwd(
     qt = _pad_to(jnp.transpose(q, (0, 2, 1, 3)), 2, block_q)
     kt = _pad_to(jnp.transpose(k, (0, 2, 1, 3)), 2, block_k)
     vt = _pad_to(jnp.transpose(v, (0, 2, 1, 3)), 2, block_k)
-    qm = _pad_to(q_meta, 1, block_q)  # padding meta=0 -> segment 0 (masked)
-    km = _pad_to(kv_meta, 1, block_k)
+    qm = _pad_to(q_meta, 1, block_q)[:, None, :]  # pad meta=0 -> seg 0 (masked)
+    km = _pad_to(kv_meta, 1, block_k)[:, None, :]
     sq_p, skv_p = qt.shape[2], kt.shape[2]
     nq, nk = sq_p // block_q, skv_p // block_k
 
@@ -196,12 +196,12 @@ def flash_attention_fwd(
                     (1, 1, block_k, d),
                     lambda b, h, iq, ik, *refs, groups=groups: (b, h // groups, ik, 0),
                 ),
-                pl.BlockSpec((1, block_q), lambda b, h, iq, ik, *refs: (b, iq)),
-                pl.BlockSpec((1, block_k), lambda b, h, iq, ik, *refs: (b, ik)),
+                pl.BlockSpec((1, 1, block_q), lambda b, h, iq, ik, *refs: (b, 0, iq)),
+                pl.BlockSpec((1, 1, block_k), lambda b, h, iq, ik, *refs: (b, 0, ik)),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik, *refs: (b, h, iq, 0)),
-                pl.BlockSpec((1, 1, block_q), lambda b, h, iq, ik, *refs: (b, h, iq)),
+                pl.BlockSpec((1, 1, block_q, 1), lambda b, h, iq, ik, *refs: (b, h, iq, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((block_q, 1), jnp.float32),
@@ -211,12 +211,12 @@ def flash_attention_fwd(
         ),
         out_shape=[
             jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, sq_p), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, sq_p, 1), jnp.float32),
         ],
         interpret=interpret,
     )(jnp.atleast_1d(q_offset).astype(jnp.int32), qt, kt, vt, qm, km)
     out = jnp.transpose(out[:, :, :sq], (0, 2, 1, 3))
-    return out, lse[:, :, :sq]
+    return out, lse[:, :, :sq, 0]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -307,8 +307,12 @@ def attention(
     kv_meta = pack_meta(kv_segment_ids, kv_levels)
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        # tiny decode shapes gain nothing from a kernel launch
-        impl = "pallas" if (on_tpu and sq >= 16) else "reference"
+        # Measured on v5e (round 1): XLA's fused attention beats this kernel
+        # for short sequences (ViT 1025 @ D=64: 6.6ms vs 17ms; full VLA step
+        # 35.5ms vs 48ms), while the Pallas kernel's O(S) memory is what
+        # matters for long packed training sequences. Use Pallas only where
+        # materializing [B,H,Sq,Skv] logits would blow HBM.
+        impl = "pallas" if (on_tpu and sq >= 2048) else "reference"
     use_pallas = impl == "pallas"
     return _attention(
         q, k, v, q_meta, kv_meta, jnp.asarray(q_offset, jnp.int32),
