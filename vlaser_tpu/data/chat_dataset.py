@@ -1,0 +1,305 @@
+"""JSONL conversation dataset + chat preprocessing + packing for VLM SFT.
+
+Parity surface:
+- preprocess_internvl2_5 (internvl/train/dataset.py:711-790): per-segment
+  tokenization (`<|im_start|>role\\n...<|im_end|>\\n`), labels -100 everywhere
+  except assistant content (assistant header and trailing newline masked),
+  <image> expanded to <img><IMG_CONTEXT>*N</img>
+- LazySupervisedDataset (internvl_chat_finetune.py:269-698): lazy JSONL,
+  image/multi-image/text items, dynamic tiling, blank-tile padding for
+  text-only samples (image_flags=0; :581-622), retry-on-error
+- len2weight token/sample/square loss reduction (:786-795)
+- PackedDataset (dataset_packed.py:46-553): bin-pack into <= max_packed_tokens
+  buffers; here packing emits SEGMENT IDS for the flash kernel instead of
+  cu_seqlens, and carries a resumable cursor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..image.tiling import load_image_tiles
+from ..tokenizer.conversation import (
+    IMG_CONTEXT_TOKEN,
+    IMG_END_TOKEN,
+    IMG_START_TOKEN,
+    get_conv_template,
+)
+
+IGNORE_TOKEN_ID = -100
+
+
+def len2weight(x: int, loss_reduction: str) -> float:
+    if x == 0:
+        return 0.0
+    if loss_reduction == "token":
+        return 1.0
+    if loss_reduction == "sample":
+        return 1.0 / x
+    if loss_reduction == "square":
+        return 1.0 / (x**0.5)
+    raise NotImplementedError(loss_reduction)
+
+
+def preprocess_internvl2_5(
+    conversations: List[Dict[str, str]],
+    tokenizer,
+    num_image_token_list: Sequence[int],
+    template_name: str = "internvl2_5",
+    text_only: bool = False,
+):
+    """-> (input_ids, labels) int32 arrays (unpadded)."""
+    convs = list(conversations)
+    if convs and convs[0]["from"] == "system":
+        system_prompt = convs[0]["value"]
+        convs = convs[1:]
+    else:
+        system_prompt = get_conv_template(template_name).system_message
+
+    if not text_only:
+        idx = 0
+        expanded = []
+        for c in convs:
+            c = dict(c)
+            if c["from"] == "human":
+                n = c["value"].count("<image>")
+                for _ in range(n):
+                    if idx == len(num_image_token_list):
+                        break
+                    tokens = (
+                        IMG_START_TOKEN
+                        + IMG_CONTEXT_TOKEN * num_image_token_list[idx]
+                        + IMG_END_TOKEN
+                    )
+                    c["value"] = c["value"].replace("<image>", tokens, 1)
+                    idx += 1
+            expanded.append(c)
+        convs = expanded
+
+    segments, roles = [], []
+    if system_prompt is not None:
+        segments.append(f"<|im_start|>system\n{system_prompt}<|im_end|>\n")
+        roles.append("system")
+    for c in convs:
+        if c["from"] == "human":
+            segments.append(f"<|im_start|>user\n{c['value']}<|im_end|>\n")
+            roles.append("human")
+        elif c["from"] == "gpt":
+            segments.append(f"<|im_start|>assistant\n{c['value']}<|im_end|>\n")
+            roles.append("gpt")
+        else:
+            raise NotImplementedError(c["from"])
+
+    ignore_len = len(
+        tokenizer("<|im_start|>assistant\n", add_special_tokens=False)["input_ids"]
+    )
+    ids_out, labels_out = [], []
+    for role, seg in zip(roles, segments):
+        ids = tokenizer(seg, add_special_tokens=False)["input_ids"]
+        ids_out.extend(ids)
+        if role == "gpt":
+            lab = list(ids)
+            lab[:ignore_len] = [IGNORE_TOKEN_ID] * ignore_len
+            lab[-1:] = [IGNORE_TOKEN_ID]  # trailing '\n'
+            labels_out.extend(lab)
+        else:
+            labels_out.extend([IGNORE_TOKEN_ID] * len(ids))
+    return np.asarray(ids_out, np.int32), np.asarray(labels_out, np.int32)
+
+
+@dataclass
+class ChatDatasetConfig:
+    jsonl_path: str
+    image_root: str = ""
+    template: str = "internvl2_5"
+    num_image_token: int = 256
+    image_size: int = 448
+    max_dynamic_patch: int = 12
+    min_dynamic_patch: int = 1
+    use_thumbnail: bool = True
+    dynamic_image_size: bool = True
+    max_seq_length: int = 4096
+    loss_reduction: str = "token"
+    repeat_time: float = 1.0
+
+
+class ConversationDataset:
+    """Lazy JSONL conversation dataset (text / single- / multi-image)."""
+
+    def __init__(self, cfg: ChatDatasetConfig, tokenizer):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        with open(cfg.jsonl_path) as f:
+            self.lines = f.readlines()
+        if cfg.repeat_time != 1.0:
+            n = int(len(self.lines) * cfg.repeat_time)
+            self.lines = (self.lines * int(np.ceil(cfg.repeat_time)))[:n]
+
+    def __len__(self):
+        return len(self.lines)
+
+    def _load_tiles(self, image_paths: List[str]) -> np.ndarray:
+        from PIL import Image
+
+        cfg = self.cfg
+        all_tiles = []
+        # multi-image items cap tiles per image (finetune.py:475-523)
+        max_num = max(1, cfg.max_dynamic_patch // max(1, len(image_paths)))
+        for p in image_paths:
+            img = Image.open(os.path.join(cfg.image_root, p)).convert("RGB")
+            tiles = load_image_tiles(
+                img, cfg.image_size, cfg.min_dynamic_patch, max_num,
+                use_thumbnail=cfg.use_thumbnail and cfg.dynamic_image_size,
+                dynamic=cfg.dynamic_image_size,
+            )
+            all_tiles.append(tiles)
+        return np.concatenate(all_tiles, axis=0)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        item = json.loads(self.lines[i])
+        convs = item["conversations"]
+        if "image" in item and item["image"]:
+            paths = item["image"] if isinstance(item["image"], list) else [item["image"]]
+            tiles = self._load_tiles(paths)
+            ids, labels = preprocess_internvl2_5(
+                convs, self.tokenizer,
+                [cfg.num_image_token * (len(tiles) if len(paths) == 1 else 1)]
+                if len(paths) == 1
+                else [cfg.num_image_token] * len(paths),
+                cfg.template,
+            )
+            flags = np.ones(len(tiles), np.int32)
+        else:
+            # text-only: blank tile with flag 0 (finetune.py:581-622)
+            ids, labels = preprocess_internvl2_5(
+                convs, self.tokenizer, [], cfg.template, text_only=True
+            )
+            tiles = np.zeros((1, cfg.image_size, cfg.image_size, 3), np.float32)
+            flags = np.zeros(1, np.int32)
+        ids = ids[: cfg.max_seq_length]
+        labels = labels[: cfg.max_seq_length]
+        n_target = int((labels != IGNORE_TOKEN_ID).sum())
+        weight = len2weight(n_target, cfg.loss_reduction)
+        loss_weight = np.where(labels != IGNORE_TOKEN_ID, weight, 0.0).astype(np.float32)
+        return {
+            "input_ids": ids,
+            "labels": labels,
+            "loss_weight": loss_weight,
+            "pixel_values": tiles.astype(np.float32),
+            "image_flags": flags,
+        }
+
+
+def pad_collate(
+    samples: List[Dict[str, np.ndarray]], pad_token_id: int, pad_to: Optional[int] = None
+) -> Dict[str, np.ndarray]:
+    """concat_pad_data_collator equivalent (patch/pad_data_collator.py:57-118):
+    pad ids/labels/weights per-batch, concat pixel_values/image_flags."""
+    max_len = max(len(s["input_ids"]) for s in samples)
+    if pad_to:
+        max_len = min(pad_to, ((max_len + pad_to - 1) // pad_to) * pad_to) \
+            if max_len <= pad_to else max_len
+    b = len(samples)
+    ids = np.full((b, max_len), pad_token_id, np.int32)
+    labels = np.full((b, max_len), IGNORE_TOKEN_ID, np.int32)
+    weights = np.zeros((b, max_len), np.float32)
+    seg = np.zeros((b, max_len), np.int32)
+    for i, s in enumerate(samples):
+        n = len(s["input_ids"])
+        ids[i, :n] = s["input_ids"]
+        labels[i, :n] = s["labels"]
+        weights[i, :n] = s["loss_weight"]
+        seg[i, :n] = 1
+    return {
+        "input_ids": ids,
+        "labels": labels,
+        "loss_weight": weights,
+        "seg_ids": seg,
+        "pixel_values": np.concatenate([s["pixel_values"] for s in samples], 0),
+        "image_flags": np.concatenate([s["image_flags"] for s in samples], 0),
+    }
+
+
+class PackedDataset:
+    """Greedy bin-packing into fixed [max_packed_tokens] buffers with segment
+    ids; resumable via state_dict/load_state_dict (dataset_packed.py:142-152)."""
+
+    def __init__(
+        self,
+        dataset,
+        max_packed_tokens: int = 8192,
+        max_images_per_pack: int = 24,
+        pad_token_id: int = 0,
+        shuffle_seed: Optional[int] = 0,
+    ):
+        self.dataset = dataset
+        self.max_packed_tokens = max_packed_tokens
+        self.max_images_per_pack = max_images_per_pack
+        self.pad_token_id = pad_token_id
+        self.cursor = 0
+        order = list(range(len(dataset)))
+        if shuffle_seed is not None:
+            random.Random(shuffle_seed).shuffle(order)
+        self.order = order
+
+    def state_dict(self) -> Dict:
+        return {"cursor": self.cursor}
+
+    def load_state_dict(self, state: Dict):
+        self.cursor = int(state["cursor"])
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        buf: List[Dict[str, np.ndarray]] = []
+        buf_tokens = 0
+        buf_images = 0
+        while self.cursor < len(self.order):
+            s = self.dataset[self.order[self.cursor]]
+            self.cursor += 1
+            n = len(s["input_ids"])
+            t = len(s["pixel_values"])
+            if n > self.max_packed_tokens:
+                continue  # overlong; reference splits, we drop (rare at 8k)
+            if buf and (
+                buf_tokens + n > self.max_packed_tokens
+                or buf_images + t > self.max_images_per_pack
+            ):
+                yield self._emit(buf)
+                buf, buf_tokens, buf_images = [], 0, 0
+            buf.append(s)
+            buf_tokens += n
+            buf_images += t
+        if buf:
+            yield self._emit(buf)
+
+    def _emit(self, buf: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+        L = self.max_packed_tokens
+        ids = np.full((L,), self.pad_token_id, np.int32)
+        labels = np.full((L,), IGNORE_TOKEN_ID, np.int32)
+        weights = np.zeros((L,), np.float32)
+        seg = np.zeros((L,), np.int32)
+        pos = np.zeros((L,), np.int32)
+        ofs = 0
+        for k, s in enumerate(buf):
+            n = len(s["input_ids"])
+            ids[ofs : ofs + n] = s["input_ids"]
+            labels[ofs : ofs + n] = s["labels"]
+            weights[ofs : ofs + n] = s["loss_weight"]
+            seg[ofs : ofs + n] = k + 1
+            pos[ofs : ofs + n] = np.arange(n)
+            ofs += n
+        return {
+            "input_ids": ids[None],
+            "labels": labels[None],
+            "loss_weight": weights[None],
+            "seg_ids": seg[None],
+            "positions": pos[None],
+            "pixel_values": np.concatenate([s["pixel_values"] for s in buf], 0),
+            "image_flags": np.concatenate([s["image_flags"] for s in buf], 0),
+        }
