@@ -1,0 +1,99 @@
+"""Trainer loop tests (tiny models, 8-CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vlaser_tpu.core import mesh as mesh_lib
+from vlaser_tpu.core.config import tiny_vla
+from vlaser_tpu.policy.pizero import PiZeroVLA
+from vlaser_tpu.train.metrics import action_accuracy
+from vlaser_tpu.train.model_averaging import AveragingConfig, ModelAveraging
+from vlaser_tpu.train.optim import cosine_warmup_restarts
+from vlaser_tpu.train.trainer import VLATrainConfig, VLATrainer, _vla_param_groups
+
+
+def test_cosine_warmup_restarts_shape():
+    sched = cosine_warmup_restarts(
+        1e-3, first_cycle_steps=100, warmup_steps=10, min_lr=1e-6
+    )
+    lrs = np.array([float(sched(s)) for s in [0, 5, 10, 50, 99, 100, 105, 150]])
+    assert lrs[0] < lrs[1] < lrs[2]  # warmup rising
+    assert abs(lrs[2] - 1e-3) / 1e-3 < 0.05  # peak near max_lr
+    assert lrs[3] < lrs[2] and lrs[4] < lrs[3]  # cosine falling
+    assert lrs[6] > lrs[4]  # restart warms up again
+
+
+def test_action_accuracy_all_dims_rule():
+    gt = jnp.zeros((2, 2, 3))
+    pred = jnp.array([
+        [[0.05, 0.0, 0.0], [0.5, 0.0, 0.0]],
+        [[0.0, 0.0, 0.0], [0.05, 0.05, 0.05]],
+    ])
+    accs = action_accuracy(gt, pred, thresholds=(0.1,))
+    # steps: [ok, fail(0.5)], [ok, ok] -> 3/4
+    np.testing.assert_allclose(accs, [0.75])
+
+
+def test_model_averaging_ema_swa():
+    p = {"w": jnp.ones(3)}
+    ema = ModelAveraging(AveragingConfig(mode="ema", start=1, ema_decay=0.5))
+    ema.update(0, p)  # before start: no-op
+    assert ema.avg_params is None
+    ema.update(1, p)
+    ema.update(2, {"w": jnp.zeros(3)})
+    np.testing.assert_allclose(ema.avg_params["w"], 0.5)
+
+    swa = ModelAveraging(AveragingConfig(mode="swa", start=0, freq=1))
+    swa.update(0, {"w": jnp.zeros(3)})
+    swa.update(1, {"w": jnp.ones(3) * 2})
+    np.testing.assert_allclose(swa.avg_params["w"], 1.0)  # mean(0, 2)
+
+
+def _vla_batch(cfg, B, rng):
+    S = cfg.max_image_text_tokens
+    ids = rng.integers(1, 400, (B, S))
+    ids[:, 2] = cfg.vlm.img_context_token_id
+    return {
+        "input_ids": ids.astype(np.int32),
+        "pixel_values": rng.standard_normal(
+            (B, cfg.vlm.vision.image_size, cfg.vlm.vision.image_size, 3)
+        ).astype(np.float32),
+        "text_mask": np.ones((B, S), np.int32),
+        "proprios": rng.standard_normal((B, cfg.cond_steps, cfg.proprio_dim)).astype(np.float32),
+        "actions": rng.standard_normal((B, cfg.num_action_tokens, cfg.action_dim)).astype(np.float32),
+    }
+
+
+def test_vla_trainer_two_groups_and_eval():
+    cfg = tiny_vla(max_image_text_tokens=16)
+    model = PiZeroVLA(cfg, compute_dtype=jnp.float32, attn_impl="reference")
+    rng = np.random.default_rng(0)
+    batch = _vla_batch(cfg, 4, rng)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch["input_ids"][:1]), jnp.asarray(batch["pixel_values"][:1]),
+        jnp.asarray(batch["text_mask"][:1]), jnp.asarray(batch["proprios"][:1]),
+        jnp.asarray(batch["actions"][:1]), jnp.zeros((1,)),
+        jnp.zeros((1, cfg.num_action_tokens, cfg.action_dim)),
+    )
+    labels = _vla_param_groups(params, train_vlm=False)
+    flat = jax.tree_util.tree_leaves_with_path(labels)
+    lab = {"/".join(str(getattr(k, "key", k)) for k in path): v for path, v in flat}
+    assert any("expert" in k and v == "action" for k, v in lab.items())
+    assert any("vision_model" in k and v == "frozen" for k, v in lab.items())
+
+    tcfg = VLATrainConfig(
+        train_vlm=True, log_every=1,
+        averaging=AveragingConfig(mode="ema", start=1, ema_decay=0.9),
+        mesh_fsdp=2, mesh_tp=2,
+    )
+    trainer = VLATrainer(model, params, tcfg)
+    state = trainer.train_steps(iter([_vla_batch(cfg, 8, rng) for _ in range(3)]), 3)
+    assert int(state.step) == 3
+    assert trainer.averaging.avg_params is not None
+
+    res = trainer.evaluate(_vla_batch(cfg, 2, rng))
+    assert res["action_accuracy"].shape == (2,)
+    assert np.isfinite(res["l1"])

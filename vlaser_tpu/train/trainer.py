@@ -1,0 +1,226 @@
+"""Trainer loops: VLM SFT and VLA flow-matching.
+
+Replaces the reference's three control loops with two mesh-aware drivers:
+- SFTTrainer ~ HF Trainer wiring (internvl_chat_finetune.py:1029-1057):
+  freeze policy (ViT frozen for the Vlaser recipe), cosine warmup schedule,
+  packing or padded batching, periodic orbax checkpoints with data-stream
+  resume.
+- VLATrainer ~ TrainAgent (src/agent/train.py:49-345): two optimizer groups
+  (action expert + VLM) with separate lrs via optax.multi_transform,
+  cosine-warmup-restarts, beta flow-time sampling, grad accumulation,
+  EMA/SWA, eval = action accuracy @ thresholds + L1.
+
+Distribution is entirely GSPMD: shard_train_state + shard_batch; no DDP/ZeRO
+machinery. Loops are host-side thin; each step is one jit call.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Iterator, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core import mesh as mesh_lib
+from ..policy.flow import make_flow_loss
+from ..train.losses import make_sft_loss
+from ..train.metrics import action_accuracy, action_l1
+from ..train.model_averaging import AveragingConfig, ModelAveraging
+from ..train.optim import cosine_warmup_restarts, make_optimizer, warmup_cosine
+from ..train.train_step import TrainState, make_train_step, shard_train_state
+from ..utils.monitoring import Timer, log
+
+logger = logging.getLogger("vlaser_tpu.train")
+
+
+@dataclass
+class TrainConfig:
+    learning_rate: float = 2e-5
+    total_steps: int = 1000
+    warmup_ratio: float = 0.03
+    weight_decay: float = 0.01
+    grad_clip: float = 1.0
+    accum_steps: int = 1
+    freeze_vision: bool = True  # Vlaser SFT recipe: ViT frozen
+    freeze_llm: bool = False
+    log_every: int = 10
+    save_every: int = 500
+    checkpoint_dir: Optional[str] = None
+    mesh_fsdp: int = 1
+    mesh_tp: int = 1
+
+
+class SFTTrainer:
+    def __init__(self, model, params, cfg: TrainConfig, mesh=None):
+        self.model = model
+        self.cfg = cfg
+        frozen = []
+        if cfg.freeze_vision:
+            frozen.append(r"vision_model/")
+        if cfg.freeze_llm:
+            frozen.append(r"language_model/")
+        schedule = warmup_cosine(cfg.learning_rate, cfg.total_steps, cfg.warmup_ratio)
+        self.tx = make_optimizer(
+            schedule, weight_decay=cfg.weight_decay, grad_clip=cfg.grad_clip,
+            frozen_patterns=tuple(frozen), params=params,
+        )
+        state = TrainState(params, self.tx.init(params), jnp.zeros((), jnp.int32))
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(
+            fsdp=cfg.mesh_fsdp, tp=cfg.mesh_tp
+        )
+        self.state, _ = shard_train_state(state, self.mesh)
+        self.step_fn = make_train_step(
+            make_sft_loss(model), self.tx, accum_steps=cfg.accum_steps
+        )
+        self.rng = jax.random.PRNGKey(0)
+
+    def train(self, batches: Iterator[Dict[str, np.ndarray]],
+              data_state_fn: Optional[Callable[[], Dict]] = None):
+        cfg = self.cfg
+        timer = Timer()
+        for i, batch in enumerate(batches):
+            if i >= cfg.total_steps:
+                break
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            batch = jax.device_put(batch, mesh_lib.shard_batch(batch, self.mesh))
+            self.rng, sub = jax.random.split(self.rng)
+            self.state, metrics = self.step_fn(self.state, batch, sub)
+            step = i + 1
+            if step % cfg.log_every == 0:
+                logger.info(
+                    "step %d loss %.4f gnorm %.3f (%.2fs/it)",
+                    step, float(metrics["loss"]), float(metrics["grad_norm"]),
+                    timer() / cfg.log_every,
+                )
+            if cfg.checkpoint_dir and step % cfg.save_every == 0:
+                from ..utils.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    cfg.checkpoint_dir, step, self.state,
+                    data_state=data_state_fn() if data_state_fn else None,
+                )
+        return self.state
+
+
+@dataclass
+class VLATrainConfig:
+    lr_action: float = 5e-5  # slurm/train_internvl.sh: lr 5e-5 both groups
+    lr_vlm: float = 5e-5
+    first_cycle_steps: int = 10_000_000
+    warmup_steps: int = 100
+    weight_decay: float = 0.01
+    grad_clip: float = 1.0
+    accum_steps: int = 1
+    train_vlm: bool = True
+    flow_sampling: str = "beta"
+    averaging: AveragingConfig = field(default_factory=AveragingConfig)
+    log_every: int = 10
+    save_every: int = 1000
+    eval_thresholds: Sequence[float] = (0.1, 0.2)
+    checkpoint_dir: Optional[str] = None
+    mesh_fsdp: int = 1
+    mesh_tp: int = 1
+
+
+def _vla_param_groups(params, train_vlm: bool):
+    """Label tree: 'action' = expert + encoders/decoder, 'vlm' = everything
+    else (train.py:251-294 two-optimizer split)."""
+
+    def one(path, _):
+        p = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        if any(
+            s in p
+            for s in ("expert", "action_encoder", "action_decoder",
+                      "proprio_encoder", "expert_norm")
+        ):
+            return "action"
+        return "vlm" if train_vlm else "frozen"
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+class VLATrainer:
+    def __init__(self, model, params, cfg: VLATrainConfig, mesh=None):
+        self.model = model
+        self.cfg = cfg
+        sched_a = cosine_warmup_restarts(
+            cfg.lr_action, cfg.first_cycle_steps, warmup_steps=cfg.warmup_steps
+        )
+        sched_v = cosine_warmup_restarts(
+            cfg.lr_vlm, cfg.first_cycle_steps, warmup_steps=cfg.warmup_steps
+        )
+        mk = lambda sched: optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            optax.adamw(sched, weight_decay=cfg.weight_decay),
+        )
+        labels = _vla_param_groups(params, cfg.train_vlm)
+        self.tx = optax.multi_transform(
+            {"action": mk(sched_a), "vlm": mk(sched_v),
+             "frozen": optax.set_to_zero()},
+            labels,
+        )
+        state = TrainState(params, self.tx.init(params), jnp.zeros((), jnp.int32))
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(
+            fsdp=cfg.mesh_fsdp, tp=cfg.mesh_tp
+        )
+        self.state, _ = shard_train_state(state, self.mesh)
+        self.step_fn = make_train_step(
+            make_flow_loss(model, cfg.flow_sampling), self.tx,
+            accum_steps=cfg.accum_steps,
+        )
+        self.averaging = ModelAveraging(cfg.averaging)
+        self.rng = jax.random.PRNGKey(0)
+
+        def eval_fn(params, batch, noise):
+            pred = model.apply(
+                params, batch["input_ids"], batch["pixel_values"],
+                batch["text_mask"], batch["proprios"], noise,
+                method=model.infer_action,
+            )
+            gt = batch["actions"][:, -model.cfg.horizon_steps :]
+            return action_accuracy(gt, pred, cfg.eval_thresholds), action_l1(gt, pred)
+
+        self._eval_fn = jax.jit(eval_fn)
+
+    def train_steps(self, batches: Iterator[Dict[str, np.ndarray]],
+                    num_steps: int):
+        cfg = self.cfg
+        timer = Timer()
+        for i, batch in enumerate(batches):
+            if i >= num_steps:
+                break
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            batch = jax.device_put(batch, mesh_lib.shard_batch(batch, self.mesh))
+            self.rng, sub = jax.random.split(self.rng)
+            self.state, metrics = self.step_fn(self.state, batch, sub)
+            step = int(i + 1)
+            self.averaging.update(step, self.state.params)
+            if step % cfg.log_every == 0:
+                logger.info(
+                    "vla step %d loss %.4f gnorm %.3f (%.2fs/it)",
+                    step, float(metrics["loss"]), float(metrics["grad_norm"]),
+                    timer() / cfg.log_every,
+                )
+            if cfg.checkpoint_dir and step % cfg.save_every == 0:
+                from ..utils.checkpoint import save_checkpoint
+
+                save_checkpoint(cfg.checkpoint_dir, step, self.state)
+        return self.state
+
+    def evaluate(self, batch: Dict[str, np.ndarray], rng=None) -> Dict[str, Any]:
+        rng = rng if rng is not None else jax.random.PRNGKey(42)
+        b = batch["input_ids"].shape[0]
+        noise = jax.random.normal(
+            rng, (b, self.model.cfg.num_action_tokens, self.model.cfg.action_dim)
+        )
+        params = self.averaging.params_for_eval(self.state.params)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        accs, l1 = self._eval_fn(params, batch, noise)
+        return {
+            "action_accuracy": np.asarray(accs),
+            "l1": float(l1),
+        }
