@@ -1,0 +1,129 @@
+"""HF-parity chat API: chat / batch_chat over the jitted generate loop.
+
+Parity surface: modeling_internvl_chat.py chat (:343-398) and batch_chat
+(:293-341): conversation-template prompt assembly, <image> -> <img> +
+N*<IMG_CONTEXT> + </img> expansion, eos from the template separator, response
+split at the separator. TPU specifics: prompts are right-padded to bucketed
+lengths (multiples of `bucket`) so repeated calls reuse compiled programs; the
+decode loop itself is inference/sampling.py's prefill + lax.scan.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..tokenizer.conversation import build_chat_query, get_conv_template
+from .sampling import make_generate_fn, trim_output
+
+
+class VlaserChat:
+    def __init__(
+        self,
+        model,  # InternVLChatModel (flax)
+        params,
+        tokenizer,
+        *,
+        max_new_tokens: int = 256,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        bucket: int = 256,
+        system_message: Optional[str] = None,
+        cache_dtype=jnp.bfloat16,
+    ):
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+        self.cfg = model.cfg
+        self.bucket = bucket
+        self.system_message = system_message
+        template = get_conv_template(self.cfg.template)
+        sep = template.sep.strip()
+        self.eos_token_id = tokenizer.convert_tokens_to_ids(sep)
+        self.sep = sep
+        self._gen = make_generate_fn(
+            model,
+            max_new_tokens=max_new_tokens,
+            eos_token_ids=[self.eos_token_id],
+            pad_token_id=self.cfg.pad_token_id,
+            temperature=temperature,
+            top_k=top_k,
+            cache_dtype=cache_dtype,
+        )
+        self._rng = jax.random.PRNGKey(0)
+
+    def _encode(self, queries: Sequence[str]) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        all_ids = [
+            self.tokenizer(q, add_special_tokens=False)["input_ids"] for q in queries
+        ]
+        max_len = max(len(i) for i in all_ids)
+        max_len = ((max_len + self.bucket - 1) // self.bucket) * self.bucket
+        b = len(all_ids)
+        ids = np.full((b, max_len), self.cfg.pad_token_id, np.int32)
+        seg = np.zeros((b, max_len), np.int32)
+        for i, row in enumerate(all_ids):
+            ids[i, : len(row)] = row
+            seg[i, : len(row)] = 1
+        return jnp.asarray(ids), jnp.asarray(seg)
+
+    def _generate(self, queries, pixel_values) -> List[str]:
+        ids, seg = self._encode(queries)
+        pix = None if pixel_values is None else jnp.asarray(pixel_values)
+        self._rng, sub = jax.random.split(self._rng)
+        tokens, num = self._gen(self.params, ids, seg, pix, sub)
+        outs = trim_output(tokens, num, [self.eos_token_id])
+        texts = []
+        for row in outs:
+            text = self.tokenizer.decode(row, skip_special_tokens=True)
+            texts.append(text.split(self.sep)[0].strip())
+        return texts
+
+    def chat(
+        self,
+        question: str,
+        pixel_values: Optional[np.ndarray] = None,  # [T, H, W, 3] tiles
+        history: Optional[List[Tuple[str, str]]] = None,
+        num_patches_list: Optional[List[int]] = None,
+        return_history: bool = False,
+    ):
+        if num_patches_list is None:
+            num_patches_list = (
+                [pixel_values.shape[0]] if pixel_values is not None else []
+            )
+        if history is None and pixel_values is not None and "<image>" not in question:
+            question = "<image>\n" + question
+        query = build_chat_query(
+            self.cfg.template, question, num_patches_list,
+            self.cfg.num_image_token, history=history,
+            system_message=self.system_message,
+        )
+        response = self._generate([query], pixel_values)[0]
+        if return_history:
+            return response, (history or []) + [(question, response)]
+        return response
+
+    def batch_chat(
+        self,
+        questions: Sequence[str],
+        pixel_values: Optional[np.ndarray] = None,  # concat tiles across batch
+        num_patches_list: Optional[List[int]] = None,
+    ) -> List[str]:
+        if num_patches_list is None:
+            num_patches_list = (
+                [pixel_values.shape[0]] if pixel_values is not None else [0] * 0
+            )
+        queries = []
+        for i, q in enumerate(questions):
+            n = num_patches_list[i] if i < len(num_patches_list) else 0
+            if n and "<image>" not in q:
+                q = "<image>\n" + q
+            queries.append(
+                build_chat_query(
+                    self.cfg.template, q, [n] if n else [],
+                    self.cfg.num_image_token, system_message=self.system_message,
+                )
+            )
+        return self._generate(queries, pixel_values)
