@@ -1,0 +1,188 @@
+"""Closed-loop SimplerEnv evaluation harness.
+
+Parity surface: src/agent/eval.py EvalAgent (:21-213) — per-episode loop:
+adapter.preprocess -> policy infer -> adapter.postprocess -> env.step x
+act_steps, success bookkeeping, optional video frames; and
+run_variant_aggregation (:215-420) — sweep over environment variant configs
+(backgrounds, lightings, camera setups, urdf versions) averaging success.
+
+SAPIEN/SimplerEnv are host-side sim processes (SURVEY.md §2.9.6); imports are
+lazy so the framework works without them and tests can inject mock envs.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger("vlaser_tpu.eval")
+
+
+@dataclass
+class EvalConfig:
+    task: str = "widowx_carrot_on_plate"
+    n_eval_episode: int = 240
+    act_steps: int = 4
+    max_steps: Optional[int] = None  # default: env's episode horizon
+    seed: int = 42
+    record_video_dir: Optional[str] = None
+    results_path: Optional[str] = None
+
+
+def make_simpler_env(task: str, **overrides):
+    """simpler_env.make(task) (SimplerEnv/simpler_env/__init__.py:1-60)."""
+    import simpler_env
+
+    return simpler_env.make(task, **overrides)
+
+
+def get_image_from_obs(env, obs) -> np.ndarray:
+    from simpler_env.utils.env.observation_utils import (
+        get_image_from_maniskill2_obs_dict,
+    )
+
+    return get_image_from_maniskill2_obs_dict(env, obs)
+
+
+def run_episode(
+    env,
+    policy,  # serve.policy_server.PolicyServer
+    instruction: str,
+    *,
+    act_steps: int = 4,
+    max_steps: Optional[int] = None,
+    get_image: Callable = None,
+    video_frames: Optional[List[np.ndarray]] = None,
+) -> Dict[str, Any]:
+    """One closed-loop rollout; returns {success, steps}."""
+    obs, _ = env.reset()
+    policy.reset(instruction)
+    get_image = get_image or (lambda env, obs: get_image_from_obs(env, obs))
+    success = False
+    truncated = False
+    steps = 0
+    limit = max_steps if max_steps is not None else 10_000
+    while not truncated and steps < limit:
+        image = get_image(env, obs)
+        if video_frames is not None:
+            video_frames.append(image)
+        env_actions = policy.step(obs, image)
+        for a in env_actions[:act_steps]:
+            obs, reward, terminated, truncated, info = env.step(a)
+            steps += 1
+            success = bool(info.get("success", terminated and reward > 0))
+            if truncated or success:
+                break
+        if success:
+            break
+    return {"success": success, "steps": steps}
+
+
+class EvalRunner:
+    """EvalAgent analogue: N episodes on one task, success-rate summary."""
+
+    def __init__(self, cfg: EvalConfig, policy, env=None,
+                 get_instruction: Optional[Callable] = None,
+                 get_image: Optional[Callable] = None):
+        self.cfg = cfg
+        self.policy = policy
+        self.env = env if env is not None else make_simpler_env(cfg.task)
+        self.get_instruction = get_instruction or (
+            lambda env: env.unwrapped.get_language_instruction()
+        )
+        self.get_image = get_image
+
+    def run(self) -> Dict[str, Any]:
+        cfg = self.cfg
+        results = []
+        for ep in range(cfg.n_eval_episode):
+            if hasattr(self.env.unwrapped, "seed"):
+                self.env.unwrapped.seed(cfg.seed + ep)
+            frames: Optional[List[np.ndarray]] = (
+                [] if cfg.record_video_dir else None
+            )
+            instruction = self.get_instruction(self.env)
+            res = run_episode(
+                self.env, self.policy, instruction,
+                act_steps=cfg.act_steps, max_steps=cfg.max_steps,
+                get_image=self.get_image, video_frames=frames,
+            )
+            results.append(res)
+            logger.info(
+                "episode %d/%d success=%s steps=%d",
+                ep + 1, cfg.n_eval_episode, res["success"], res["steps"],
+            )
+            if frames:
+                self._save_video(frames, ep, res["success"])
+        summary = {
+            "task": cfg.task,
+            "n_episodes": len(results),
+            "success_rate": float(np.mean([r["success"] for r in results])),
+            "avg_steps": float(np.mean([r["steps"] for r in results])),
+        }
+        if cfg.results_path:
+            os.makedirs(os.path.dirname(cfg.results_path) or ".", exist_ok=True)
+            with open(cfg.results_path, "w") as f:
+                json.dump(summary, f, indent=2)
+        return summary
+
+    def _save_video(self, frames, ep, success):
+        try:
+            import imageio
+
+            os.makedirs(self.cfg.record_video_dir, exist_ok=True)
+            path = os.path.join(
+                self.cfg.record_video_dir,
+                f"ep{ep}_{'success' if success else 'fail'}.mp4",
+            )
+            imageio.mimsave(path, frames, fps=10)
+        except Exception as e:  # video is best-effort
+            logger.warning("video save failed: %s", e)
+
+
+def run_variant_aggregation(
+    base_cfg: EvalConfig,
+    policy,
+    variants: Sequence[Dict[str, Any]],
+    env_factory: Callable[[Dict[str, Any]], Any] = None,
+    **runner_kw,
+) -> Dict[str, Any]:
+    """Sweep environment variants (eval.py:215: backgrounds/lightings/
+    camera-setups/urdf grids for fractal VA protocol), average success."""
+    env_factory = env_factory or (
+        lambda v: make_simpler_env(base_cfg.task, **v)
+    )
+    per_variant = []
+    for v in variants:
+        env = env_factory(v)
+        runner = EvalRunner(base_cfg, policy, env=env, **runner_kw)
+        s = runner.run()
+        s["variant"] = v
+        per_variant.append(s)
+    return {
+        "task": base_cfg.task,
+        "variant_aggregation_success": float(
+            np.mean([s["success_rate"] for s in per_variant])
+        ),
+        "per_variant": per_variant,
+    }
+
+
+# fractal VA protocol variant grids (variant_aggressive_config.py:10-904,
+# names per SimplerEnv registrations)
+FRACTAL_VARIANTS = {
+    "backgrounds": [
+        {"scene_name": "google_pick_coke_can_1_v4_alt_background"},
+        {"scene_name": "google_pick_coke_can_1_v4_alt_background_2"},
+    ],
+    "lightings": [
+        {"slightly_darker_lighting": True},
+        {"slightly_brighter_lighting": True},
+    ],
+    "camera_setups": [{"urdf_version": "recolor_cabinet_visual_matching_1"}],
+}
