@@ -1,0 +1,30 @@
+"""Build the native image-ops shared library (g++, no external deps).
+
+Compiled lazily on first use and cached next to the source; callers fall back
+to PIL/numpy when compilation is unavailable.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import threading
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+SRC = os.path.join(_HERE, "image_ops.cpp")
+LIB = os.path.join(_HERE, "libimage_ops.so")
+_lock = threading.Lock()
+
+
+def build(force: bool = False) -> str:
+    with _lock:
+        if not force and os.path.exists(LIB) and (
+            os.path.getmtime(LIB) >= os.path.getmtime(SRC)
+        ):
+            return LIB
+        cmd = [
+            "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+            "-pthread", SRC, "-o", LIB,
+        ]
+        subprocess.run(cmd, check=True, capture_output=True)
+        return LIB
