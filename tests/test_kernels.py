@@ -189,3 +189,64 @@ class TestFlashAttention:
         g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
         for a, b in zip(g, g_ref):
             np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+class TestFlashBackward:
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_grads_match_reference(self, causal):
+        key = jax.random.PRNGKey(7)
+        B, S, H, KVH, D = 2, 48, 4, 2, 32
+        ks = jax.random.split(key, 3)
+        q = _rand(ks[0], (B, S, H, D))
+        k = _rand(ks[1], (B, S, KVH, D))
+        v = _rand(ks[2], (B, S, KVH, D))
+        seg = np.ones((B, S), np.int32)
+        seg[:, 40:] = 0  # padding tail
+        seg = jnp.asarray(seg)
+
+        def loss(q, k, v, impl):
+            out = attention(
+                q, k, v, q_segment_ids=seg, kv_segment_ids=seg,
+                causal=causal, impl=impl, interpret=True,
+            )
+            w = jnp.arange(out.size, dtype=jnp.float32).reshape(out.shape) / out.size
+            # padded q rows are don't-care (reference degenerates to uniform
+            # softmax there; flash outputs zero) -> exclude from the loss
+            w = w * (seg != 0)[:, :, None, None]
+            return jnp.sum(out * w)
+
+        g_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, "reference")
+        g_pal = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, "pallas")
+        for a, b, name in zip(g_pal, g_ref, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+                err_msg=f"d{name} mismatch",
+            )
+
+    def test_grads_with_levels(self):
+        """Backward through the VLA joint block mask."""
+        key = jax.random.PRNGKey(8)
+        B, S, H, KVH, D = 1, 32, 2, 1, 16
+        ks = jax.random.split(key, 3)
+        q = _rand(ks[0], (B, S, H, D))
+        k = _rand(ks[1], (B, S, KVH, D))
+        v = _rand(ks[2], (B, S, KVH, D))
+        lev = np.zeros((B, S), np.int32)
+        lev[:, 20] = 1
+        lev[:, 21:26] = 2
+        seg = np.ones((B, S), np.int32)
+        seg[:, 26:] = 0
+        seg, lev = jnp.asarray(seg), jnp.asarray(lev)
+
+        def loss(q, k, v, impl):
+            out = attention(
+                q, k, v, q_segment_ids=seg, kv_segment_ids=seg,
+                q_levels=lev, kv_levels=lev, impl=impl, interpret=True,
+            )
+            return jnp.sum(out[:, :26] ** 2)
+
+        g_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, "reference")
+        g_pal = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, "pallas")
+        for a, b in zip(g_pal, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)

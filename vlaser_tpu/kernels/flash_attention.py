@@ -224,9 +224,244 @@ def _round_up(x: int, m: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# Public entry: differentiable attention with pallas forward.
-# Backward currently recomputes via the XLA reference path (correct, O(S^2)
-# memory in bwd only); a Pallas backward replaces it for long-seq training.
+# Pallas backward: dq kernel (grid b,h,nq,nk) + dkv kernel (grid b,kvh,nk,
+# groups*nq) recomputing probabilities from saved lse — O(S) memory, the
+# flash-attn-2 backward structure.
+# ---------------------------------------------------------------------------
+
+
+def _bwd_mask(qm, km, q_start, k_start, block_q, block_k, causal):
+    q_seg = (qm >> LEVEL_BITS)[:, None]
+    k_seg = (km >> LEVEL_BITS)[None, :]
+    q_lev = (qm & LEVEL_MASK)[:, None]
+    k_lev = (km & LEVEL_MASK)[None, :]
+    allowed = jnp.logical_and(q_seg == k_seg, k_seg != 0)
+    allowed = jnp.logical_and(allowed, k_lev <= q_lev)
+    if causal:
+        rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        allowed = jnp.logical_and(allowed, rows >= cols)
+    return allowed
+
+
+def _flash_bwd_dq_kernel(
+    q_offset_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qm_ref, km_ref,
+    dq_ref,
+    dq_scr,
+    *, causal, block_q, block_k, num_k_blocks, scale,
+):
+    ik = pl.program_id(3)
+    iq = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q_start = q_offset_ref[0] + iq * block_q
+    k_start = ik * block_k
+    run = True
+    if causal:
+        run = k_start <= q_start + block_q - 1
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32) * scale
+        k = k_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        allowed = _bwd_mask(qm_ref[0, 0], km_ref[0, 0], q_start, k_start,
+                            block_q, block_k, causal)
+        lse = lse_ref[0, 0]  # [bq, 1]
+        p = jnp.where(allowed, jnp.exp(s - lse), 0.0)
+        do = do_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+        delta = delta_ref[0, 0]  # [bq, 1]
+        ds = p * (dp - delta)
+        dq_scr[:] = dq_scr[:] + scale * jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ik == num_k_blocks - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_offset_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qm_ref, km_ref,
+    dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, causal, block_q, block_k, num_q_blocks, num_inner, scale,
+):
+    t = pl.program_id(3)
+    ik = pl.program_id(2)
+    iq = t % num_q_blocks
+
+    @pl.when(t == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q_start = q_offset_ref[0] + iq * block_q
+    k_start = ik * block_k
+    run = True
+    if causal:
+        run = k_start <= q_start + block_q - 1
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32) * scale
+        k = k_ref[0, 0].astype(jnp.float32)
+        # s^T [bk, bq]
+        st = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        allowed = _bwd_mask(qm_ref[0, 0], km_ref[0, 0], q_start, k_start,
+                            block_q, block_k, causal)
+        lse = lse_ref[0, 0][:, 0]  # [bq]
+        pt = jnp.where(allowed.T, jnp.exp(st - lse[None, :]), 0.0)  # [bk, bq]
+        do = do_ref[0, 0].astype(jnp.float32)  # [bq, D]
+        dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+            pt, do, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        v = v_ref[0, 0].astype(jnp.float32)  # [bk, D]
+        dpt = jax.lax.dot_general(
+            v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bk, bq]
+        delta = delta_ref[0, 0][:, 0]  # [bq]
+        dst = pt * (dpt - delta[None, :])
+        dk_scr[:] = dk_scr[:] + scale * jax.lax.dot_general(
+            dst, q / scale, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(t == num_inner - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "scale", "block_q", "block_k", "interpret"),
+)
+def flash_attention_bwd(
+    q, k, v, q_meta, kv_meta, q_offset, out, lse, dout,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+):
+    b, sq, h, d = q.shape
+    skv, kvh = k.shape[1], k.shape[2]
+    groups = h // kvh
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    block_q = min(block_q, max(16, _round_up(sq, 16)))
+    block_k = min(block_k, max(128, _round_up(skv, 128)))
+
+    qt = _pad_to(jnp.transpose(q, (0, 2, 1, 3)), 2, block_q)
+    kt = _pad_to(jnp.transpose(k, (0, 2, 1, 3)), 2, block_k)
+    vt = _pad_to(jnp.transpose(v, (0, 2, 1, 3)), 2, block_k)
+    dot = _pad_to(jnp.transpose(dout, (0, 2, 1, 3)), 2, block_q)
+    qm = _pad_to(q_meta, 1, block_q)[:, None, :]
+    km = _pad_to(kv_meta, 1, block_k)[:, None, :]
+    lse_p = _pad_to(lse, 2, block_q)[..., None]  # [B, H, Sq_p, 1]
+    delta = jnp.sum(
+        dout.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )  # [B, Sq, H]
+    delta = _pad_to(jnp.transpose(delta, (0, 2, 1)), 2, block_q)[..., None]
+    sq_p, skv_p = qt.shape[2], kt.shape[2]
+    nq, nk = sq_p // block_q, skv_p // block_k
+    offs = jnp.atleast_1d(q_offset).astype(jnp.int32)
+
+    # ---- dq ----
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, causal=causal, block_q=block_q,
+            block_k=block_k, num_k_blocks=nk, scale=scale,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h, nq, nk),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik, *r: (b, h, iq, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda b, h, iq, ik, *r, g=groups: (b, h // g, ik, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda b, h, iq, ik, *r, g=groups: (b, h // g, ik, 0)),
+                pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik, *r: (b, h, iq, 0)),
+                pl.BlockSpec((1, 1, block_q, 1), lambda b, h, iq, ik, *r: (b, h, iq, 0)),
+                pl.BlockSpec((1, 1, block_q, 1), lambda b, h, iq, ik, *r: (b, h, iq, 0)),
+                pl.BlockSpec((1, 1, block_q), lambda b, h, iq, ik, *r: (b, 0, iq)),
+                pl.BlockSpec((1, 1, block_k), lambda b, h, iq, ik, *r: (b, 0, ik)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, block_q, d), lambda b, h, iq, ik, *r: (b, h, iq, 0)
+            ),
+            scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+        interpret=interpret,
+    )(offs, qt, kt, vt, dot, lse_p, delta, qm, km)
+
+    # ---- dk/dv ---- grid inner dim walks (g, iq) pairs for one kv head
+    num_inner = groups * nq
+
+    def q_ix(bb, kh, ik, t, *r, g=groups, nq=nq):
+        return (bb, kh * g + t // nq, t % nq, 0)
+
+    def qm_ix(bb, kh, ik, t, *r, nq=nq):
+        return (bb, 0, t % nq)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, causal=causal, block_q=block_q,
+            block_k=block_k, num_q_blocks=nq, num_inner=num_inner, scale=scale,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, kvh, nk, num_inner),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d), q_ix),
+                pl.BlockSpec((1, 1, block_k, d), lambda b, kh, ik, t, *r: (b, kh, ik, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda b, kh, ik, t, *r: (b, kh, ik, 0)),
+                pl.BlockSpec((1, 1, block_q, d), q_ix),
+                pl.BlockSpec((1, 1, block_q, 1), q_ix),
+                pl.BlockSpec((1, 1, block_q, 1), q_ix),
+                pl.BlockSpec((1, 1, block_q), qm_ix),
+                pl.BlockSpec((1, 1, block_k), lambda b, kh, ik, t, *r: (b, 0, ik)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_k, d), lambda b, kh, ik, t, *r: (b, kh, ik, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda b, kh, ik, t, *r: (b, kh, ik, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, d), jnp.float32),
+                pltpu.VMEM((block_k, d), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, kvh, skv_p, d), k.dtype),
+            jax.ShapeDtypeStruct((b, kvh, skv_p, d), v.dtype),
+        ],
+        interpret=interpret,
+    )(offs, qt, kt, vt, dot, lse_p, delta, qm, km)
+
+    dq = jnp.transpose(dq[:, :, :sq], (0, 2, 1, 3))
+    dk = jnp.transpose(dk[:, :, :skv], (0, 2, 1, 3))
+    dv = jnp.transpose(dv[:, :, :skv], (0, 2, 1, 3))
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# Public entry: differentiable attention. Pallas fwd+bwd (flash) or XLA
+# reference, chosen by impl/auto heuristics.
 # ---------------------------------------------------------------------------
 
 
@@ -247,32 +482,45 @@ def _ref_attention(q, k, v, q_meta, kv_meta, q_offset, causal, scale):
     return ops.attention_reference(q, k, v, mask=mask, scale=scale)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
-def _attention(q, k, v, q_meta, kv_meta, q_offset, causal, scale, use_pallas):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _attention(q, k, v, q_meta, kv_meta, q_offset, causal, scale, use_pallas,
+               interpret=False):
     if use_pallas:
         out, _ = flash_attention_fwd(
-            q, k, v, q_meta, kv_meta, q_offset, causal=causal, scale=scale
+            q, k, v, q_meta, kv_meta, q_offset, causal=causal, scale=scale,
+            interpret=interpret,
         )
         return out
     return _ref_attention(q, k, v, q_meta, kv_meta, q_offset, causal, scale)
 
 
-def _attention_fwd(q, k, v, q_meta, kv_meta, q_offset, causal, scale, use_pallas):
-    out = _attention(q, k, v, q_meta, kv_meta, q_offset, causal, scale, use_pallas)
-    return out, (q, k, v, q_meta, kv_meta, q_offset)
+def _attention_fwd(q, k, v, q_meta, kv_meta, q_offset, causal, scale,
+                   use_pallas, interpret=False):
+    if use_pallas:
+        out, lse = flash_attention_fwd(
+            q, k, v, q_meta, kv_meta, q_offset, causal=causal, scale=scale,
+            interpret=interpret,
+        )
+        return out, (q, k, v, q_meta, kv_meta, q_offset, out, lse)
+    out = _ref_attention(q, k, v, q_meta, kv_meta, q_offset, causal, scale)
+    return out, (q, k, v, q_meta, kv_meta, q_offset, None, None)
 
 
-def _attention_bwd(causal, scale, use_pallas, res, g):
-    q, k, v, q_meta, kv_meta, q_offset = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _ref_attention(
-            q_, k_, v_, q_meta, kv_meta, q_offset, causal, scale
-        ),
-        q,
-        k,
-        v,
-    )
-    dq, dk, dv = vjp(g)
+def _attention_bwd(causal, scale, use_pallas, interpret, res, g):
+    q, k, v, q_meta, kv_meta, q_offset, out, lse = res
+    if use_pallas:
+        dq, dk, dv = flash_attention_bwd(
+            q, k, v, q_meta, kv_meta, q_offset, out, lse, g,
+            causal=causal, scale=scale, interpret=interpret,
+        )
+    else:
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _ref_attention(
+                q_, k_, v_, q_meta, kv_meta, q_offset, causal, scale
+            ),
+            q, k, v,
+        )
+        dq, dk, dv = vjp(g)
     return dq, dk, dv, None, None, None
 
 
@@ -292,6 +540,7 @@ def attention(
     causal: bool = False,
     scale: Optional[float] = None,
     impl: str = "auto",  # auto | pallas | reference
+    interpret: bool = False,
 ) -> jax.Array:
     """Unified attention entry. q [B,Sq,H,D]; k/v [B,Skv,KVH,D] (GQA).
 
@@ -307,14 +556,15 @@ def attention(
     kv_meta = pack_meta(kv_segment_ids, kv_levels)
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        # Measured on v5e (round 1): XLA's fused attention beats this kernel
-        # for short sequences (ViT 1025 @ D=64: 6.6ms vs 17ms; full VLA step
-        # 35.5ms vs 48ms), while the Pallas kernel's O(S) memory is what
-        # matters for long packed training sequences. Use Pallas only where
-        # materializing [B,H,Sq,Skv] logits would blow HBM.
+        # Measured on v5e (round 1): XLA's fused attention wins for short
+        # sequences (ViT 1025 @ D=64: 6.6ms vs 17ms; full VLA control step
+        # 35.5ms vs 48ms), while this kernel wins for long packed-SFT
+        # sequences (8k causal H=12 D=128: fwd 7.75ms vs 13.9ms, fwd+bwd
+        # 12.5ms vs 32.1ms) AND keeps O(S) memory where XLA materializes
+        # [B,H,Sq,Skv] logits.
         impl = "pallas" if (on_tpu and sq >= 2048) else "reference"
     use_pallas = impl == "pallas"
     return _attention(
         q, k, v, q_meta, kv_meta, jnp.asarray(q_offset, jnp.int32),
-        causal, scale, use_pallas,
+        causal, scale, use_pallas, interpret,
     )
