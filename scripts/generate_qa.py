@@ -1,0 +1,112 @@
+"""QA data generation driven by our own TPU chat model
+(data-pipeline/slurm/data_generator.sh analogue, minus vLLM).
+
+Usage:
+  python scripts/generate_qa.py --model_path Vlaser-2B/ --episodes_dir eps/ \
+      --kind general --out qa.jsonl [--filter --threshold 6]
+"""
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_path", required=True)
+    ap.add_argument("--episodes_dir", required=True,
+                    help="dir of .hdf5 episodes or image files")
+    ap.add_argument("--kind", choices=["general", "grounding", "spatial"],
+                    default="general")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--images_dir", default="qa_images")
+    ap.add_argument("--max_frames", type=int, default=1000)
+    ap.add_argument("--filter", action="store_true")
+    ap.add_argument("--threshold", type=float, default=6.0)
+    args = ap.parse_args()
+
+    import json
+
+    import jax.numpy as jnp
+    import numpy as np
+    from transformers import AutoTokenizer
+
+    from vlaser_tpu.core.config import vlaser_2b
+    from vlaser_tpu.data.qa_generation import QAGenConfig, QAGenerator, quality_filter
+    from vlaser_tpu.image.tiling import load_image_tiles
+    from vlaser_tpu.inference.chat import VlaserChat
+    from vlaser_tpu.models.vlm import InternVLChatModel
+    from vlaser_tpu.utils.hf_convert import convert_internvl_chat, load_safetensors_dir
+
+    tokenizer = AutoTokenizer.from_pretrained(args.model_path, use_fast=False,
+                                              trust_remote_code=True)
+    cfg = vlaser_2b(vocab_size=len(tokenizer))
+    model = InternVLChatModel(cfg, param_dtype=jnp.bfloat16)
+    params = {"params": convert_internvl_chat(
+        load_safetensors_dir(args.model_path), cfg.vision.num_layers,
+        cfg.llm.num_layers,
+    )}
+    chat = VlaserChat(model, params, tokenizer, max_new_tokens=512)
+
+    def generate_fn(images, prompts):
+        out = []
+        for img, prompt in zip(images, prompts):
+            from PIL import Image
+
+            tiles = load_image_tiles(Image.fromarray(img), cfg.vision.image_size,
+                                     max_num=1, use_thumbnail=False, dynamic=False)
+            out.append(chat.chat(prompt, tiles))
+        return out
+
+    def frames():
+        n = 0
+        hdf5s = sorted(glob.glob(os.path.join(args.episodes_dir, "**/*.hdf5"),
+                                 recursive=True))
+        if hdf5s:
+            import h5py
+
+            for f in hdf5s:
+                with h5py.File(f, "r") as h:
+                    instr = h.attrs.get("instruction", "complete the task")
+                    if isinstance(instr, bytes):
+                        instr = instr.decode()
+                    imgs = h["observations/head_camera"]
+                    for t in range(0, imgs.shape[0], 10):
+                        if n >= args.max_frames:
+                            return
+                        yield {"image": np.asarray(imgs[t]), "instruction": str(instr)}
+                        n += 1
+        else:
+            from PIL import Image
+
+            for f in sorted(glob.glob(os.path.join(args.episodes_dir, "*.jpg"))
+                            + glob.glob(os.path.join(args.episodes_dir, "*.png"))):
+                if n >= args.max_frames:
+                    return
+                yield {"image": np.asarray(Image.open(f).convert("RGB")),
+                       "instruction": "complete the task"}
+                n += 1
+
+    gen = QAGenerator(generate_fn, QAGenConfig(kind=args.kind,
+                                               images_dir=args.images_dir))
+    n = gen.generate(frames(), args.out)
+    print(f"wrote {n} items to {args.out}")
+
+    if args.filter:
+        items = [json.loads(l) for l in open(args.out)]
+        kept = quality_filter(
+            items,
+            score_fn=lambda prompts: [chat.chat(p, None) for p in prompts],
+            threshold=args.threshold,
+        )
+        with open(args.out, "w") as f:
+            for it in kept:
+                f.write(json.dumps(it) + "\n")
+        print(f"kept {len(kept)}/{len(items)} after filtering")
+
+
+if __name__ == "__main__":
+    main()

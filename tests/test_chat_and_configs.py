@@ -1,0 +1,141 @@
+"""Chat API end-to-end (toy tokenizer) + named-config assembly checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vlaser_tpu.core.config import (
+    action_expert_2b,
+    action_expert_8b,
+    qwen2_5_1_5b,
+    qwen2_5_7b,
+    tiny_vlm,
+    vlaser_2b,
+    vlaser_2b_vla,
+    vlaser_8b,
+)
+from vlaser_tpu.inference.chat import VlaserChat
+from vlaser_tpu.models.vlm import InternVLChatModel
+from vlaser_tpu.tokenizer.conversation import build_chat_query
+
+
+class ToyTok:
+    """Char-level with special-token vocabulary for the chat path."""
+
+    pad_token_id = 0
+    SPECIALS = {"<IMG_CONTEXT>": 500, "<img>": 498, "</img>": 499,
+                "<|im_end|>": 497, "<|im_start|>": 496}
+
+    def __call__(self, text, add_special_tokens=False, **kw):
+        ids, i = [], 0
+        while i < len(text):
+            hit = False
+            for tok, tid in self.SPECIALS.items():
+                if text.startswith(tok, i):
+                    ids.append(tid)
+                    i += len(tok)
+                    hit = True
+                    break
+            if not hit:
+                ids.append(ord(text[i]) % 450 + 1)
+                i += 1
+        return {"input_ids": ids}
+
+    def convert_tokens_to_ids(self, tok):
+        return self.SPECIALS.get(tok, 1)
+
+    def decode(self, ids, skip_special_tokens=True):
+        out = []
+        inv = {v: k for k, v in self.SPECIALS.items()}
+        for t in ids:
+            if t in inv:
+                if not skip_special_tokens:
+                    out.append(inv[t])
+            else:
+                out.append(chr(t + 60))
+        return "".join(out)
+
+
+def test_build_chat_query_structure():
+    q = build_chat_query("internvl2_5", "<image>\nWhat is this?", [2], 4)
+    assert q.count("<IMG_CONTEXT>") == 8  # 4 tokens * 2 patches
+    assert q.startswith("<|im_start|>system\n")
+    assert q.rstrip().endswith("<|im_start|>assistant")
+    assert "<|im_start|>user\n" in q
+    # multi-turn history
+    q2 = build_chat_query("internvl2_5", "and now?", [], 4,
+                          history=[("first q", "first a")])
+    assert "first q" in q2 and "first a" in q2
+
+
+def test_chat_end_to_end():
+    cfg = tiny_vlm()
+    model = InternVLChatModel(cfg, compute_dtype=jnp.float32, attn_impl="reference")
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 400, (1, 8))
+    pixels = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                        jnp.asarray(pixels), None)
+    chat = VlaserChat(model, params, ToyTok(), max_new_tokens=4, bucket=32,
+                      cache_dtype=jnp.float32)
+    resp = chat.chat("what do you see?", pixels)
+    assert isinstance(resp, str)
+    resp2, history = chat.chat("what do you see?", pixels, return_history=True)
+    assert history[-1][1] == resp2
+    batch = chat.batch_chat(["hello", "hi"], None, num_patches_list=[0, 0])
+    assert len(batch) == 2
+
+
+def test_named_configs_consistent():
+    c2 = vlaser_2b()
+    assert c2.num_image_token == 256
+    assert c2.vit_proj_in_dim == 4096
+    assert c2.llm.q_dim == 1536 and c2.llm.kv_dim == 256
+    c8 = vlaser_8b()
+    assert c8.llm.hidden_size == 3584 and c8.llm.num_heads == 28
+
+    # joint attention requires identical head layouts between vlm + expert
+    for llm, exp in ((qwen2_5_1_5b(), action_expert_2b()),
+                     (qwen2_5_7b(), action_expert_8b())):
+        assert llm.num_heads == exp.num_heads
+        assert llm.num_kv_heads == exp.num_kv_heads
+        assert llm.head_dim == exp.head_dim
+
+    vla = vlaser_2b_vla()
+    assert vla.num_action_tokens == 4 and vla.num_proprio_tokens == 1
+    assert vla.total_tokens == 384 + 1 + 4
+
+
+def test_vlaser_2b_vla_param_shapes():
+    """eval_shape-only assembly of the full-size flagship (no allocation)."""
+    from vlaser_tpu.policy.pizero import PiZeroVLA
+
+    cfg = vlaser_2b_vla()
+    model = PiZeroVLA(cfg, param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    B, S = 1, cfg.max_image_text_tokens
+    img = cfg.vlm.vision.image_size
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((B, S), jnp.int32),
+            jnp.zeros((B, img, img, 3)),
+            jnp.ones((B, S), jnp.int32),
+            jnp.zeros((B, cfg.cond_steps, cfg.proprio_dim)),
+            jnp.zeros((B, cfg.num_action_tokens, cfg.action_dim)),
+            jnp.zeros((B,)),
+            jnp.zeros((B, cfg.num_action_tokens, cfg.action_dim)),
+        )
+    )
+    p = shapes["params"]
+    # expert q_proj: 768 -> 12*128 (pizero_internvl.py:117-127)
+    assert p["joint"]["layers"]["expert"]["q_proj"]["kernel"].shape == (28, 768, 1536)
+    assert p["joint"]["layers"]["expert"]["mlp"]["gate_proj"]["kernel"].shape == (
+        28, 768, 8960)
+    assert p["joint"]["layers"]["vlm"]["q_proj"]["kernel"].shape == (28, 1536, 1536)
+    assert p["vision_model"]["embeddings"]["position_embedding"].shape == (1, 1025, 1024)
+    assert p["mlp1"]["fc1"]["kernel"].shape == (4096, 1536)
+    total = sum(int(np.prod(s.shape)) for s in jax.tree_util.tree_leaves(p))
+    assert 2.0e9 < total < 2.6e9  # ~2B params + 0.3B expert

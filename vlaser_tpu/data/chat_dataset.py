@@ -162,6 +162,18 @@ class ConversationDataset:
         return np.concatenate(all_tiles, axis=0)
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        """Retry-on-error with random resample, like the reference's
+        fault-tolerant __getitem__ (internvl_chat_finetune.py:641-679)."""
+        for attempt in range(10):
+            try:
+                return self._get(i)
+            except Exception:
+                if attempt == 9:
+                    raise
+                i = random.Random(i + attempt).randrange(len(self.lines))
+        raise RuntimeError("unreachable")
+
+    def _get(self, i: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         item = json.loads(self.lines[i])
         convs = item["conversations"]
