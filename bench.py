@@ -6,11 +6,14 @@ of the 768-wide action expert, emitting horizon_steps=4 actions. bf16, batch 1,
 the exact serving configuration of the reference's closed-loop eval
 (config/eval/bridge_internvl_448.yaml; reference runs fp32 on one GPU).
 
-vs_baseline: the reference publishes no throughput numbers (BASELINE.md). The
-denominator is an estimate of the PyTorch reference's single-A100 fp32
-torch.compile control rate: ~1.4 TFLOP/step at TF32 plus 10-step expert
-streaming => ~30 ms/step => ~133 actions/sec. Documented estimate; replace
-with a measured GPU number when hardware is available.
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md), so
+the denominator is a derived estimate of the reference's own eval setup —
+single A100, fp32 (`use_bf16: False`), torch.compile:
+  prefill 384 tok x 1.84B params x 2 FLOPs ~= 1.4 TFLOP at ~75 TFLOPs
+  effective TF32 => ~19 ms; ViT 1025 tok x 0.3B x 2 ~= 0.6 TF => ~8 ms;
+  denoise 10 x (2.6 GB fp32 expert weights / ~1.6 TB/s HBM) => ~17 ms;
+  total ~= 44 ms/step => ~90 actions/sec at act_steps=4.
+Replace with a measured GPU number when hardware is available.
 
 Prints ONE JSON line.
 """
@@ -22,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-ESTIMATED_GPU_BASELINE_ACTIONS_PER_SEC = 133.0
+ESTIMATED_GPU_BASELINE_ACTIONS_PER_SEC = 90.0
 
 
 def main():
@@ -81,6 +84,26 @@ def main():
     sec_per_step = time_scanned(control_step, carry0, params, iters=20, repeats=3)
     actions_per_sec = cfg.horizon_steps / sec_per_step
 
+    # multi-robot serving throughput (batch 8 shares the denoise weight
+    # streaming across streams)
+    B8 = 8
+    ids8 = jnp.broadcast_to(ids, (B8, S))
+    mask8 = jnp.broadcast_to(text_mask, (B8, S))
+    pr8 = jnp.zeros((B8, cfg.cond_steps, cfg.proprio_dim), jnp.float32)
+
+    def control_step8(carry, params):
+        feed = jnp.mean(carry) * 1e-6
+        pixels = jnp.full((B8, img, img, 3), 0.5, jnp.float32) + feed
+        noise = jnp.zeros((B8, cfg.num_action_tokens, cfg.action_dim)) + feed
+        out = model.apply(
+            params, ids8, pixels, mask8, pr8, noise, method=model.infer_action,
+        )
+        return out.astype(jnp.float32)
+
+    carry8 = jnp.zeros((B8, cfg.horizon_steps, cfg.action_dim), jnp.float32)
+    sec8 = time_scanned(control_step8, carry8, params, iters=10, repeats=2)
+    batch8_actions_per_sec = B8 * cfg.horizon_steps / sec8
+
     print(
         json.dumps(
             {
@@ -94,8 +117,10 @@ def main():
                     "control_step_ms": round(sec_per_step * 1e3, 3),
                     "batch": B,
                     "denoise_steps": cfg.num_inference_steps,
+                    "batch8_actions_per_sec": round(batch8_actions_per_sec, 2),
+                    "batch8_step_ms": round(sec8 * 1e3, 3),
                     "device": str(jax.devices()[0]),
-                    "baseline_note": "estimated A100 fp32 torch.compile reference (no published numbers)",
+                    "baseline_note": "estimated A100 fp32 torch.compile reference (no published numbers; derivation in bench.py docstring)",
                 },
             }
         )

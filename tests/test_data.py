@@ -165,3 +165,32 @@ def test_packed_matches_padded_loss(jsonl_dataset):
     packed2 = PackedDataset(jsonl_dataset, max_packed_tokens=512, shuffle_seed=None)
     packed2.load_state_dict(packed.state_dict())
     assert packed2.cursor == packed.cursor
+
+
+def test_video_item(tmp_path):
+    from PIL import Image
+
+    root = tmp_path
+    vdir = root / "vid1"
+    vdir.mkdir()
+    for i in range(5):
+        Image.new("RGB", (28, 28), (i * 40, 10, 10)).save(vdir / f"f{i:03d}.jpg")
+    item = {
+        "video": "vid1",
+        "conversations": [
+            {"from": "human", "value": "<video>\nwhat happens?"},
+            {"from": "gpt", "value": "it moves"},
+        ],
+    }
+    p = root / "v.jsonl"
+    with open(p, "w") as f:
+        f.write(json.dumps(item) + "\n")
+    cfg = ChatDatasetConfig(
+        jsonl_path=str(p), image_root=str(root), num_image_token=1,
+        image_size=28, max_dynamic_patch=4,
+    )
+    ds = ConversationDataset(cfg, CharTok())
+    s = ds[0]
+    assert len(s["pixel_values"]) == 5  # one tile per sampled frame
+    assert (s["input_ids"] == 500).sum() == 5
+    assert s["image_flags"].sum() == 5

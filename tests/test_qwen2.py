@@ -119,3 +119,36 @@ def test_cached_decode_matches_full(hf_pair):
         np.testing.assert_allclose(
             np.asarray(step)[:, 0], np.asarray(full)[:, t], rtol=2e-4, atol=2e-4
         )
+
+
+def test_llama_backend_matches_hf():
+    """LLMConfig(attention_bias=False) == HF Llama — the reference's Llama
+    backend (modeling_internvl_chat.py:81) via the same Qwen2Model."""
+    import torch
+    from transformers import LlamaConfig
+    from transformers.models.llama.modeling_llama import LlamaForCausalLM
+
+    from vlaser_tpu.core.config import LLMConfig
+    from vlaser_tpu.utils.hf_convert import convert_llama
+
+    torch.manual_seed(1)
+    cfg = LLMConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=16, rope_theta=500000.0,
+        attention_bias=False,
+    )
+    hf_cfg = LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, rope_theta=500000.0, rms_norm_eps=cfg.rms_norm_eps,
+        tie_word_embeddings=False, attention_bias=False, attention_dropout=0.0,
+        mlp_bias=False,
+    )
+    hf = LlamaForCausalLM(hf_cfg).eval().to(torch.float32)
+    params = {"params": convert_llama(hf.state_dict(), cfg.num_layers)}
+    model = Qwen2ForCausalLM(cfg, compute_dtype=jnp.float32)
+    ids = np.random.default_rng(5).integers(0, 256, (2, 9))
+    with torch.no_grad():
+        want = hf(torch.tensor(ids)).logits.numpy()
+    got, _, _ = model.apply(params, input_ids=jnp.asarray(ids), attn_impl="reference")
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)

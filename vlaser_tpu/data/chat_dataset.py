@@ -173,10 +173,39 @@ class ConversationDataset:
                 i = random.Random(i + attempt).randrange(len(self.lines))
         raise RuntimeError("unreachable")
 
+    def _load_video_frames(self, video: str, num_segments: int = 8) -> List[str]:
+        """Video items: a directory of frame images sampled uniformly
+        (finetune.py video_get_item:525 samples frames; decord is replaced by
+        a frames-directory convention — extract offline with any tool)."""
+        frame_dir = os.path.join(self.cfg.image_root, video)
+        frames = sorted(
+            f for f in os.listdir(frame_dir)
+            if f.lower().endswith((".jpg", ".jpeg", ".png"))
+        )
+        idx = np.linspace(0, len(frames) - 1, min(num_segments, len(frames)))
+        return [os.path.join(video, frames[int(i)]) for i in idx]
+
     def _get(self, i: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         item = json.loads(self.lines[i])
         convs = item["conversations"]
+        if "video" in item and item["video"]:
+            # expand one <video> into per-frame <image> turns (finetune.py:525)
+            paths = self._load_video_frames(item["video"])
+            convs = [dict(c) for c in convs]
+            for c in convs:
+                if c["from"] == "human" and "<video>" in c["value"]:
+                    frames_txt = "\n".join(
+                        f"Frame{j+1}: <image>" for j in range(len(paths))
+                    )
+                    c["value"] = c["value"].replace("<video>", frames_txt, 1)
+            tiles = self._load_tiles_per_image(paths, max_num=1)
+            ids, labels = preprocess_internvl2_5(
+                convs, self.tokenizer, [cfg.num_image_token] * len(paths),
+                cfg.template,
+            )
+            flags = np.ones(len(tiles), np.int32)
+            return self._finalize(ids, labels, tiles, flags)
         if "image" in item and item["image"]:
             paths = item["image"] if isinstance(item["image"], list) else [item["image"]]
             tiles = self._load_tiles(paths)
@@ -195,6 +224,23 @@ class ConversationDataset:
             )
             tiles = np.zeros((1, cfg.image_size, cfg.image_size, 3), np.float32)
             flags = np.zeros(1, np.int32)
+        return self._finalize(ids, labels, tiles, flags)
+
+    def _load_tiles_per_image(self, paths: List[str], max_num: int) -> np.ndarray:
+        from PIL import Image
+
+        cfg = self.cfg
+        tiles = []
+        for p in paths:
+            img = Image.open(os.path.join(cfg.image_root, p)).convert("RGB")
+            tiles.append(
+                load_image_tiles(img, cfg.image_size, 1, max_num,
+                                 use_thumbnail=False, dynamic=max_num > 1)
+            )
+        return np.concatenate(tiles, axis=0)
+
+    def _finalize(self, ids, labels, tiles, flags) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
         ids = ids[: cfg.max_seq_length]
         labels = labels[: cfg.max_seq_length]
         n_target = int((labels != IGNORE_TOKEN_ID).sum())

@@ -69,6 +69,111 @@ def convert_qwen2(sd: Mapping, num_layers: int, prefix: str = "") -> Dict:
     return params
 
 
+# Llama shares Qwen2's parameter naming (biases simply absent)
+convert_llama = convert_qwen2
+
+
+def convert_internlm2(
+    sd: Mapping, num_layers: int, num_heads: int, num_kv_heads: int,
+    head_dim: int, prefix: str = "",
+) -> Dict:
+    """Vendored InternLM2 (internvl/model/internlm2/modeling_internlm2.py) ->
+    Qwen2Model layout: unpack the grouped-fused wqkv ([kvh, groups+2, D, in])
+    and rename attention/feed_forward/norm keys."""
+    p = prefix
+    g = num_heads // num_kv_heads
+    L = num_layers
+
+    def split_wqkv(w):
+        w = _np(w)  # [out, in]
+        din = w.shape[1]
+        w = w.reshape(num_kv_heads, g + 2, head_dim, din)
+        q = w[:, :g].reshape(num_heads * head_dim, din)
+        k = w[:, g].reshape(num_kv_heads * head_dim, din)
+        v = w[:, g + 1].reshape(num_kv_heads * head_dim, din)
+        return q.T, k.T, v.T
+
+    qs, ks, vs = [], [], []
+    for i in range(L):
+        q, k, v = split_wqkv(sd[f"{p}model.layers.{i}.attention.wqkv.weight"])
+        qs.append(q)
+        ks.append(k)
+        vs.append(v)
+    layers: Dict = {
+        "self_attn": {
+            "q_proj": {"kernel": np.stack(qs)},
+            "k_proj": {"kernel": np.stack(ks)},
+            "v_proj": {"kernel": np.stack(vs)},
+            "o_proj": {
+                "kernel": _stack(sd, f"{p}model.layers.{{}}.attention.wo.weight", L, True)
+            },
+        },
+        "mlp": {
+            "gate_proj": {"kernel": _stack(sd, f"{p}model.layers.{{}}.feed_forward.w1.weight", L, True)},
+            "up_proj": {"kernel": _stack(sd, f"{p}model.layers.{{}}.feed_forward.w3.weight", L, True)},
+            "down_proj": {"kernel": _stack(sd, f"{p}model.layers.{{}}.feed_forward.w2.weight", L, True)},
+        },
+        "input_layernorm": {
+            "weight": _stack(sd, f"{p}model.layers.{{}}.attention_norm.weight", L)
+        },
+        "post_attention_layernorm": {
+            "weight": _stack(sd, f"{p}model.layers.{{}}.ffn_norm.weight", L)
+        },
+    }
+    return {
+        "embed_tokens": {"embedding": _np(sd[f"{p}model.tok_embeddings.weight"])},
+        "model": {"layers": layers, "norm": {"weight": _np(sd[f"{p}model.norm.weight"])}},
+        "lm_head": {"kernel": _np(sd[f"{p}output.weight"]).T},
+    }
+
+
+def convert_phi3(
+    sd: Mapping, num_layers: int, num_heads: int, num_kv_heads: int,
+    head_dim: int, prefix: str = "",
+) -> Dict:
+    """Phi3 (internvl/model/phi3/modeling_phi3.py) -> Qwen2Model layout:
+    split fused qkv_proj and gate_up_proj."""
+    p = prefix
+    L = num_layers
+    qd, kvd = num_heads * head_dim, num_kv_heads * head_dim
+    qs, ks, vs, gates, ups = [], [], [], [], []
+    for i in range(L):
+        w = _np(sd[f"{p}model.layers.{i}.self_attn.qkv_proj.weight"])
+        qs.append(w[:qd].T)
+        ks.append(w[qd : qd + kvd].T)
+        vs.append(w[qd + kvd :].T)
+        gu = _np(sd[f"{p}model.layers.{i}.mlp.gate_up_proj.weight"])
+        inter = gu.shape[0] // 2
+        gates.append(gu[:inter].T)
+        ups.append(gu[inter:].T)
+    layers: Dict = {
+        "self_attn": {
+            "q_proj": {"kernel": np.stack(qs)},
+            "k_proj": {"kernel": np.stack(ks)},
+            "v_proj": {"kernel": np.stack(vs)},
+            "o_proj": {
+                "kernel": _stack(sd, f"{p}model.layers.{{}}.self_attn.o_proj.weight", L, True)
+            },
+        },
+        "mlp": {
+            "gate_proj": {"kernel": np.stack(gates)},
+            "up_proj": {"kernel": np.stack(ups)},
+            "down_proj": {"kernel": _stack(sd, f"{p}model.layers.{{}}.mlp.down_proj.weight", L, True)},
+        },
+        "input_layernorm": {
+            "weight": _stack(sd, f"{p}model.layers.{{}}.input_layernorm.weight", L)
+        },
+        "post_attention_layernorm": {
+            "weight": _stack(sd, f"{p}model.layers.{{}}.post_attention_layernorm.weight", L)
+        },
+    }
+    return {
+        "embed_tokens": {"embedding": _np(sd[f"{p}model.embed_tokens.weight"])},
+        "model": {"layers": layers, "norm": {"weight": _np(sd[f"{p}model.norm.weight"])}},
+        "lm_head": {"kernel": _np(sd[f"{p}lm_head.weight"]).T},
+    }
+
+
 def convert_internvit(sd: Mapping, num_layers: int, prefix: str = "") -> Dict:
     """InternVisionModel state_dict -> InternViT flax params.
 
