@@ -87,3 +87,33 @@ def test_text_padding_inert(vla):
     b = model.apply(params, jnp.asarray(ids2), pixels, text_mask, proprios, x0,
                     method=model.infer_action)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_paligemma_variant_cached_matches_naive():
+    """The PaliGemma backbone (SigLIP + Gemma mixtures with sqrt(hidden)
+    scaling, src/model/vla/pizero.py) passes the same cached-vs-naive oracle."""
+    from vlaser_tpu.core.config import tiny_paligemma_vla
+
+    cfg = tiny_paligemma_vla(max_image_text_tokens=12)
+    model = PiZeroVLA(cfg, compute_dtype=jnp.float32, attn_impl="reference")
+    rng = np.random.default_rng(3)
+    B, S = 2, cfg.max_image_text_tokens
+    ids = rng.integers(1, 400, (B, S))
+    ids[:, :4] = cfg.vlm.img_context_token_id  # tiny siglip: 4 tokens/tile
+    text_mask = np.ones((B, S), np.int32)
+    pixels = rng.standard_normal((B, 28, 28, 3)).astype(np.float32)
+    proprios = rng.standard_normal((B, 1, 7)).astype(np.float32)
+    actions = rng.standard_normal((B, cfg.num_action_tokens, 7)).astype(np.float32)
+    x0 = rng.standard_normal(actions.shape).astype(np.float32)
+    args = (jnp.asarray(ids), jnp.asarray(pixels), jnp.asarray(text_mask),
+            jnp.asarray(proprios), jnp.asarray(actions),
+            jnp.asarray(np.array([0.2, 0.7], np.float32)), jnp.asarray(x0))
+    params = model.init(jax.random.PRNGKey(0), *args)
+    loss = model.apply(params, *args)
+    assert np.isfinite(float(loss))
+    fast = model.apply(params, args[0], args[1], args[2], args[3], args[6],
+                       method=model.infer_action)
+    naive = model.apply(params, args[0], args[1], args[2], args[3], args[6],
+                        method=model.infer_action_naive)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(naive),
+                               rtol=1e-4, atol=1e-4)

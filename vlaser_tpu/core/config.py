@@ -76,6 +76,12 @@ class LLMConfig:
     attention_bias: bool = True  # Qwen2: q/k/v bias, no o bias
     has_embed: bool = True  # action expert has no token embedding
     has_lm_head: bool = True
+    # Gemma-family options (PaliGemma VLA variant; src/model/paligemma/)
+    mlp_act: str = "silu"  # 'silu' (Qwen2/Llama) | 'gelu_tanh' (Gemma)
+    rms_plus_one: bool = False  # Gemma RMSNorm scales by (1 + weight)
+    embed_scale: bool = False  # Gemma multiplies embeddings by sqrt(hidden)
+    attn_softcap: Optional[float] = None  # tanh soft-clamp on logits (50.0)
+    query_pre_attn_scalar: Optional[float] = None  # Gemma scale override
 
     @property
     def q_dim(self) -> int:
@@ -149,6 +155,11 @@ class VLAConfig:
     time_max_period: float = 10_000.0
     # structure flags (reference env vars made explicit)
     causal_image_text: bool = False  # NO_CAUSAL_IMG / DEBUG_CAUSAL analogue
+    # backbone family: 'internvl' (InternViT + pixel-shuffle + mlp1, Qwen2.5)
+    # or 'paligemma' (SigLIP + linear projector + Gemma with sqrt(hidden)
+    # embed scaling — src/model/vla/pizero.py)
+    backbone: str = "internvl"
+    siglip: Optional["SiglipConfig"] = None
 
     @property
     def num_proprio_tokens(self) -> int:
@@ -277,6 +288,116 @@ def vlaser_2b_vla(vocab_size: int = 151674 + 256) -> VLAConfig:
     appended to the vocab (pizero_internvl.py:47-49).
     """
     return VLAConfig(vlm=vlaser_2b(vocab_size), expert=action_expert_2b())
+
+
+def gemma_2b() -> LLMConfig:
+    """Gemma-2B as used by PaliGemma (src/model/paligemma/gemma.py)."""
+    return LLMConfig(
+        vocab_size=257216,
+        hidden_size=2048,
+        intermediate_size=16384,
+        num_layers=18,
+        num_heads=8,
+        num_kv_heads=1,
+        head_dim=256,
+        rope_theta=10_000.0,
+        attention_bias=False,
+        tie_word_embeddings=True,
+        mlp_act="gelu_tanh",
+        rms_plus_one=True,
+        embed_scale=True,
+    )
+
+
+def gemma_action_expert() -> LLMConfig:
+    """open-pi-zero action expert: 1024-wide Gemma-style mixture
+    (config/train/*.yaml mixture.action: hidden 1024, intermediate 4096)."""
+    return LLMConfig(
+        vocab_size=0,
+        hidden_size=1024,
+        intermediate_size=4096,
+        num_layers=18,
+        num_heads=8,
+        num_kv_heads=1,
+        head_dim=256,
+        rope_theta=10_000.0,
+        attention_bias=False,
+        has_embed=False,
+        has_lm_head=False,
+        mlp_act="gelu_tanh",
+        rms_plus_one=True,
+    )
+
+
+@dataclass(frozen=True)
+class SiglipConfig:
+    """SigLIP-So400m/14-224 vision tower (paligemma/siglip.py)."""
+
+    hidden_size: int = 1152
+    intermediate_size: int = 4304
+    num_layers: int = 27
+    num_heads: int = 16
+    patch_size: int = 14
+    image_size: int = 224
+    layer_norm_eps: float = 1e-6
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def num_tokens(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+
+def pizero_paligemma() -> VLAConfig:
+    """open-pi-zero PaliGemma VLA (src/model/vla/pizero.py): SigLIP-So400m +
+    Gemma-2B mixture + 1024-wide Gemma expert; image token 257152."""
+    return VLAConfig(
+        vlm=VLMConfig(
+            vision=internvit_300m(),  # unused in the paligemma branch
+            llm=gemma_2b(),
+            img_context_token_id=257152,
+            pad_token_id=0,
+        ),
+        expert=gemma_action_expert(),
+        max_image_text_tokens=276,  # 256 image + 20 text (VLAProcessor)
+        backbone="paligemma",
+        siglip=SiglipConfig(),
+    )
+
+
+def tiny_siglip() -> "SiglipConfig":
+    return SiglipConfig(hidden_size=32, intermediate_size=64, num_layers=2,
+                        num_heads=4, patch_size=14, image_size=28)
+
+
+def tiny_gemma_llm() -> LLMConfig:
+    return LLMConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=4, num_kv_heads=1, head_dim=16, rope_theta=10_000.0,
+        attention_bias=False, tie_word_embeddings=True, mlp_act="gelu_tanh",
+        rms_plus_one=True, embed_scale=True,
+    )
+
+
+def tiny_paligemma_vla(max_image_text_tokens: int = 12) -> VLAConfig:
+    return VLAConfig(
+        vlm=VLMConfig(
+            vision=tiny_vision(), llm=tiny_gemma_llm(),
+            img_context_token_id=500, pad_token_id=0,
+        ),
+        expert=LLMConfig(
+            vocab_size=0, hidden_size=32, intermediate_size=64, num_layers=2,
+            num_heads=4, num_kv_heads=1, head_dim=16, rope_theta=10_000.0,
+            attention_bias=False, has_embed=False, has_lm_head=False,
+            mlp_act="gelu_tanh", rms_plus_one=True,
+        ),
+        max_image_text_tokens=max_image_text_tokens,
+        horizon_steps=4, cond_steps=1, num_inference_steps=4,
+        backbone="paligemma",
+        siglip=tiny_siglip(),
+    )
 
 
 # Tiny configs for tests ----------------------------------------------------

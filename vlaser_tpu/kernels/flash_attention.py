@@ -162,6 +162,11 @@ def flash_attention_fwd(
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
     block_q = min(block_q, max(16, _round_up(sq, 16)))
     block_k = min(block_k, max(128, _round_up(skv, 128)))
+    if not causal and skv <= 2048:
+        # non-causal short-KV (ViT tiles): one full-width K pass skips the
+        # online-softmax rescales entirely (measured 1.5ms vs 4.0ms for the
+        # 1025-token tile at batch 8 on v5e)
+        block_k = _round_up(skv, 128)
 
     # [B, H, S, D] layout for clean (sublane=seq, lane=head_dim) tiling
     qt = _pad_to(jnp.transpose(q, (0, 2, 1, 3)), 2, block_q)
@@ -465,7 +470,8 @@ def flash_attention_bwd(
 # ---------------------------------------------------------------------------
 
 
-def _ref_attention(q, k, v, q_meta, kv_meta, q_offset, causal, scale):
+def _ref_attention(q, k, v, q_meta, kv_meta, q_offset, causal, scale,
+                   softcap=None):
     b, sq = q.shape[0], q.shape[1]
     skv = k.shape[1]
     mask = ops.make_attention_mask(
@@ -479,34 +485,37 @@ def _ref_attention(q, k, v, q_meta, kv_meta, q_offset, causal, scale):
         q_levels=q_meta & LEVEL_MASK,
         kv_levels=kv_meta & LEVEL_MASK,
     )
-    return ops.attention_reference(q, k, v, mask=mask, scale=scale)
+    return ops.attention_reference(q, k, v, mask=mask, scale=scale,
+                                   softcap=softcap)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def _attention(q, k, v, q_meta, kv_meta, q_offset, causal, scale, use_pallas,
-               interpret=False):
+               interpret=False, softcap=None):
     if use_pallas:
         out, _ = flash_attention_fwd(
             q, k, v, q_meta, kv_meta, q_offset, causal=causal, scale=scale,
             interpret=interpret,
         )
         return out
-    return _ref_attention(q, k, v, q_meta, kv_meta, q_offset, causal, scale)
+    return _ref_attention(q, k, v, q_meta, kv_meta, q_offset, causal, scale,
+                          softcap)
 
 
 def _attention_fwd(q, k, v, q_meta, kv_meta, q_offset, causal, scale,
-                   use_pallas, interpret=False):
+                   use_pallas, interpret=False, softcap=None):
     if use_pallas:
         out, lse = flash_attention_fwd(
             q, k, v, q_meta, kv_meta, q_offset, causal=causal, scale=scale,
             interpret=interpret,
         )
         return out, (q, k, v, q_meta, kv_meta, q_offset, out, lse)
-    out = _ref_attention(q, k, v, q_meta, kv_meta, q_offset, causal, scale)
+    out = _ref_attention(q, k, v, q_meta, kv_meta, q_offset, causal, scale,
+                         softcap)
     return out, (q, k, v, q_meta, kv_meta, q_offset, None, None)
 
 
-def _attention_bwd(causal, scale, use_pallas, interpret, res, g):
+def _attention_bwd(causal, scale, use_pallas, interpret, softcap, res, g):
     q, k, v, q_meta, kv_meta, q_offset, out, lse = res
     if use_pallas:
         dq, dk, dv = flash_attention_bwd(
@@ -516,7 +525,7 @@ def _attention_bwd(causal, scale, use_pallas, interpret, res, g):
     else:
         _, vjp = jax.vjp(
             lambda q_, k_, v_: _ref_attention(
-                q_, k_, v_, q_meta, kv_meta, q_offset, causal, scale
+                q_, k_, v_, q_meta, kv_meta, q_offset, causal, scale, softcap
             ),
             q, k, v,
         )
@@ -541,6 +550,7 @@ def attention(
     scale: Optional[float] = None,
     impl: str = "auto",  # auto | pallas | reference
     interpret: bool = False,
+    softcap: Optional[float] = None,
 ) -> jax.Array:
     """Unified attention entry. q [B,Sq,H,D]; k/v [B,Skv,KVH,D] (GQA).
 
@@ -556,15 +566,22 @@ def attention(
     kv_meta = pack_meta(kv_segment_ids, kv_levels)
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        # Measured on v5e (round 1): XLA's fused attention wins for short
-        # sequences (ViT 1025 @ D=64: 6.6ms vs 17ms; full VLA control step
-        # 35.5ms vs 48ms), while this kernel wins for long packed-SFT
-        # sequences (8k causal H=12 D=128: fwd 7.75ms vs 13.9ms, fwd+bwd
-        # 12.5ms vs 32.1ms) AND keeps O(S) memory where XLA materializes
-        # [B,H,Sq,Skv] logits.
-        impl = "pallas" if (on_tpu and sq >= 2048) else "reference"
+        # Measured on v5e (round 1): XLA's fused attention wins when the
+        # logits tensor is small (ViT tile at batch 1), this kernel wins when
+        # it is large — long packed-SFT sequences (8k causal H=12 D=128: fwd
+        # 7.75ms vs 13.9ms, fwd+bwd 12.5ms vs 32.1ms) and batched ViT
+        # (1025 tok x 16 heads @ batch 8: 1.5ms vs 2.5ms) — while keeping
+        # O(S) memory where XLA materializes [B,H,Sq,Skv] fp32 logits.
+        logits_bytes = b * q.shape[2] * sq * skv * 4
+        impl = (
+            "pallas"
+            if (on_tpu and (sq >= 2048 or logits_bytes > 128 * 2**20))
+            else "reference"
+        )
     use_pallas = impl == "pallas"
+    if softcap is not None:
+        assert not use_pallas, "attn softcap supported on the reference path"
     return _attention(
         q, k, v, q_meta, kv_meta, jnp.asarray(q_offset, jnp.int32),
-        causal, scale, use_pallas, interpret,
+        causal, scale, use_pallas, interpret, softcap,
     )

@@ -16,13 +16,17 @@ import jax
 import jax.numpy as jnp
 
 
-def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-6) -> jax.Array:
-    """RMSNorm with fp32 statistics (modeling_intern_vit.py:99-111 semantics)."""
+def rms_norm(
+    x: jax.Array, weight: jax.Array, eps: float = 1e-6, plus_one: bool = False
+) -> jax.Array:
+    """RMSNorm with fp32 statistics (modeling_intern_vit.py:99-111 semantics).
+    plus_one: Gemma convention, scale by (1 + weight)."""
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     xf = xf * jax.lax.rsqrt(var + eps)
-    return (weight * xf.astype(dtype)).astype(dtype)
+    w = weight + 1.0 if plus_one else weight
+    return (w * xf.astype(dtype)).astype(dtype)
 
 
 def layer_norm(
@@ -146,6 +150,7 @@ def attention_reference(
     v: jax.Array,
     mask: Optional[jax.Array] = None,
     scale: Optional[float] = None,
+    softcap: Optional[float] = None,
 ) -> jax.Array:
     """q [B, Sq, H, D], k/v [B, Skv, KVH, D] (GQA), mask [B, Sq, Skv] bool.
 
@@ -162,6 +167,9 @@ def attention_reference(
     vf = v.astype(jnp.float32)
     qf = qf.reshape(b, sq, kvh, groups, d)
     logits = jnp.einsum("bqkgd,bskd->bkgqs", qf, kf)
+    if softcap is not None:
+        # Gemma tanh soft-clamp (joint_model.py:368-371)
+        logits = softcap * jnp.tanh(logits / softcap)
     if mask is not None:
         logits = jnp.where(mask[:, None, None, :, :], logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)

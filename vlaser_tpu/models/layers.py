@@ -15,11 +15,13 @@ class RMSNorm(nn.Module):
     dim: int
     eps: float = 1e-6
     param_dtype: jnp.dtype = jnp.float32
+    plus_one: bool = False  # Gemma: scale by (1 + weight), zero-init param
 
     @nn.compact
     def __call__(self, x):
-        weight = self.param("weight", nn.initializers.ones, (self.dim,), self.param_dtype)
-        return ops.rms_norm(x, weight.astype(x.dtype), self.eps)
+        init = nn.initializers.zeros if self.plus_one else nn.initializers.ones
+        weight = self.param("weight", init, (self.dim,), self.param_dtype)
+        return ops.rms_norm(x, weight.astype(x.dtype), self.eps, self.plus_one)
 
 
 class LayerNorm(nn.Module):

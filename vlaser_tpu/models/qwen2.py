@@ -64,6 +64,10 @@ class Qwen2Attention(nn.Module):
         v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         q = ops.apply_rope(q, cos, sin)
         k = ops.apply_rope(k, cos, sin)
+        scale = (
+            cfg.query_pre_attn_scalar ** -0.5
+            if cfg.query_pre_attn_scalar is not None else None
+        )
 
         new_buffers = None
         if kv_buffers is not None:
@@ -76,6 +80,7 @@ class Qwen2Attention(nn.Module):
                 q_segment_ids=seg_ids, kv_segment_ids=kv_seg,
                 q_levels=levels, kv_levels=kv_levels,
                 q_offset=q_offset, causal=causal, impl=attn_impl,
+                scale=scale, softcap=cfg.attn_softcap,
             )
         else:
             out = attention(
@@ -83,6 +88,7 @@ class Qwen2Attention(nn.Module):
                 q_segment_ids=seg_ids, kv_segment_ids=seg_ids,
                 q_levels=levels, kv_levels=levels,
                 causal=causal, impl=attn_impl,
+                scale=scale, softcap=cfg.attn_softcap,
             )
         out = out.reshape(b, s, cfg.q_dim)
         out = dense(cfg.hidden_size, False, "o_proj")(out)
@@ -103,7 +109,10 @@ class Qwen2MLP(nn.Module):
         )
         gate = dense(cfg.intermediate_size, "gate_proj")(x)
         up = dense(cfg.intermediate_size, "up_proj")(x)
-        return dense(cfg.hidden_size, "down_proj")(nn.silu(gate) * up)
+        act = nn.silu if cfg.mlp_act == "silu" else (
+            lambda g: nn.gelu(g, approximate=True)
+        )
+        return dense(cfg.hidden_size, "down_proj")(act(gate) * up)
 
 
 class Qwen2Layer(nn.Module):
@@ -119,7 +128,7 @@ class Qwen2Layer(nn.Module):
                  kv_levels, q_offset):
         cfg = self.cfg
         h = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, self.param_dtype,
-                    name="input_layernorm")(x)
+                    cfg.rms_plus_one, name="input_layernorm")(x)
         attn_out, new_buffers = Qwen2Attention(
             cfg, self.param_dtype, self.compute_dtype, name="self_attn"
         )(
@@ -130,7 +139,7 @@ class Qwen2Layer(nn.Module):
         )
         x = x + attn_out
         h = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, self.param_dtype,
-                    name="post_attention_layernorm")(x)
+                    cfg.rms_plus_one, name="post_attention_layernorm")(x)
         x = x + Qwen2MLP(cfg, self.param_dtype, self.compute_dtype, name="mlp")(h)
         if self.use_cache:
             return x, new_buffers
@@ -191,11 +200,14 @@ class Qwen2Model(nn.Module):
             length=cfg.num_layers,
         )
         x = inputs_embeds.astype(self.compute_dtype)
+        if cfg.embed_scale:
+            x = x * jnp.asarray(cfg.hidden_size**0.5, x.dtype)
         x, (new_k, new_v) = scan(
             cfg, self.param_dtype, self.compute_dtype,
             causal, use_cache, attn_impl, name="layers",
         )(x, cos, sin, seg_ids, levels, kv_k, kv_v, kv_seg, kv_levels, q_offset)
-        x = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, self.param_dtype, name="norm")(x)
+        x = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, self.param_dtype,
+                    cfg.rms_plus_one, name="norm")(x)
 
         new_cache = None
         if use_cache:

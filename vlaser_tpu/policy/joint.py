@@ -43,8 +43,11 @@ class MixtureMLP(nn.Module):
         cfg = self.cfg
         d = lambda f, name: Dense(f, use_bias=False, param_dtype=self.param_dtype,
                                   compute_dtype=self.compute_dtype, name=name)
+        act = nn.silu if cfg.mlp_act == "silu" else (
+            lambda g: nn.gelu(g, approximate=True)
+        )
         return d(cfg.hidden_size, "down_proj")(
-            nn.silu(d(cfg.intermediate_size, "gate_proj")(x))
+            act(d(cfg.intermediate_size, "gate_proj")(x))
             * d(cfg.intermediate_size, "up_proj")(x)
         )
 
@@ -59,9 +62,9 @@ class MixtureBlock(nn.Module):
     def setup(self):
         cfg = self.cfg
         self.input_layernorm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps,
-                                       self.param_dtype)
+                                       self.param_dtype, cfg.rms_plus_one)
         self.post_attention_layernorm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps,
-                                                self.param_dtype)
+                                                self.param_dtype, cfg.rms_plus_one)
         mk = lambda f, bias: Dense(f, use_bias=bias, param_dtype=self.param_dtype,
                                    compute_dtype=self.compute_dtype)
         self.q_proj = mk(cfg.q_dim, cfg.attention_bias)

@@ -73,12 +73,24 @@ class PiZeroVLA(nn.Module):
     def setup(self):
         cfg = self.cfg
         vlm, expert = cfg.vlm, cfg.expert
-        self.vision_model = InternVisionModel(
-            vlm.vision, self.param_dtype, self.compute_dtype, self.remat,
-            self.attn_impl,
-        )
-        self.mlp1 = MLP1(vlm.vit_proj_in_dim, vlm.llm.hidden_size,
-                         self.param_dtype, self.compute_dtype)
+        if cfg.backbone == "paligemma":
+            from ..models.siglip import SiglipVisionModel
+
+            self.vision_model = SiglipVisionModel(
+                cfg.siglip, self.param_dtype, self.compute_dtype, self.remat,
+                self.attn_impl,
+            )
+            self.multi_modal_projector = Dense(
+                vlm.llm.hidden_size, use_bias=True, param_dtype=self.param_dtype,
+                compute_dtype=self.compute_dtype,
+            )
+        else:
+            self.vision_model = InternVisionModel(
+                vlm.vision, self.param_dtype, self.compute_dtype, self.remat,
+                self.attn_impl,
+            )
+            self.mlp1 = MLP1(vlm.vit_proj_in_dim, vlm.llm.hidden_size,
+                             self.param_dtype, self.compute_dtype)
         self.embed_tokens = nn.Embed(
             vlm.llm.vocab_size, vlm.llm.hidden_size,
             param_dtype=self.param_dtype, dtype=self.compute_dtype,
@@ -99,19 +111,35 @@ class PiZeroVLA(nn.Module):
     # ------------------------------------------------------------------ #
 
     def _image_text_embeds(self, input_ids, pixel_values):
-        """[B,S] ids + [T,H,W,3] tiles -> fused [B,S,1536]
-        (pizero_internvl.py:718-796 _forward_siglip_and_text_embedding)."""
+        """[B,S] ids + [T,H,W,3] tiles -> fused [B,S,llm_hidden]
+        (pizero_internvl.py:718-796 / pizero.py:400-430 for paligemma)."""
         cfg = self.cfg.vlm
         tok = self.embed_tokens(input_ids)
-        vit = self.vision_model(pixel_values, select_layer=cfg.select_layer)
-        vit = vit[:, 1:, :]
-        t, s, c = vit.shape
-        side = int(s**0.5)
-        vit = vit.reshape(t, side, side, c)
-        vit = ops.pixel_shuffle(vit, cfg.downsample_ratio, cfg.ps_version)
-        vit = self.mlp1(vit.reshape(t, -1, vit.shape[-1]))
-        return scatter_image_embeds(input_ids, tok, vit, None,
-                                    cfg.img_context_token_id)
+        if self.cfg.backbone == "paligemma":
+            vit = self.vision_model(pixel_values)  # [T, 256, siglip_hidden]
+            vit = self.multi_modal_projector(vit)
+            # PaliGemma: image features scaled by hidden^-0.5 (pizero.py:413);
+            # the later sqrt(hidden) mixture scaling restores them to unit
+            vit = vit / jnp.asarray(cfg.llm.hidden_size**0.5, vit.dtype)
+        else:
+            vit = self.vision_model(pixel_values, select_layer=cfg.select_layer)
+            vit = vit[:, 1:, :]
+            t, s, c = vit.shape
+            side = int(s**0.5)
+            vit = vit.reshape(t, side, side, c)
+            vit = ops.pixel_shuffle(vit, cfg.downsample_ratio, cfg.ps_version)
+            vit = self.mlp1(vit.reshape(t, -1, vit.shape[-1]))
+        fused = scatter_image_embeds(input_ids, tok, vit, None,
+                                     cfg.img_context_token_id)
+        if self.cfg.backbone == "paligemma":
+            # per-mixture sqrt(hidden) scaling (joint_model.py:763-771)
+            fused = fused * jnp.asarray(cfg.llm.hidden_size**0.5, fused.dtype)
+        return fused
+
+    def _scale_pa(self, x):
+        if self.cfg.backbone == "paligemma":
+            return x * jnp.asarray(self.cfg.expert.hidden_size**0.5, x.dtype)
+        return x
 
     def _positions(self, batch: int):
         cfg = self.cfg
@@ -184,7 +212,9 @@ class PiZeroVLA(nn.Module):
         action_embeds = self.action_encoder(
             psi_t.astype(self.compute_dtype), time_emb
         )
-        x_pa = jnp.concatenate([proprio_embeds, action_embeds], axis=1)
+        x_pa = self._scale_pa(
+            jnp.concatenate([proprio_embeds, action_embeds], axis=1)
+        )
 
         vlm_pos, p_pos, a_pos = self._positions(b)
         cos_v, sin_v = self._rope(vlm_pos, cfg.vlm.llm.rope_theta)
@@ -218,8 +248,8 @@ class PiZeroVLA(nn.Module):
         cos_p, sin_p = self._rope(p_pos, cfg.expert.rope_theta)
         seg, lev = self._meta(text_mask, include_action=False)
         k_pre, v_pre = self.joint(
-            "prefix", embeds_vlm, proprio_embeds, cos_v, sin_v, cos_p, sin_p,
-            seg, lev,
+            "prefix", embeds_vlm, self._scale_pa(proprio_embeds),
+            cos_v, sin_v, cos_p, sin_p, seg, lev,
         )
         return k_pre, v_pre, seg, lev
 
@@ -228,7 +258,9 @@ class PiZeroVLA(nn.Module):
         cfg = self.cfg
         b = action.shape[0]
         time_emb = sinusoidal_pos_emb(t, cfg.expert.hidden_size, cfg.time_max_period)
-        action_embeds = self.action_encoder(action.astype(self.compute_dtype), time_emb)
+        action_embeds = self._scale_pa(
+            self.action_encoder(action.astype(self.compute_dtype), time_emb)
+        )
         _, _, a_pos = self._positions(b)
         cos_a, sin_a = self._rope(a_pos, cfg.expert.rope_theta)
         seg_q = jnp.ones((b, cfg.num_action_tokens), jnp.int32)
@@ -308,7 +340,9 @@ class PiZeroVLA(nn.Module):
             action_embeds = self.action_encoder(
                 action.astype(self.compute_dtype), time_emb
             )
-            x_pa = jnp.concatenate([proprio_embeds, action_embeds], axis=1)
+            x_pa = self._scale_pa(
+                jnp.concatenate([proprio_embeds, action_embeds], axis=1)
+            )
             _, pa_out = self.joint(
                 "train", embeds_vlm, x_pa, cos_v, sin_v, cos_pa, sin_pa, seg, lev
             )
