@@ -28,6 +28,56 @@ import numpy as np
 ESTIMATED_GPU_BASELINE_ACTIONS_PER_SEC = 90.0
 
 
+def _bench_decode():
+    """Vlaser-2B greedy decode tok/s/chip: 300-token image+text prompt (one
+    448px tile), 64 new tokens through the jitted prefill+scan generator."""
+    import time
+
+    from vlaser_tpu.core.config import vlaser_2b
+    from vlaser_tpu.inference.sampling import make_generate_fn
+    from vlaser_tpu.models.vlm import InternVLChatModel
+    from vlaser_tpu.utils.benchmark import measure_rtt
+
+    cfg = vlaser_2b()
+    model = InternVLChatModel(cfg, param_dtype=jnp.bfloat16,
+                              compute_dtype=jnp.bfloat16)
+    B, N, NEW = 1, 320, 64
+    img = cfg.vision.image_size
+    ids = np.full((B, N), 7, np.int32)
+    ids[:, 1:257] = cfg.img_context_token_id
+    seg = np.ones((B, N), np.int32)
+    pixels = jnp.full((1, img, img, 3), 0.5, jnp.float32)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.asarray(ids), pixels, None)
+    )
+
+    @jax.jit
+    def mk():
+        k = jax.random.PRNGKey(1)
+        return jax.tree_util.tree_map(
+            lambda s: (jax.random.normal(k, s.shape, jnp.float32) * 0.02).astype(
+                s.dtype
+            ),
+            shapes,
+        )
+
+    params = mk()
+    gen = make_generate_fn(
+        model, max_new_tokens=NEW, eos_token_ids=[2], pad_token_id=0,
+    )
+    args = (params, jnp.asarray(ids), jnp.asarray(seg), pixels,
+            jax.random.PRNGKey(0))
+    np.asarray(gen(*args)[0])  # compile
+    rtt = measure_rtt()
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(gen(*args)[0])
+        ts.append(time.perf_counter() - t0)
+    sec = max(float(np.median(ts)) - rtt, 1e-9)
+    return NEW / sec
+
+
 def main():
     from vlaser_tpu.core.config import vlaser_2b_vla
     from vlaser_tpu.policy.pizero import PiZeroVLA
@@ -104,6 +154,8 @@ def main():
     sec8 = time_scanned(control_step8, carry8, params, iters=10, repeats=2)
     batch8_actions_per_sec = B8 * cfg.horizon_steps / sec8
 
+    decode_tok_s = _bench_decode()
+
     print(
         json.dumps(
             {
@@ -119,6 +171,7 @@ def main():
                     "denoise_steps": cfg.num_inference_steps,
                     "batch8_actions_per_sec": round(batch8_actions_per_sec, 2),
                     "batch8_step_ms": round(sec8 * 1e3, 3),
+                    "vlm_decode_tok_per_sec": round(decode_tok_s, 1),
                     "device": str(jax.devices()[0]),
                     "baseline_note": "estimated A100 fp32 torch.compile reference (no published numbers; derivation in bench.py docstring)",
                 },

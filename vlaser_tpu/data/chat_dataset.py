@@ -313,6 +313,12 @@ class PackedDataset:
     def load_state_dict(self, state: Dict):
         self.cursor = int(state["cursor"])
 
+    def shard(self, num_shards: int, index: int) -> "PackedDataset":
+        """Multi-host sharding: each process packs a disjoint slice of the
+        sample order (dataset_packed.py worker sharding analogue)."""
+        self.order = self.order[index::num_shards]
+        return self
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         buf: List[Dict[str, np.ndarray]] = []
         buf_tokens = 0
