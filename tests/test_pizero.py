@@ -117,3 +117,45 @@ def test_paligemma_variant_cached_matches_naive():
                         method=model.infer_action_naive)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(naive),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_vlm_text_path():
+    """forward_vlm causal logits + infer_text greedy generation
+    (pizero_internvl.py:1200, :1005; use_lm_head=True)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_vla(max_image_text_tokens=16), use_lm_head=True)
+    model = PiZeroVLA(cfg, compute_dtype=jnp.float32, attn_impl="reference")
+    rng = np.random.default_rng(4)
+    B, S = 1, cfg.max_image_text_tokens
+    ids = rng.integers(1, 400, (B, S))
+    ids[:, 2] = cfg.vlm.img_context_token_id
+    mask = np.ones((B, S), np.int32)
+    mask[:, 10:] = 0
+    pixels = rng.standard_normal((B, 28, 28, 3)).astype(np.float32)
+    args = (jnp.asarray(ids), jnp.asarray(pixels), jnp.asarray(mask),
+            jnp.zeros((B, 1, 7)), jnp.zeros((B, 4, 7)), jnp.zeros((B,)),
+            jnp.zeros((B, 4, 7)))
+    params = model.init(jax.random.PRNGKey(1), *args)
+    # lm_head params only exist if created in init; trigger via forward_vlm init
+    params2 = model.init(
+        jax.random.PRNGKey(1), args[0], args[1], args[2],
+        method=model.forward_vlm,
+    )
+    # merge (lm_head from forward_vlm init, rest shared names/shapes)
+    merged = {"params": {**params["params"], **params2["params"]}}
+    logits = model.apply(merged, args[0], args[1], args[2],
+                         method=model.forward_vlm)
+    assert logits.shape == (B, S, cfg.vlm.llm.vocab_size)
+    assert np.all(np.isfinite(logits))
+    # causality: changing a future (masked) token must not affect earlier logits
+    ids2 = np.asarray(ids).copy()
+    ids2[:, 12] = 9
+    logits2 = model.apply(merged, jnp.asarray(ids2), args[1], args[2],
+                          method=model.forward_vlm)
+    np.testing.assert_allclose(np.asarray(logits[:, :10]),
+                               np.asarray(logits2[:, :10]), rtol=1e-5, atol=1e-5)
+
+    toks = model.apply(merged, args[0], args[1], args[2],
+                       method=model.infer_text, max_new_tokens=3)
+    assert toks.shape == (B, 3)

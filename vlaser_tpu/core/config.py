@@ -160,6 +160,7 @@ class VLAConfig:
     # embed scaling — src/model/vla/pizero.py)
     backbone: str = "internvl"
     siglip: Optional["SiglipConfig"] = None
+    use_lm_head: bool = False  # optional text output (pizero_internvl.py:322)
 
     @property
     def num_proprio_tokens(self) -> int:

@@ -104,6 +104,17 @@ class JointLayer(nn.Module):
                            name="vlm")
         expert = MixtureBlock(self.expert_cfg, self.param_dtype,
                               self.compute_dtype, name="expert")
+        if self.mode == "vlm_only":
+            # causal text-only pass through the vlm mixture (forward_vlm /
+            # infer_text path, pizero_internvl.py:1200, :1005)
+            (x_vlm, cos_v, sin_v, seg) = carry
+            qv, kv_, vv = vlm.qkv(x_vlm, cos_v, sin_v)
+            out = attention(
+                qv, kv_, vv, q_segment_ids=seg, kv_segment_ids=seg,
+                causal=True, impl=self.attn_impl,
+            )
+            x_vlm = vlm.post_attn(x_vlm, out)
+            return (x_vlm, cos_v, sin_v, seg), None
         if self.mode in ("train", "prefix"):
             (x_vlm, x_pa, cos_v, sin_v, cos_pa, sin_pa, seg, lev) = carry
             sv, spa = x_vlm.shape[1], x_pa.shape[1]
@@ -172,6 +183,10 @@ class JointModel(nn.Module):
                               self.expert_cfg.rms_norm_eps, self.param_dtype,
                               name="expert_norm")
         scan = self._scan(mode)
+        if mode == "vlm_only":
+            (x_vlm, cos_v, sin_v, seg) = args
+            carry, _ = scan((x_vlm, cos_v, sin_v, seg), None)
+            return vlm_norm(carry[0])
         if mode == "train":
             (x_vlm, x_pa, cos_v, sin_v, cos_pa, sin_pa, seg, lev) = args
             carry, _ = scan(

@@ -105,6 +105,11 @@ class PiZeroVLA(nn.Module):
         self.action_encoder = ActionEncoder(expert.hidden_size,
                                             self.param_dtype, self.compute_dtype)
         self.action_decoder = mkd(cfg.action_dim)
+        if cfg.use_lm_head:
+            self.lm_head = Dense(
+                vlm.llm.vocab_size, use_bias=False,
+                param_dtype=self.param_dtype, compute_dtype=self.compute_dtype,
+            )
 
     # ------------------------------------------------------------------ #
     # shared embedding / metadata builders
@@ -312,6 +317,57 @@ class PiZeroVLA(nn.Module):
         t = jnp.full((b,), 0.0, jnp.float32) + i.astype(jnp.float32) * delta_t
         v = self.denoise_step(action, t, k_pre, v_pre, seg_pre, lev_pre)
         return action + delta_t * v, None
+
+    def forward_vlm(self, input_ids, pixel_values, text_mask):
+        """Causal text logits through the vlm mixture
+        (pizero_internvl.py:1200 forward_vlm; requires use_lm_head)."""
+        cfg = self.cfg
+        b, s = input_ids.shape
+        embeds = self._image_text_embeds(input_ids, pixel_values)
+        pos = jnp.broadcast_to(jnp.arange(1, s + 1)[None, :], (b, s))
+        cos_v, sin_v = self._rope(pos, cfg.vlm.llm.rope_theta)
+        hidden = self.joint("vlm_only", embeds, cos_v, sin_v,
+                            text_mask.astype(jnp.int32))
+        return self.lm_head(hidden).astype(jnp.float32)
+
+    def infer_text(self, input_ids, pixel_values, text_mask,
+                   max_new_tokens: int = 16, eos_token_id: int = 2):
+        """Greedy text generation on the joint vlm mixture
+        (pizero_internvl.py:1005 infer_text). One jitted lax.scan; each step
+        re-runs the full prefix (text gen on the VLA is a debug/aux path —
+        the production chat path is inference/chat.py with shared weights)."""
+        cfg = self.cfg
+        b, s = input_ids.shape
+        total = s + max_new_tokens
+        ids = jnp.concatenate(
+            [input_ids, jnp.zeros((b, max_new_tokens), input_ids.dtype)], axis=1
+        )
+        mask = jnp.concatenate(
+            [text_mask.astype(jnp.int32), jnp.zeros((b, max_new_tokens), jnp.int32)],
+            axis=1,
+        )
+        lengths = jnp.sum(text_mask.astype(jnp.int32), axis=1)
+
+        def step(carry, _):
+            ids, mask, lengths, done = carry
+            logits = self.forward_vlm(ids, pixel_values, mask)
+            last = jnp.take_along_axis(
+                logits, (lengths - 1)[:, None, None], axis=1
+            )[:, 0]
+            nxt = jnp.argmax(last, axis=-1).astype(ids.dtype)
+            nxt = jnp.where(done, 0, nxt)
+            ids = jnp.asarray(ids)
+            b_idx = jnp.arange(b)
+            ids = ids.at[b_idx, lengths].set(nxt)
+            mask = mask.at[b_idx, lengths].set(jnp.where(done, 0, 1).astype(jnp.int32))
+            done = jnp.logical_or(done, nxt == eos_token_id)
+            return (ids, mask, lengths + 1, done), nxt
+
+        done0 = jnp.zeros((b,), bool)
+        (ids, mask, _, _), toks = jax.lax.scan(
+            step, (ids, mask, lengths, done0), None, length=max_new_tokens
+        )
+        return jnp.transpose(toks, (1, 0))
 
     def infer_action_naive(
         self, input_ids, pixel_values, text_mask, proprios, noise
