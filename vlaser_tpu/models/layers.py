@@ -21,7 +21,11 @@ class RMSNorm(nn.Module):
     def __call__(self, x):
         init = nn.initializers.zeros if self.plus_one else nn.initializers.ones
         weight = self.param("weight", init, (self.dim,), self.param_dtype)
-        return ops.rms_norm(x, weight.astype(x.dtype), self.eps, self.plus_one)
+        if self.plus_one:
+            return ops.rms_norm(x, weight.astype(x.dtype), self.eps, True)
+        from ..kernels.rmsnorm import rms_norm as fused
+
+        return fused(x, weight.astype(x.dtype), self.eps)
 
 
 class LayerNorm(nn.Module):
