@@ -154,7 +154,10 @@ def main():
     sec8 = time_scanned(control_step8, carry8, params, iters=10, repeats=2)
     batch8_actions_per_sec = B8 * cfg.horizon_steps / sec8
 
-    decode_tok_s = _bench_decode()
+    try:
+        decode_tok_s = _bench_decode()
+    except Exception:
+        decode_tok_s = float("nan")
 
     print(
         json.dumps(

@@ -97,3 +97,19 @@ def test_vla_trainer_two_groups_and_eval():
     res = trainer.evaluate(_vla_batch(cfg, 2, rng))
     assert res["action_accuracy"].shape == (2,)
     assert np.isfinite(res["l1"])
+
+
+def test_beta_flow_time_sampler_statistics():
+    """The reference's own statistical oracle (scripts/tests/sampling.py):
+    beta(1.5,1) flipped/shifted -> t = t_max*(1-z); E[z]=alpha/(alpha+beta)=0.6
+    so E[t] ~= 0.3996; support [0, t_max]."""
+    from vlaser_tpu.policy.flow import sample_fm_time
+
+    t = sample_fm_time(jax.random.PRNGKey(0), 20000, "beta", 1.5, 1.0, 0.999)
+    t = np.asarray(t)
+    assert t.min() >= 0.0 and t.max() <= 0.999
+    np.testing.assert_allclose(t.mean(), 0.999 * (1 - 1.5 / 2.5), atol=0.01)
+    # uniform-stratified variant covers [0,1) evenly
+    u = np.asarray(sample_fm_time(jax.random.PRNGKey(1), 1000, "uniform"))
+    assert u.min() >= 0 and u.max() < 1
+    np.testing.assert_allclose(u.mean(), 0.5, atol=0.02)

@@ -17,10 +17,9 @@ Expected HDF5 schema per episode file (one file per episode):
 from __future__ import annotations
 
 import glob
-import json
 import os
 from dataclasses import dataclass
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

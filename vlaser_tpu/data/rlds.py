@@ -18,10 +18,9 @@ The reference's dlimp dependency is replaced by plain tf.data ops.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np

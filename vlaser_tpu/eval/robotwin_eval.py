@@ -19,7 +19,7 @@ import json
 import logging
 import os
 from dataclasses import dataclass
-from typing import Any, Callable, Dict, List, Optional, Protocol
+from typing import Any, Dict, Optional, Protocol
 
 import numpy as np
 

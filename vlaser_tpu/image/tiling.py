@@ -9,7 +9,7 @@ batched [T, H, W, 3] array (NHWC) — the ViT encodes all tiles in one MXU batch
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

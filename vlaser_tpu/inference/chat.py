@@ -10,7 +10,7 @@ decode loop itself is inference/sampling.py's prefill + lax.scan.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

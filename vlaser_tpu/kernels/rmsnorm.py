@@ -18,12 +18,10 @@ Math (y = w * x / rms, rms = sqrt(mean(x^2) + eps)):
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from . import ops
 

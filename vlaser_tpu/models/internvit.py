@@ -13,14 +13,12 @@ pos-emb interpolation via jax.image.resize.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..core.config import VisionConfig
-from ..kernels import ops
 from ..kernels.flash_attention import attention
 from .layers import Dense, LayerNorm, RMSNorm
 

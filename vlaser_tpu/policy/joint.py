@@ -21,7 +21,6 @@ Modes (static, selected per call):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,14 +21,14 @@ causal=False plus padding segment ids in the flash kernel.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..core.config import VLMConfig, tiny_vlm, vlaser_2b
+from ..core.config import VLMConfig, vlaser_2b
 from ..kernels import ops
 from ..models.internvit import InternVisionModel
 from ..models.layers import Dense, LayerNorm

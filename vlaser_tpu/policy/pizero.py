@@ -18,7 +18,6 @@ drawn from jax PRNG keys passed in explicitly.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ model and reference params.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

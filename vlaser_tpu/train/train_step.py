@@ -10,8 +10,7 @@ lax.scan over microbatches inside the same jit.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Tuple
 
 import jax
 import jax.numpy as jnp

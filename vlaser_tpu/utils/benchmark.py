@@ -10,7 +10,7 @@ scalar, then subtract the measured round-trip.
 from __future__ import annotations
 
 import time
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
-import numpy as np
 
 
 def _mgr(directory: str, max_to_keep: int = 3):

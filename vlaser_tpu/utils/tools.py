@@ -10,11 +10,11 @@ the '_orig_mod.' torch.compile prefix strip).
 
 from __future__ import annotations
 
-from typing import Dict, Mapping, Optional
+from typing import Dict, Mapping
 
 import numpy as np
 
-from .hf_convert import _np, _stack, convert_internvit, convert_qwen2
+from .hf_convert import _np, _stack, convert_internvit
 
 
 def resize_pos_embeddings(
