@@ -38,6 +38,8 @@ def _bench_decode():
     from vlaser_tpu.models.vlm import InternVLChatModel
     from vlaser_tpu.utils.benchmark import measure_rtt
 
+    from vlaser_tpu.core.quant import DEFAULT_PATTERNS, quantize_variables
+
     cfg = vlaser_2b()
     model = InternVLChatModel(cfg, param_dtype=jnp.bfloat16,
                               compute_dtype=jnp.bfloat16)
@@ -61,7 +63,9 @@ def _bench_decode():
             shapes,
         )
 
-    params = mk()
+    # int8 weight-only serving (core/quant.py): decode is weight-streaming
+    # bound, so halving streamed bytes is the dominant lever
+    params = quantize_variables(mk(), DEFAULT_PATTERNS)
     gen = make_generate_fn(
         model, max_new_tokens=NEW, eos_token_ids=[2], pad_token_id=0,
     )
@@ -80,6 +84,7 @@ def _bench_decode():
 
 def main():
     from vlaser_tpu.core.config import vlaser_2b_vla
+    from vlaser_tpu.core.quant import POLICY_PATTERNS, quantize_variables
     from vlaser_tpu.policy.pizero import PiZeroVLA
     from vlaser_tpu.utils.benchmark import time_scanned
 
@@ -115,7 +120,12 @@ def main():
             shapes,
         )
 
-    params = mkparams()
+    # int8 weight-only quantization of the joint mixtures (core/quant.py):
+    # the 10-step denoise scan streams the expert stack from HBM every step,
+    # so int8 halves its bytes (measured 1.65x on the denoise step; the
+    # dequant fuses into the dot's HBM read). bf16 reference numbers are in
+    # BENCH_r01.json / docs/STATUS.md.
+    params = quantize_variables(mkparams(), POLICY_PATTERNS)
 
     def control_step(carry, params):
         # dependency chain: pixels and noise derive from the previous action
@@ -175,6 +185,7 @@ def main():
                     "batch8_actions_per_sec": round(batch8_actions_per_sec, 2),
                     "batch8_step_ms": round(sec8 * 1e3, 3),
                     "vlm_decode_tok_per_sec": round(decode_tok_s, 1),
+                    "weights": "int8 weight-only (per-channel), bf16 compute",
                     "device": str(jax.devices()[0]),
                     "baseline_note": "estimated A100 fp32 torch.compile reference (no published numbers; derivation in bench.py docstring)",
                 },

@@ -26,7 +26,7 @@ from ..core.config import LLMConfig
 from ..inference.kv_cache import KVCache, write_kv
 from ..kernels import ops
 from ..kernels.flash_attention import attention
-from .layers import Dense, RMSNorm
+from .layers import Dense, Embed, RMSNorm
 
 
 class Qwen2Attention(nn.Module):
@@ -192,7 +192,7 @@ class Qwen2Model(nn.Module):
 
         scan = nn.scan(
             layer_cls,
-            variable_axes={"params": 0},
+            variable_axes={"params": 0, "quant": 0},
             split_rngs={"params": True},
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast,
                      0, 0, nn.broadcast, nn.broadcast, nn.broadcast),
@@ -224,7 +224,7 @@ class Qwen2ForCausalLM(nn.Module):
     def setup(self):
         cfg = self.cfg
         if cfg.has_embed:
-            self.embed_tokens = nn.Embed(
+            self.embed_tokens = Embed(
                 cfg.vocab_size, cfg.hidden_size, param_dtype=self.param_dtype,
                 dtype=self.compute_dtype,
             )
@@ -267,10 +267,5 @@ class Qwen2ForCausalLM(nn.Module):
         if not cfg.has_lm_head:
             return hidden
         if cfg.tie_word_embeddings:
-            emb = self.embed_tokens.embedding
-            return jnp.dot(
-                hidden.astype(self.compute_dtype),
-                emb.T.astype(self.compute_dtype),
-                preferred_element_type=jnp.float32,
-            )
+            return self.embed_tokens.attend(hidden)
         return self.lm_head(hidden).astype(jnp.float32)

@@ -31,7 +31,7 @@ from flax import linen as nn
 from ..core.config import VLMConfig, vlaser_2b
 from ..kernels import ops
 from ..models.internvit import InternVisionModel
-from ..models.layers import Dense, LayerNorm
+from ..models.layers import Dense, Embed, LayerNorm
 from ..models.vlm import MLP1, scatter_image_embeds
 from ..models.qwen2 import Qwen2Model
 
@@ -151,7 +151,7 @@ class ParallelDecodingVLA(nn.Module):
         )
         self.mlp1 = MLP1(vlm.vit_proj_in_dim, vlm.llm.hidden_size,
                          self.param_dtype, self.compute_dtype)
-        self.embed_tokens = nn.Embed(
+        self.embed_tokens = Embed(
             vlm.llm.vocab_size, vlm.llm.hidden_size,
             param_dtype=self.param_dtype, dtype=self.compute_dtype,
         )

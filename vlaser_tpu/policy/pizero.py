@@ -26,7 +26,7 @@ from flax import linen as nn
 from ..core.config import VLAConfig
 from ..kernels import ops
 from ..models.internvit import InternVisionModel
-from ..models.layers import Dense, RMSNorm
+from ..models.layers import Dense, Embed, RMSNorm
 from ..models.vlm import MLP1, scatter_image_embeds
 from .joint import JointModel
 
@@ -90,7 +90,7 @@ class PiZeroVLA(nn.Module):
             )
             self.mlp1 = MLP1(vlm.vit_proj_in_dim, vlm.llm.hidden_size,
                              self.param_dtype, self.compute_dtype)
-        self.embed_tokens = nn.Embed(
+        self.embed_tokens = Embed(
             vlm.llm.vocab_size, vlm.llm.hidden_size,
             param_dtype=self.param_dtype, dtype=self.compute_dtype,
         )
@@ -302,7 +302,7 @@ class PiZeroVLA(nn.Module):
                 lambda mdl, a, i: mdl.denoise_scan_body(
                     a, i, delta_t, k_pre, v_pre, seg_pre, lev_pre
                 ),
-                variable_broadcast="params",
+                variable_broadcast=("params", "quant"),
                 split_rngs={"params": False},
             )(self, action0, jnp.arange(cfg.num_inference_steps))
         if cfg.final_action_clip_value is not None:
