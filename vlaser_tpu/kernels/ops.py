@@ -175,3 +175,46 @@ def attention_reference(
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bkgqs,bskd->bqkgd", probs, vf)
     return out.reshape(b, sq, h, d).astype(q.dtype)
+
+
+def _cubic_weight(x: float, a: float = -0.75) -> float:
+    ax = abs(x)
+    if ax <= 1.0:
+        return (a + 2.0) * ax**3 - (a + 3.0) * ax**2 + 1.0
+    if ax < 2.0:
+        return a * ax**3 - 5.0 * a * ax**2 + 8.0 * a * ax - 4.0 * a
+    return 0.0
+
+
+def bicubic_resize_matrix(n_in: int, n_out: int) -> "np.ndarray":
+    """Torch-parity bicubic (a=-0.75, align_corners=False, border-replicate)
+    as a dense [n_out, n_in] interpolation matrix.
+
+    torch.nn.functional.interpolate(mode='bicubic') uses the Keys kernel with
+    a=-0.75 (jax.image.resize uses a=-0.5), so pos-emb interpolation
+    (modeling_intern_vit.py:154-174) must NOT go through jax.image.resize if
+    real-weight parity at non-native resolutions matters. Static matrices keep
+    this a pair of matmuls under jit.
+    """
+    import numpy as np
+
+    m = np.zeros((n_out, n_in), np.float64)
+    scale = n_in / n_out
+    for i in range(n_out):
+        x = (i + 0.5) * scale - 0.5
+        x0 = math.floor(x)
+        for t in range(-1, 3):
+            idx = x0 + t
+            w = _cubic_weight(x - idx)
+            m[i, min(max(idx, 0), n_in - 1)] += w
+    return m.astype(np.float32)
+
+
+def bicubic_resize_2d(grid: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """[B, H, W, C] -> [B, out_h, out_w, C], torch-bicubic parity, fp32."""
+    h, w = grid.shape[1], grid.shape[2]
+    mh = jnp.asarray(bicubic_resize_matrix(h, out_h))
+    mw = jnp.asarray(bicubic_resize_matrix(w, out_w))
+    g = grid.astype(jnp.float32)
+    g = jnp.einsum("oh,bhwc->bowc", mh, g)
+    return jnp.einsum("pw,bowc->bopc", mw, g)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..core.config import VisionConfig
+from ..kernels import ops
 from ..kernels.flash_attention import attention
 from .layers import Dense, LayerNorm, RMSNorm
 
@@ -57,14 +58,14 @@ class InternVisionEmbeddings(nn.Module):
             self.param_dtype,
         )
         # bicubic-interp pos-emb when grid differs from train-time grid
-        # (modeling_intern_vit.py:154-160 / resize_pos_embeddings:378)
+        # (modeling_intern_vit.py:154-160 / resize_pos_embeddings:378);
+        # torch-parity kernel (a=-0.75) via static matrices, NOT
+        # jax.image.resize (a=-0.5) — golden-tested vs the reference
         n_side = cfg.num_patches_per_side
         pos_cls, pos_patch = pos[:, :1], pos[:, 1:]
         if (h, w) != (n_side, n_side):
             grid = pos_patch.reshape(1, n_side, n_side, cfg.hidden_size)
-            grid = jax.image.resize(
-                grid.astype(jnp.float32), (1, h, w, cfg.hidden_size), method="bicubic"
-            )
+            grid = ops.bicubic_resize_2d(grid, h, w)
             pos_patch = grid.reshape(1, h * w, cfg.hidden_size)
         pos = jnp.concatenate([pos_cls, pos_patch.astype(pos_cls.dtype)], axis=1)
 
