@@ -4,22 +4,34 @@ Replaces shell/internvl3.0/2nd_finetune/internvl3_2b_dynamic_res_2nd_finetune_
 full.sh + internvl_chat_finetune.py: ViT frozen, lr 2e-5 cosine, bf16 compute,
 sequence packing, orbax checkpoints with data-stream resume.
 
-Usage:
+Usage (single dataset):
   python scripts/train_sft.py --model_path Vlaser-2B/ --data train.jsonl \
       --image_root images/ --steps 5000 --batch 4 --fsdp 4 [--packed]
+Usage (multi-dataset metafile, internvl_chat_finetune.py:701-783 format —
+  {"name": {"root": ..., "annotation": ..., "repeat_time": ..,
+            "max_dynamic_patch": ..}, ...}):
+  python scripts/train_sft.py --model_path Vlaser-2B/ --meta meta.json --packed
 """
 
 import argparse
+import logging
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+logging.basicConfig(level=logging.INFO,
+                    format="%(asctime)s %(name)s %(message)s")
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model_path", required=True, help="HF checkpoint dir")
-    ap.add_argument("--data", required=True, help="conversation jsonl")
+    ap.add_argument("--model_path", default=None, help="HF checkpoint dir")
+    ap.add_argument("--tiny", action="store_true",
+                    help="offline smoke mode: tiny random-init model + byte "
+                         "tokenizer (no checkpoint/network needed)")
+    ap.add_argument("--data", default=None, help="conversation jsonl")
+    ap.add_argument("--meta", default=None,
+                    help="multi-dataset metafile json (overrides --data)")
     ap.add_argument("--image_root", default="")
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--batch", type=int, default=4)
@@ -32,34 +44,83 @@ def main():
     ap.add_argument("--checkpoint_dir", default="checkpoints/sft")
     args = ap.parse_args()
 
+    import dataclasses
+
     import jax.numpy as jnp
     from transformers import AutoTokenizer
 
     from vlaser_tpu.core.config import vlaser_2b
     from vlaser_tpu.data.chat_dataset import (
-        ChatDatasetConfig, ConversationDataset, PackedDataset, pad_collate,
+        ChatDatasetConfig, ConversationDataset, PackedDataset, build_datasets,
+        pad_collate,
     )
     from vlaser_tpu.models.vlm import InternVLChatModel
     from vlaser_tpu.train.trainer import SFTTrainer, TrainConfig
     from vlaser_tpu.utils.hf_convert import convert_internvl_chat, load_safetensors_dir
+    from vlaser_tpu.utils.tools import ensure_special_tokens, resize_token_embeddings
 
-    tokenizer = AutoTokenizer.from_pretrained(args.model_path, use_fast=False,
-                                              trust_remote_code=True)
-    cfg = vlaser_2b(vocab_size=len(tokenizer))
-    model = InternVLChatModel(cfg, compute_dtype=jnp.bfloat16, remat=True)
-    params = {"params": convert_internvl_chat(
-        load_safetensors_dir(args.model_path), cfg.vision.num_layers,
-        cfg.llm.num_layers,
-    )}
+    assert args.data or args.meta, "need --data or --meta"
+    assert args.tiny or args.model_path, "need --model_path (or --tiny)"
+    if args.tiny:
+        from vlaser_tpu.tokenizer.byte_tokenizer import ByteTokenizer
 
-    ds_cfg = ChatDatasetConfig(
-        jsonl_path=args.data, image_root=args.image_root,
-        num_image_token=cfg.num_image_token, max_seq_length=args.max_seq,
+        tokenizer = ByteTokenizer()
+    else:
+        tokenizer = AutoTokenizer.from_pretrained(
+            args.model_path, use_fast=False, trust_remote_code=True
+        )
+    # the 9 InternVL tokens + embedding resize (finetune.py:865-876, 955-1018)
+    n_added, img_ctx_id, img_start_id, img_end_id = ensure_special_tokens(tokenizer)
+    if args.tiny:
+        from vlaser_tpu.core.config import tiny_vlm
+
+        cfg = tiny_vlm()
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm, vocab_size=len(tokenizer)))
+    else:
+        cfg = vlaser_2b(vocab_size=len(tokenizer))
+    cfg = dataclasses.replace(
+        cfg, img_context_token_id=img_ctx_id, img_start_token_id=img_start_id,
+        img_end_token_id=img_end_id,
+        pad_token_id=tokenizer.pad_token_id or cfg.pad_token_id,
     )
-    dataset = ConversationDataset(ds_cfg, tokenizer)
+    model = InternVLChatModel(cfg, compute_dtype=jnp.bfloat16, remat=True)
+    if args.tiny:
+        import jax
+        import numpy as _np
+
+        img = cfg.vision.image_size
+        _ids = _np.full((1, 8), 1, _np.int32)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(_ids),
+            jnp.zeros((1, img, img, 3), jnp.float32), jnp.ones((1,), jnp.int32),
+        )
+    else:
+        raw = convert_internvl_chat(
+            load_safetensors_dir(args.model_path), cfg.vision.num_layers,
+            cfg.llm.num_layers,
+        )
+        if n_added:
+            raw = resize_token_embeddings(raw, len(tokenizer))
+        params = {"params": raw}
+
+    # packed mode may keep samples up to 4x the pack size — the packer splits
+    # them at non-image boundaries instead of truncating
+    ds_cfg = ChatDatasetConfig(
+        jsonl_path=args.data or "", image_root=args.image_root,
+        num_image_token=cfg.num_image_token, image_size=cfg.vision.image_size,
+        max_seq_length=args.max_seq * (4 if args.packed else 1),
+    )
+    if args.meta:
+        dataset = build_datasets(args.meta, tokenizer, ds_cfg)
+    else:
+        dataset = ConversationDataset(ds_cfg, tokenizer)
     if args.packed:
         packed = PackedDataset(dataset, max_packed_tokens=args.max_seq,
-                               pad_token_id=cfg.pad_token_id)
+                               pad_token_id=cfg.pad_token_id,
+                               img_start_id=img_start_id, img_end_id=img_end_id,
+                               num_image_token=cfg.num_image_token,
+                               image_size=cfg.vision.image_size)
         batches = iter(packed)
         data_state = packed.state_dict
     else:

@@ -194,3 +194,124 @@ def test_video_item(tmp_path):
     assert len(s["pixel_values"]) == 5  # one tile per sampled frame
     assert (s["input_ids"] == 500).sum() == 5
     assert s["image_flags"].sum() == 5
+
+
+def _mk_sample(n_text_a, n_imgs, n_text_b, num_image_token=4):
+    """[text_a | (<img> CTX*k </img>) * n_imgs | text_b] synthetic sample."""
+    ids, tiles, flags = [], [], []
+    ids += [10] * n_text_a
+    for _ in range(n_imgs):
+        ids += [498] + [500] * num_image_token + [499]
+        tiles.append(np.full((1, 8, 8, 3), 0.5, np.float32))
+        flags.append(1)
+    ids += [11] * n_text_b
+    ids = np.asarray(ids, np.int32)
+    labels = ids.copy()
+    return {
+        "input_ids": ids,
+        "labels": labels,
+        "loss_weight": np.ones(len(ids), np.float32),
+        "pixel_values": np.concatenate(tiles, 0) if tiles
+        else np.zeros((1, 8, 8, 3), np.float32),
+        "image_flags": np.asarray(flags or [0], np.int32),
+    }
+
+
+def test_split_sample_no_image_cut():
+    """dataset_packed.py:253-295 parity: splits never land inside an
+    <img>...</img> span, chunks reassemble to the original, tiles follow
+    their spans."""
+    from vlaser_tpu.data.chat_dataset import split_sample
+
+    s = _mk_sample(10, 3, 9, num_image_token=4)  # len = 10 + 3*6 + 9 = 37
+    chunks = split_sample(s, max_tokens=16, img_start_id=498, img_end_id=499,
+                          num_image_token=4, image_size=8)
+    assert len(chunks) >= 2
+    # reassembly
+    np.testing.assert_array_equal(
+        np.concatenate([c["input_ids"] for c in chunks]), s["input_ids"])
+    np.testing.assert_array_equal(
+        np.concatenate([c["labels"] for c in chunks]), s["labels"])
+    # no chunk starts or ends inside a span: every chunk has balanced tags
+    total_tiles = 0
+    for c in chunks:
+        starts = int((c["input_ids"] == 498).sum())
+        ends = int((c["input_ids"] == 499).sum())
+        assert starts == ends
+        ctx = int((c["input_ids"] == 500).sum())
+        assert ctx == 4 * starts
+        real = int(c["image_flags"].sum())
+        assert real == starts  # tiles travel with their spans
+        total_tiles += real
+        assert len(c["input_ids"]) <= 16
+    assert total_tiles == 3
+
+
+def test_split_sample_giant_image_dropped():
+    from vlaser_tpu.data.chat_dataset import split_sample
+
+    s = _mk_sample(2, 1, 2, num_image_token=30)  # span of 32 > max 16
+    assert split_sample(s, 16, 498, 499, 30, image_size=8) == []
+
+
+def test_packed_dataset_splits_overlong(jsonl_dataset):
+    """An overlong sample flows through the packer as several segments
+    instead of being dropped."""
+
+    class OneLong:
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            return _mk_sample(20, 2, 30, num_image_token=4)  # len 62
+
+    packed = PackedDataset(OneLong(), max_packed_tokens=32, pad_token_id=0,
+                           shuffle_seed=None, img_start_id=498, img_end_id=499,
+                           num_image_token=4, image_size=8)
+    packs = list(packed)
+    assert len(packs) >= 1
+    got_tokens = sum(int((p["seg_ids"] > 0).sum()) for p in packs)
+    assert got_tokens == 62  # nothing dropped
+    # multiple segments present overall
+    assert sum(int(p["seg_ids"].max()) for p in packs) >= 2
+
+
+def test_build_datasets_metafile(tmp_path, jsonl_dataset):
+    from vlaser_tpu.data.chat_dataset import ConcatDataset, build_datasets
+
+    src = jsonl_dataset.cfg.jsonl_path
+    meta = {
+        "a": {"annotation": src, "root": jsonl_dataset.cfg.image_root,
+              "repeat_time": 1.0},
+        "b": {"annotation": src, "root": jsonl_dataset.cfg.image_root,
+              "repeat_time": 2.0, "max_dynamic_patch": 2},
+    }
+    mp = tmp_path / "meta.json"
+    mp.write_text(json.dumps(meta))
+    base = ChatDatasetConfig(jsonl_path="", image_root="", num_image_token=1,
+                             image_size=28, max_dynamic_patch=4)
+    ds = build_datasets(str(mp), CharTok(), base)
+    assert isinstance(ds, ConcatDataset)
+    assert len(ds) == 2 + 4  # a: 2 items, b: 2*2 (repeat_time)
+    # items from both sub-datasets retrievable
+    for i in range(len(ds)):
+        assert "input_ids" in ds[i]
+
+
+def test_resize_token_embeddings():
+    from vlaser_tpu.utils.tools import resize_token_embeddings
+
+    params = {
+        "language_model": {
+            "embed_tokens": {"embedding": np.arange(12, dtype=np.float32).reshape(6, 2)},
+            "lm_head": {"kernel": np.arange(12, dtype=np.float32).reshape(2, 6)},
+        }
+    }
+    out = resize_token_embeddings(params, 8)
+    emb = out["language_model"]["embed_tokens"]["embedding"]
+    head = out["language_model"]["lm_head"]["kernel"]
+    assert emb.shape == (8, 2) and head.shape == (2, 8)
+    np.testing.assert_allclose(
+        emb[6:], np.broadcast_to(emb[:6].mean(0, keepdims=True), (2, 2)))
+    np.testing.assert_allclose(
+        head[:, 6:], np.broadcast_to(head[:, :6].mean(1, keepdims=True), (2, 2)))

@@ -244,6 +244,14 @@ class ConversationDataset:
         ids = ids[: cfg.max_seq_length]
         labels = labels[: cfg.max_seq_length]
         n_target = int((labels != IGNORE_TOKEN_ID).sum())
+        if n_target == 0:
+            # all supervision truncated away — raise so __getitem__'s retry
+            # resamples (reference behavior, internvl_chat_finetune.py:641-679
+            # region: zero-target samples are rejected)
+            raise ValueError(
+                f"sample has no target tokens within max_seq_length="
+                f"{cfg.max_seq_length}"
+            )
         weight = len2weight(n_target, cfg.loss_reduction)
         loss_weight = np.where(labels != IGNORE_TOKEN_ID, weight, 0.0).astype(np.float32)
         return {
@@ -253,6 +261,111 @@ class ConversationDataset:
             "pixel_values": tiles.astype(np.float32),
             "image_flags": flags,
         }
+
+
+class ConcatDataset:
+    """Concatenation of ConversationDatasets (multi-dataset SFT).
+
+    The reference trains from a metafile of many weighted JSONL datasets
+    (internvl_chat_finetune.py:701-783, build_datasets); weighting is
+    expressed per-dataset via repeat_time (applied inside each dataset) and
+    the concatenated order is shuffled by the packer/sampler.
+    """
+
+    def __init__(self, datasets: Sequence):
+        self.datasets = list(datasets)
+        self.offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self.offsets[-1])
+
+    def __getitem__(self, i: int):
+        k = int(np.searchsorted(self.offsets, i, side="right") - 1)
+        return self.datasets[k][i - int(self.offsets[k])]
+
+
+def build_datasets(meta_path: str, tokenizer, base_cfg: ChatDatasetConfig):
+    """Metafile (name -> {root, annotation, repeat_time, max_dynamic_patch})
+    -> ConcatDataset, matching the reference's ds_collections json format
+    (internvl_chat_finetune.py:701-783; shell scripts pass --meta_path)."""
+    from dataclasses import replace
+
+    with open(meta_path) as f:
+        meta = json.load(f)
+    datasets = []
+    for name in sorted(meta):
+        m = meta[name]
+        cfg = replace(
+            base_cfg,
+            jsonl_path=m["annotation"],
+            image_root=m.get("root", base_cfg.image_root),
+            repeat_time=float(m.get("repeat_time", 1.0)),
+            max_dynamic_patch=int(m.get("max_dynamic_patch",
+                                        base_cfg.max_dynamic_patch)),
+        )
+        datasets.append(ConversationDataset(cfg, tokenizer))
+    return ConcatDataset(datasets)
+
+
+def _image_spans(ids: np.ndarray, img_start_id: int, img_end_id: int):
+    """[(start_idx, end_idx_inclusive)] of <img>...</img> regions."""
+    starts = np.where(ids == img_start_id)[0]
+    ends = np.where(ids == img_end_id)[0]
+    return list(zip(starts.tolist(), ends.tolist()))
+
+
+def split_sample(
+    s: Dict[str, np.ndarray],
+    max_tokens: int,
+    img_start_id: int,
+    img_end_id: int,
+    num_image_token: int,
+    image_size: int = 448,
+) -> List[Dict[str, np.ndarray]]:
+    """Split an overlong sample at non-image boundaries.
+
+    Parity: dataset_packed.py:253-295 (split_buffer/_image_is_splitted) — a
+    split point may never fall inside an <img>...</img> span; each chunk
+    carries exactly the pixel tiles whose spans it contains. Chunks restart
+    positions and segments (the halves no longer attend to each other — same
+    approximation as the reference). Returns [] when a single image span
+    exceeds max_tokens (cannot split inside an image).
+    """
+    ids = s["input_ids"]
+    n = len(ids)
+    spans = _image_spans(ids, img_start_id, img_end_id)
+    chunks: List[Dict[str, np.ndarray]] = []
+    start, tile_ofs = 0, 0
+    while start < n:
+        end = min(start + max_tokens, n)
+        if end < n:
+            for a, b in spans:
+                if a < end <= b:
+                    end = a  # move the cut to just before the image
+                    break
+            if end <= start:
+                return []  # one image span is itself > max_tokens
+        k = 0
+        for a, b in spans:
+            if a >= start and b < end:
+                k += (b - a - 1) // num_image_token
+        if k > 0:
+            tiles = s["pixel_values"][tile_ofs : tile_ofs + k]
+            flags = s["image_flags"][tile_ofs : tile_ofs + k]
+            tile_ofs += k
+        else:
+            # text-only chunk: blank tile with flag 0 (finetune.py:581-622)
+            tiles = np.zeros((1, image_size, image_size, 3), np.float32)
+            flags = np.zeros(1, np.int32)
+        chunks.append({
+            "input_ids": ids[start:end],
+            "labels": s["labels"][start:end],
+            "loss_weight": s["loss_weight"][start:end],
+            "pixel_values": tiles,
+            "image_flags": flags,
+        })
+        start = end
+    return chunks
 
 
 def pad_collate(
@@ -296,11 +409,21 @@ class PackedDataset:
         max_images_per_pack: int = 24,
         pad_token_id: int = 0,
         shuffle_seed: Optional[int] = 0,
+        img_start_id: Optional[int] = None,
+        img_end_id: Optional[int] = None,
+        num_image_token: int = 256,
+        image_size: int = 448,
     ):
         self.dataset = dataset
         self.max_packed_tokens = max_packed_tokens
         self.max_images_per_pack = max_images_per_pack
         self.pad_token_id = pad_token_id
+        # overlong samples split at non-image boundaries when the image token
+        # ids are known (dataset_packed.py:253-295); dropped otherwise
+        self.img_start_id = img_start_id
+        self.img_end_id = img_end_id
+        self.num_image_token = num_image_token
+        self.image_size = image_size
         self.cursor = 0
         order = list(range(len(dataset)))
         if shuffle_seed is not None:
@@ -319,26 +442,35 @@ class PackedDataset:
         self.order = self.order[index::num_shards]
         return self
 
+    def _pieces(self, s: Dict[str, np.ndarray]) -> List[Dict[str, np.ndarray]]:
+        if len(s["input_ids"]) <= self.max_packed_tokens:
+            return [s]
+        if self.img_start_id is None or self.img_end_id is None:
+            return []  # cannot locate image spans; drop
+        return split_sample(
+            s, self.max_packed_tokens, self.img_start_id, self.img_end_id,
+            self.num_image_token, self.image_size,
+        )
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         buf: List[Dict[str, np.ndarray]] = []
         buf_tokens = 0
         buf_images = 0
         while self.cursor < len(self.order):
-            s = self.dataset[self.order[self.cursor]]
+            sample = self.dataset[self.order[self.cursor]]
             self.cursor += 1
-            n = len(s["input_ids"])
-            t = len(s["pixel_values"])
-            if n > self.max_packed_tokens:
-                continue  # overlong; reference splits, we drop (rare at 8k)
-            if buf and (
-                buf_tokens + n > self.max_packed_tokens
-                or buf_images + t > self.max_images_per_pack
-            ):
-                yield self._emit(buf)
-                buf, buf_tokens, buf_images = [], 0, 0
-            buf.append(s)
-            buf_tokens += n
-            buf_images += t
+            for s in self._pieces(sample):
+                n = len(s["input_ids"])
+                t = len(s["pixel_values"])
+                if buf and (
+                    buf_tokens + n > self.max_packed_tokens
+                    or buf_images + t > self.max_images_per_pack
+                ):
+                    yield self._emit(buf)
+                    buf, buf_tokens, buf_images = [], 0, 0
+                buf.append(s)
+                buf_tokens += n
+                buf_images += t
         if buf:
             yield self._emit(buf)
 

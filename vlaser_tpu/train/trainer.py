@@ -90,7 +90,7 @@ class SFTTrainer:
             self.rng, sub = jax.random.split(self.rng)
             self.state, metrics = self.step_fn(self.state, batch, sub)
             step = i + 1
-            if step % cfg.log_every == 0:
+            if step == 1 or step % cfg.log_every == 0 or step == cfg.total_steps:
                 logger.info(
                     "step %d loss %.4f gnorm %.3f (%.2fs/it)",
                     step, float(metrics["loss"]), float(metrics["grad_norm"]),

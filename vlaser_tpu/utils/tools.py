@@ -147,3 +147,61 @@ def load_torch_checkpoint(path: str) -> Dict:
     if isinstance(ckpt, dict) and "model" in ckpt:
         return ckpt["model"]
     return ckpt
+
+
+def ensure_special_tokens(tokenizer):
+    """Add the 9 InternVL special tokens if absent; returns (n_added,
+    img_context_id, img_start_id, img_end_id).
+
+    Parity: internvl_chat_finetune.py:865-876 — the SFT entry always adds the
+    token set and records img_context_token_id on the model."""
+    from ..tokenizer.conversation import (
+        IMG_CONTEXT_TOKEN, IMG_END_TOKEN, IMG_START_TOKEN, SPECIAL_TOKENS,
+    )
+
+    n_added = tokenizer.add_tokens(SPECIAL_TOKENS, special_tokens=True)
+    ids = tokenizer.convert_tokens_to_ids(
+        [IMG_CONTEXT_TOKEN, IMG_START_TOKEN, IMG_END_TOKEN]
+    )
+    return n_added, ids[0], ids[1], ids[2]
+
+
+def resize_token_embeddings(params: Dict, new_vocab: int) -> Dict:
+    """Grow every vocab-sized table (embed_tokens/embedding rows,
+    lm_head/kernel columns) to new_vocab, initializing new rows/cols with the
+    mean of the existing ones.
+
+    Parity: internvl_chat_finetune.py:955-1018 calls
+    model.resize_token_embeddings after adding tokens; mean-init keeps the
+    softmax over new tokens near-uniform instead of random-logit."""
+    import numpy as np
+
+    def walk(tree, path=()):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = walk(v, path + (k,))
+                continue
+            arr = np.asarray(v)
+            if (
+                path and path[-1] == "embed_tokens" and k == "embedding"
+                and arr.shape[0] < new_vocab
+            ):
+                extra = np.broadcast_to(
+                    arr.mean(axis=0, keepdims=True),
+                    (new_vocab - arr.shape[0], arr.shape[1]),
+                ).astype(arr.dtype)
+                arr = np.concatenate([arr, extra], axis=0)
+            elif (
+                path and path[-1] == "lm_head" and k == "kernel"
+                and arr.shape[-1] < new_vocab
+            ):
+                extra = np.broadcast_to(
+                    arr.mean(axis=-1, keepdims=True),
+                    (*arr.shape[:-1], new_vocab - arr.shape[-1]),
+                ).astype(arr.dtype)
+                arr = np.concatenate([arr, extra], axis=-1)
+            out[k] = arr
+        return out
+
+    return walk(params)
