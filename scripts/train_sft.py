@@ -59,6 +59,13 @@ def main():
     from vlaser_tpu.utils.hf_convert import convert_internvl_chat, load_safetensors_dir
     from vlaser_tpu.utils.tools import ensure_special_tokens, resize_token_embeddings
 
+    # multi-host: no-op single-process; slurm/JAX_* env-driven otherwise
+    # (replaces init_dist + deepspeed.init_distributed, dist_utils.py:32-104)
+    import jax
+
+    from vlaser_tpu.core.distributed import initialize as dist_init
+    dist_init()
+
     assert args.data or args.meta, "need --data or --meta"
     assert args.tiny or args.model_path, "need --model_path (or --tiny)"
     if args.tiny:
@@ -121,6 +128,8 @@ def main():
                                img_start_id=img_start_id, img_end_id=img_end_id,
                                num_image_token=cfg.num_image_token,
                                image_size=cfg.vision.image_size)
+        if jax.process_count() > 1:
+            packed = packed.shard(jax.process_count(), jax.process_index())
         batches = iter(packed)
         data_state = packed.state_dict
     else:

@@ -30,9 +30,13 @@ def main():
     ap.add_argument("--checkpoint_dir", default="checkpoints/vla")
     args = ap.parse_args()
 
+    import jax
     import jax.numpy as jnp
     import numpy as np
     from transformers import AutoTokenizer
+
+    from vlaser_tpu.core.distributed import initialize as dist_init
+    dist_init()  # no-op single-process (core/distributed.py)
 
     from vlaser_tpu.core.config import vlaser_2b_vla
     from vlaser_tpu.data.rlds import (
@@ -68,7 +72,12 @@ def main():
                                         action_horizon=args.horizon)
         frames.append(apply_frame_transforms(
             f, resize=(args.image_size, args.image_size)))
-    mixed = make_interleaved_dataset(frames, args.weights, batch_size=args.batch)
+    # per-process slice of the stream; the trainer reassembles the global
+    # batch with jax.make_array_from_process_local_data
+    local_batch = args.batch // jax.process_count()
+    mixed = make_interleaved_dataset(frames, args.weights, batch_size=local_batch)
+    if jax.process_count() > 1:
+        mixed = mixed.shard(jax.process_count(), jax.process_index())
 
     def batches():
         for raw in RLDSInterleavedIterator(mixed):

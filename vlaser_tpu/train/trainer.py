@@ -26,6 +26,7 @@ import numpy as np
 import optax
 
 from ..core import mesh as mesh_lib
+from ..core.distributed import put_global_batch
 from ..policy.flow import make_flow_loss
 from ..train.losses import make_sft_loss
 from ..train.metrics import action_accuracy, action_l1
@@ -85,8 +86,8 @@ class SFTTrainer:
         for i, batch in enumerate(batches):
             if i >= cfg.total_steps:
                 break
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            batch = jax.device_put(batch, mesh_lib.shard_batch(batch, self.mesh))
+            # local slice -> global array (multihost-aware; core/distributed)
+            batch = put_global_batch(batch, self.mesh)
             self.rng, sub = jax.random.split(self.rng)
             self.state, metrics = self.step_fn(self.state, batch, sub)
             step = i + 1
@@ -193,8 +194,8 @@ class VLATrainer:
         for i, batch in enumerate(batches):
             if i >= num_steps:
                 break
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            batch = jax.device_put(batch, mesh_lib.shard_batch(batch, self.mesh))
+            # local slice -> global array (multihost-aware; core/distributed)
+            batch = put_global_batch(batch, self.mesh)
             self.rng, sub = jax.random.split(self.rng)
             self.state, metrics = self.step_fn(self.state, batch, sub)
             step = int(i + 1)
