@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--act_steps", type=int, default=4)
     ap.add_argument("--robot", choices=["bridge", "fractal"], default="bridge")
     ap.add_argument("--variant_aggregation", action="store_true")
+    ap.add_argument("--visual_matching", action="store_true")
     ap.add_argument("--video_dir", default=None)
     ap.add_argument("--results", default=None)
     args = ap.parse_args()
@@ -33,7 +34,7 @@ def main():
     from vlaser_tpu.core.config import vlaser_2b_vla
     from vlaser_tpu.envs.adapters import BridgeSimplerAdapter, EDRSimplerAdapter
     from vlaser_tpu.eval.simpler_eval import (
-        FRACTAL_VARIANTS, EvalConfig, EvalRunner, run_variant_aggregation,
+        EvalConfig, EvalRunner, run_fractal_protocol,
     )
     from vlaser_tpu.policy.pizero import PiZeroVLA
     from vlaser_tpu.policy.processing import InternVLAProcessor
@@ -66,8 +67,9 @@ def main():
                       act_steps=args.act_steps, record_video_dir=args.video_dir,
                       results_path=args.results)
     if args.variant_aggregation:
-        variants = [v for vs in FRACTAL_VARIANTS.values() for v in vs]
-        print(run_variant_aggregation(ecfg, server, variants))
+        print(run_fractal_protocol(ecfg, server, args.task, protocol="va"))
+    elif args.visual_matching:
+        print(run_fractal_protocol(ecfg, server, args.task, protocol="vm"))
     else:
         print(EvalRunner(ecfg, server).run())
 

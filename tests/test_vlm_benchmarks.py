@@ -71,3 +71,56 @@ def test_evaluate_benchmark(tmp_path):
                              image_size=64)
     assert res["num_evaluated"] == 4
     assert res["accuracy"] == 0.5
+
+
+def test_point_precision_reference_semantics():
+    """evaluate_point_pixmo.py:166-186 counting: every predicted point is
+    judged; unparsable predictions count 1 in the denominator."""
+    from vlaser_tpu.eval.point_eval import evaluate_points_precision
+
+    gt = {("im.png", "the mug"): [(100, 100)]}
+    preds = [
+        # two points, one inside radius -> 1/2
+        {"image": "im.png", "expression": "the mug", "width": 200, "height": 200,
+         "response": "<point>[[500, 500], [10, 10]]</point>"},
+        # no parsable point -> 0/1
+        {"image": "im.png", "expression": "the mug", "width": 200, "height": 200,
+         "response": "somewhere on the left"},
+    ]
+    out = evaluate_points_precision(preds, gt, radius=25.0, normalized_scale=1000.0)
+    assert out["num_predictions"] == 3
+    assert out["num_correct"] == 1
+    assert abs(out["precision"] - 1 / 3) < 1e-9
+
+
+def test_point_prompt_matches_reference():
+    from vlaser_tpu.eval.point_eval import build_point_prompt
+
+    p = build_point_prompt("the red block")
+    assert p.startswith(" You are InternVL.")
+    assert p.endswith(" Please provide the referring points of the red block.")
+    assert '"<point>[[x1, y1], [x2, y2],...]</point>"' in p
+    assert "normalized to integers between 0 and 1000" in p
+
+
+def test_vsi_mra():
+    from vlaser_tpu.eval.embodied_benchmarks import mra_score, parse_number
+
+    assert mra_score(10.0, 10.0) == 1.0
+    assert mra_score(1000.0, 10.0) == 0.0
+    # 20% relative error passes thresholds theta < 0.8 -> 6 of 10
+    assert abs(mra_score(12.0, 10.0) - 0.6) < 1e-9
+    assert parse_number("about 12.5 meters") == 12.5
+    assert parse_number("no idea") is None
+
+
+def test_point_in_mask():
+    import numpy as np
+
+    from vlaser_tpu.eval.embodied_benchmarks import point_in_mask
+
+    mask = np.zeros((10, 20), bool)
+    mask[5, 7] = True
+    assert point_in_mask((7, 5), mask)
+    assert not point_in_mask((5, 7), mask)  # (x,y) order matters
+    assert not point_in_mask((100, 100), mask)  # out of bounds

@@ -14,6 +14,23 @@ from math import sqrt
 from typing import Dict, List, Optional, Sequence, Tuple
 
 
+# exact prompts of the reference point evals (evaluate_point_pixmo.py:115-117,
+# evaluate_point_paco.py:153-157) — the instruction defines the output format
+# the parser below expects
+POINT_SYSTEM_PROMPT = (
+    ' You are InternVL. Your task is to locate several points in the given '
+    'image according to the task descriptions. Your answer should be '
+    'formatted as "<point>[[x1, y1], [x2, y2],...]</point>". The point '
+    'coordinates are normalized to integers between 0 and 1000. Return the '
+    'answer in the point format directly.'
+)
+POINT_QUERY_PROMPT = " Please provide the referring points of {}."
+
+
+def build_point_prompt(expression: str) -> str:
+    return POINT_SYSTEM_PROMPT + POINT_QUERY_PROMPT.format(expression)
+
+
 def point_in_radius(
     pred: Tuple[float, float],
     targets: Sequence[Tuple[float, float]],
@@ -50,6 +67,38 @@ def load_gt_points(jsonl_path: str) -> Dict[Tuple[str, str], List[Tuple[int, int
                     if expr and points:
                         gt[(image, expr)] = points
     return gt
+
+
+def evaluate_points_precision(
+    predictions: Sequence[Dict],  # {image, expression, response, width, height}
+    gt: Dict[Tuple[str, str], List[Tuple[int, int]]],
+    radius: float = 25.0,
+    normalized_scale: Optional[float] = None,
+) -> Dict[str, float]:
+    """Reference-exact scoring (evaluate_point_pixmo.py:166-186):
+    every predicted point is judged against the GT set; precision =
+    in-radius predictions / total predictions (samples with no parsable
+    prediction contribute 1 to the denominator)."""
+    correct = total = 0
+    for p in predictions:
+        targets = gt.get((p["image"], p["expression"]))
+        if targets is None:
+            continue
+        pts = [(float(x), float(y)) for x, y in re.findall(
+            r"\[\s*(\d+\.?\d*)\s*,\s*(\d+\.?\d*)\s*\]", p["response"])]
+        if normalized_scale:
+            pts = [
+                (x / normalized_scale * p["width"], y / normalized_scale * p["height"])
+                for x, y in pts
+            ]
+        for pt in pts:
+            correct += int(point_in_radius(pt, targets, radius))
+        total += len(pts) if pts else 1
+    return {
+        "precision": correct / max(total, 1),
+        "num_predictions": total,
+        "num_correct": correct,
+    }
 
 
 def evaluate_points(

@@ -173,16 +173,44 @@ def run_variant_aggregation(
     }
 
 
-# fractal VA protocol variant grids (variant_aggressive_config.py:10-904,
-# names per SimplerEnv registrations)
-FRACTAL_VARIANTS = {
-    "backgrounds": [
-        {"scene_name": "google_pick_coke_can_1_v4_alt_background"},
-        {"scene_name": "google_pick_coke_can_1_v4_alt_background_2"},
-    ],
-    "lightings": [
-        {"slightly_darker_lighting": True},
-        {"slightly_brighter_lighting": True},
-    ],
-    "camera_setups": [{"urdf_version": "recolor_cabinet_visual_matching_1"}],
-}
+def fractal_variant_specs(task: str, protocol: str = "va"):
+    """Full per-task environment grids for the fractal protocols.
+
+    protocol='va' -> variant aggregation (variant_aggressive_config.py:10-454)
+    protocol='vm' -> visual matching (:455-861). Returns the concrete env
+    specs the sweep iterates; see eval/variant_configs.py for the data.
+    """
+    from .variant_configs import (
+        enumerate_env_specs,
+        variant_aggregation_families,
+        visual_matching_families,
+    )
+
+    fams = (
+        variant_aggregation_families(task)
+        if protocol == "va"
+        else visual_matching_families(task)
+    )
+    return list(enumerate_env_specs(fams))
+
+
+def run_fractal_protocol(
+    base_cfg: EvalConfig,
+    policy,
+    task: str,
+    protocol: str = "va",
+    env_factory: Callable[[Dict[str, Any]], Any] = None,
+    **runner_kw,
+) -> Dict[str, Any]:
+    """VM/VA sweep over the full per-task grid, averaging success across env
+    specs (EvalAgent.run_variant_aggregation, eval.py:215-420)."""
+    specs = fractal_variant_specs(task, protocol)
+    env_factory = env_factory or (lambda spec: make_simpler_env(
+        task,
+        scene_name=spec["scene_name"],
+        max_episode_steps=spec["max_episode_steps"],
+        **spec["build_kwargs"],
+    ))
+    return run_variant_aggregation(
+        base_cfg, policy, specs, env_factory=env_factory, **runner_kw
+    )
