@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--horizon", type=int, default=4)
     ap.add_argument("--image_size", type=int, default=448)
     ap.add_argument("--fsdp", type=int, default=1)
+    ap.add_argument("--strong_aug", action="store_true",
+                    help="use_strong_data_aug augmentation variant")
+    ap.add_argument("--shuffle_buffer", type=int, default=200_000)
     ap.add_argument("--checkpoint_dir", default="checkpoints/vla")
     args = ap.parse_args()
 
@@ -40,6 +43,7 @@ def main():
 
     from vlaser_tpu.core.config import vlaser_2b_vla
     from vlaser_tpu.data.rlds import (
+        AUGMENT_KWARGS_PRIMARY, AUGMENT_KWARGS_PRIMARY_STRONG,
         OXE_STANDARDIZATION_TRANSFORMS, RLDSDatasetConfig,
         RLDSInterleavedIterator, apply_frame_transforms,
         apply_trajectory_transforms, make_dataset_from_rlds,
@@ -68,14 +72,22 @@ def main():
             statistics_path=f"stats/{name}.json",
         )
         traj, _ = make_dataset_from_rlds(d_cfg, train=True)
-        f = apply_trajectory_transforms(traj, window_size=cfg.cond_steps,
-                                        action_horizon=args.horizon)
+        f = apply_trajectory_transforms(
+            traj, window_size=cfg.cond_steps, action_horizon=args.horizon,
+            subsample_length=100, skip_unlabeled=True,
+        )
+        aug = (AUGMENT_KWARGS_PRIMARY_STRONG if args.strong_aug
+               else AUGMENT_KWARGS_PRIMARY)
         frames.append(apply_frame_transforms(
-            f, resize=(args.image_size, args.image_size)))
+            f, resize=(args.image_size, args.image_size), train=True,
+            image_augment_kwargs=aug))
     # per-process slice of the stream; the trainer reassembles the global
     # batch with jax.make_array_from_process_local_data
     local_batch = args.batch // jax.process_count()
-    mixed = make_interleaved_dataset(frames, args.weights, batch_size=local_batch)
+    mixed = make_interleaved_dataset(
+        frames, args.weights, batch_size=local_batch,
+        shuffle_buffer_size=args.shuffle_buffer,
+    )
     if jax.process_count() > 1:
         mixed = mixed.shard(jax.process_count(), jax.process_index())
 

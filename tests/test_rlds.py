@@ -116,3 +116,184 @@ def test_interleaved_batches():
     assert batch["action"].shape == (8, 4, 7)
     batch2 = next(it)  # repeats forever
     assert batch2["action"].shape == (8, 4, 7)
+
+
+def test_binarize_gripper_reverse_scan():
+    from vlaser_tpu.data.rlds import binarize_gripper_actions
+
+    # open(1.0) -> intermediates -> closed(0.0): intermediates take the NEXT
+    # settled state (0), trailing intermediates take the final raw action
+    acts = tf.constant([1.0, 0.6, 0.4, 0.0, 0.0, 0.5], tf.float32)
+    out = binarize_gripper_actions(acts).numpy()
+    np.testing.assert_allclose(out, [1, 0, 0, 0, 0, 0.5])
+
+
+def test_rel2abs_gripper():
+    from vlaser_tpu.data.rlds import rel2abs_gripper_actions
+
+    # relative: +1 close at t=2 -> closed (0) from then on; starts open (1)
+    acts = tf.constant([0.0, 0.0, 1.0, 0.0, -1.0, 0.0], tf.float32)
+    out = rel2abs_gripper_actions(acts).numpy()
+    np.testing.assert_allclose(out, [1, 1, 0, 0, 1, 1])
+
+
+def test_relabel_actions_movement_delta():
+    from vlaser_tpu.data.rlds import relabel_actions
+
+    state = np.zeros((4, 7), np.float32)
+    state[:, 0] = [0.0, 1.0, 3.0, 6.0]  # x moves by 1, 2, 3
+    traj = {
+        "observation": {"state": tf.constant(state)},
+        "action": tf.constant(np.ones((4, 7), np.float32)),
+    }
+    out = relabel_actions(traj)
+    acts = out["action"].numpy()
+    assert acts.shape == (3, 7)  # last step dropped
+    np.testing.assert_allclose(acts[:, 0], [1, 2, 3])
+    np.testing.assert_allclose(acts[:, -1], 1)  # gripper passthrough
+
+
+def test_quaternion_to_euler_matches_geometry():
+    from vlaser_tpu.data.rlds import quaternion_to_euler
+    from vlaser_tpu.envs.geometry import euler2quat
+
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        rpy = rng.uniform(-1.2, 1.2, 3)  # avoid gimbal lock region
+        q_wxyz = euler2quat(*rpy)
+        q_xyzw = np.array([q_wxyz[1], q_wxyz[2], q_wxyz[3], q_wxyz[0]])
+        out = quaternion_to_euler(tf.constant(q_xyzw[None], tf.float32)).numpy()[0]
+        np.testing.assert_allclose(out, rpy, atol=1e-5)
+
+
+def test_augmentation_changes_image_deterministically():
+    from vlaser_tpu.data.rlds import AUGMENT_KWARGS_PRIMARY, augment_image
+
+    rng = np.random.default_rng(0)
+    img = tf.constant(rng.integers(0, 255, (32, 32, 3), np.uint8))
+    a = augment_image(img, tf.constant([3, 7]), AUGMENT_KWARGS_PRIMARY).numpy()
+    b = augment_image(img, tf.constant([3, 7]), AUGMENT_KWARGS_PRIMARY).numpy()
+    c = augment_image(img, tf.constant([9, 1]), AUGMENT_KWARGS_PRIMARY).numpy()
+    assert a.shape == (32, 32, 3) and a.dtype == np.uint8
+    np.testing.assert_array_equal(a, b)  # same seed -> same augmentation
+    assert (a != c).any()  # different seed -> different
+    assert (a != img.numpy()).any()  # actually augmented
+
+
+def test_frame_transforms_with_augmentation():
+    from vlaser_tpu.data.rlds import AUGMENT_KWARGS_PRIMARY
+
+    ds, _ = _synthetic_traj_ds()
+    frames = apply_trajectory_transforms(ds, window_size=2, action_horizon=4)
+    out = apply_frame_transforms(
+        frames, resize=(24, 24), train=True,
+        image_augment_kwargs=AUGMENT_KWARGS_PRIMARY,
+    )
+    f = next(iter(out.as_numpy_iterator()))
+    assert f["observation"]["image_primary"].shape == (2, 24, 24, 3)
+    assert f["observation"]["image_primary"].dtype == np.uint8
+
+
+def test_goal_relabel_uniform():
+    from vlaser_tpu.data.rlds import goal_relabel_uniform
+
+    ds, trajs = _synthetic_traj_ds(n_traj=1, traj_len=10)
+    traj = next(iter(ds))
+    out = goal_relabel_uniform(traj, max_goal_distance=3, seed=0)
+    assert "task" in out
+    goal_prop = out["task"]["proprio"].numpy()
+    prop = trajs[0]["observation"]["proprio"]
+    # every goal must be a real future observation within distance 3
+    for t in range(10):
+        dists = np.abs(prop[t : t + 4] - goal_prop[t]).sum(axis=1)
+        assert dists.min() < 1e-6, t
+
+
+def test_chunking_carries_task():
+    from vlaser_tpu.data.rlds import goal_relabel_uniform
+
+    ds, _ = _synthetic_traj_ds(n_traj=1, traj_len=6)
+    frames = apply_trajectory_transforms(
+        ds, window_size=1, action_horizon=2,
+        goal_relabeling_strategy="uniform",
+        goal_relabeling_kwargs={"seed": 0},
+    )
+    f = next(iter(frames.as_numpy_iterator()))
+    assert "task" in f and f["task"]["proprio"].shape == (7,)
+
+
+def test_skip_unlabeled():
+    ds, _ = _synthetic_traj_ds(n_traj=1, traj_len=4)
+
+    def clear_lang(t):
+        t = dict(t)
+        t["language_instruction"] = tf.fill(
+            tf.shape(t["language_instruction"]), ""
+        )
+        return t
+
+    unlabeled = ds.map(clear_lang)
+    frames = apply_trajectory_transforms(unlabeled, skip_unlabeled=True)
+    assert len(list(frames.as_numpy_iterator())) == 0
+
+
+def test_bridge_standardize_binarizes_and_relabels():
+    from vlaser_tpu.data.rlds import bridge_standardize
+
+    T = 5
+    state = np.zeros((T, 7), np.float32)
+    state[:, 1] = np.arange(T)  # y moves 1/step
+    raw = {
+        "observation": {
+            "image_0": np.zeros((T, 8, 8, 3), np.uint8),
+            "state": tf.constant(state),
+        },
+        "action": tf.constant(
+            np.concatenate(
+                [np.zeros((T, 6), np.float32),
+                 np.array([[1.0], [0.5], [0.0], [0.0], [1.0]], np.float32)],
+                axis=1,
+            )
+        ),
+        "language_instruction": tf.constant([b"x"] * T),
+    }
+    out = bridge_standardize(raw)
+    acts = out["action"].numpy()
+    assert acts.shape == (T - 1, 7)  # relabel drops last step
+    np.testing.assert_allclose(acts[:, 1], 1.0)  # movement from state deltas
+    # gripper binarized: 1.0, 0.5->next settled (0), 0, 0
+    np.testing.assert_allclose(acts[:, -1], [1, 0, 0, 0])
+
+
+def test_fractal_standardize_proprio_euler():
+    from vlaser_tpu.data.rlds import fractal_standardize
+    from vlaser_tpu.envs.geometry import euler2quat
+
+    T = 3
+    rpy = np.array([0.1, -0.2, 0.3])
+    q_wxyz = euler2quat(*rpy)
+    q_xyzw = np.array([q_wxyz[1], q_wxyz[2], q_wxyz[3], q_wxyz[0]], np.float32)
+    pose = np.concatenate([np.arange(3, dtype=np.float32), q_xyzw])
+    raw = {
+        "observation": {
+            "image": np.zeros((T, 8, 8, 3), np.uint8),
+            "base_pose_tool_reached": tf.constant(np.tile(pose, (T, 1))),
+            "gripper_closed": tf.constant(np.zeros((T, 1), np.float32)),
+            "natural_language_instruction": tf.constant([b"y"] * T),
+        },
+        "action": {
+            "world_vector": tf.constant(np.ones((T, 3), np.float32)),
+            "rotation_delta": tf.constant(np.zeros((T, 3), np.float32)),
+            "gripper_closedness_action": tf.constant(
+                np.array([[0.0], [1.0], [0.0]], np.float32)
+            ),
+        },
+    }
+    out = fractal_standardize(raw)
+    prop = out["observation"]["proprio"].numpy()
+    assert prop.shape == (T, 7)
+    np.testing.assert_allclose(prop[0, :3], [0, 1, 2], atol=1e-6)
+    np.testing.assert_allclose(prop[0, 3:6], rpy, atol=1e-5)  # quat -> euler
+    acts = out["action"].numpy()
+    # rel2abs: starts open (1), closes at t=1 -> 0
+    np.testing.assert_allclose(acts[:, -1], [1, 0, 0])
