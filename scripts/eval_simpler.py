@@ -14,6 +14,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from vlaser_tpu.core.distributed import respect_platform_env
+    respect_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--model_path", required=True)
     ap.add_argument("--ckpt", required=True, help="torch .pt or orbax dir")

@@ -63,7 +63,8 @@ def main():
     # (replaces init_dist + deepspeed.init_distributed, dist_utils.py:32-104)
     import jax
 
-    from vlaser_tpu.core.distributed import initialize as dist_init
+    from vlaser_tpu.core.distributed import initialize as dist_init, respect_platform_env
+    respect_platform_env()
     dist_init()
 
     assert args.data or args.meta, "need --data or --meta"

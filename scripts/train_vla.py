@@ -38,7 +38,8 @@ def main():
     import numpy as np
     from transformers import AutoTokenizer
 
-    from vlaser_tpu.core.distributed import initialize as dist_init
+    from vlaser_tpu.core.distributed import initialize as dist_init, respect_platform_env
+    respect_platform_env()
     dist_init()  # no-op single-process (core/distributed.py)
 
     from vlaser_tpu.core.config import vlaser_2b_vla

@@ -126,3 +126,15 @@ def shard_for_process(dataset, *, num_shards: Optional[int] = None,
     raise ValueError(
         f"{type(dataset).__name__} is not shardable; wrap it or slice upstream"
     )
+
+
+def respect_platform_env() -> None:
+    """Honor JAX_PLATFORMS=cpu under TPU plugins that ignore the env var
+    (the axon plugin does; see tests/conftest.py). Call before first backend
+    touch in entry scripts."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass

@@ -145,3 +145,86 @@ def make_mpo_loss(model, cfg: MPOConfig):
         return loss, metrics
 
     return loss_fn
+
+
+class MPOTrainer:
+    """Runnable MPO loop (internvl_chat_mpo.py recipe): frozen reference
+    params copy, jitted concatenated-forward step, BCO running reward shift
+    updated host-side between steps."""
+
+    def __init__(self, model, params, cfg: MPOConfig, train_cfg=None, mesh=None):
+        import optax
+
+        from ..core import mesh as mesh_lib
+        from ..train.optim import make_optimizer, warmup_cosine
+        from ..train.train_step import TrainState, shard_train_state
+
+        from .trainer import TrainConfig  # local import to avoid cycle
+
+        self.model = model
+        self.cfg = cfg
+        self.train_cfg = train_cfg or TrainConfig()
+        tc = self.train_cfg
+        schedule = warmup_cosine(tc.learning_rate, tc.total_steps, tc.warmup_ratio)
+        frozen = [r"vision_model/"] if tc.freeze_vision else []
+        self.tx = make_optimizer(
+            schedule, weight_decay=tc.weight_decay, grad_clip=tc.grad_clip,
+            frozen_patterns=tuple(frozen), params=params,
+        )
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(
+            fsdp=tc.mesh_fsdp, tp=tc.mesh_tp
+        )
+        state = TrainState(params, self.tx.init(params), jnp.zeros((), jnp.int32))
+        self.state, _ = shard_train_state(state, self.mesh)
+        # frozen reference policy = a REAL copy of the initial params
+        # (device_put would alias the live buffers, which the donating step
+        # then invalidates — f(donate(a), a))
+        self.ref_params = jax.jit(
+            lambda t: jax.tree_util.tree_map(jnp.copy, t)
+        )(self.state.params)
+        self.running = RunningMoments()
+
+        loss_fn = make_mpo_loss(model, cfg)
+
+        def step_fn(state, ref_params, batch, delta, rng):
+            import optax as _optax
+
+            (loss, metrics), grads = jax.value_and_grad(
+                lambda p: loss_fn(p, ref_params, batch, delta), has_aux=True
+            )(state.params)
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            new_params = _optax.apply_updates(state.params, updates)
+            metrics = dict(metrics, loss=loss,
+                           grad_norm=_optax.global_norm(grads))
+            return TrainState(new_params, new_opt, state.step + 1), metrics
+
+        self._step = jax.jit(step_fn, donate_argnums=(0,))
+
+    def train(self, batches, num_steps: int):
+        import logging
+
+        import numpy as np
+
+        from ..core.distributed import put_global_batch
+
+        logger = logging.getLogger("vlaser_tpu.train")
+        rng = jax.random.PRNGKey(0)
+        for i, batch in enumerate(batches):
+            if i >= num_steps:
+                break
+            batch = put_global_batch(batch, self.mesh)
+            rng, sub = jax.random.split(rng)
+            delta = jnp.asarray(self.running.mean, jnp.float32)
+            self.state, metrics = self._step(
+                self.state, self.ref_params, batch, delta, sub
+            )
+            self.running.update(np.asarray(metrics.pop("rewards")))
+            step = i + 1
+            if step == 1 or step % self.train_cfg.log_every == 0 or step == num_steps:
+                logger.info(
+                    "mpo step %d loss %.4f dpo %.4f bco %.4f sft %.4f acc %.3f",
+                    step, float(metrics["loss"]), float(metrics["dpo_loss"]),
+                    float(metrics["bco_loss"]), float(metrics["sft_loss"]),
+                    float(metrics["reward_accuracy"]),
+                )
+        return self.state

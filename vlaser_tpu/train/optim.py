@@ -63,8 +63,10 @@ def warmup_cosine(
     """HF Trainer-style cosine with warmup (VLM SFT recipe: lr 2e-5 cosine,
     warmup_ratio 0.03)."""
     warmup = max(1, int(total_steps * warmup_ratio))
+    # decay span must be >= 1 (smoke runs with total_steps <= warmup)
+    total = max(total_steps, warmup + 1)
     return optax.warmup_cosine_decay_schedule(
-        0.0, max_lr, warmup, total_steps, end_value=max_lr * min_ratio
+        0.0, max_lr, warmup, total, end_value=max_lr * min_ratio
     )
 
 
