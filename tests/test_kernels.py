@@ -250,3 +250,94 @@ class TestFlashBackward:
         for a, b in zip(g_pal, g_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_softcap_forward_and_grad_parity():
+    """Gemma tanh soft-clamp inside the Pallas kernel (joint_model.py:368-371)
+    must match the XLA reference in both values and gradients."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vlaser_tpu.kernels.flash_attention import attention
+
+    rng = np.random.default_rng(0)
+    B, S, H, D = 1, 64, 4, 32
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+
+    def run(impl):
+        def f(q, k, v):
+            out = attention(q, k, v, causal=True, softcap=50.0, impl=impl,
+                            interpret=(impl == "pallas"))
+            return jnp.sum(out * out), out
+
+        (loss, out), grads = jax.value_and_grad(f, argnums=(0, 1, 2),
+                                                has_aux=True)(q, k, v)
+        return out, grads
+
+    out_ref, g_ref = run("reference")
+    out_pl, g_pl = run("pallas")
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref),
+                               rtol=2e-4, atol=2e-4)
+    for a, b in zip(g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_cached_decode_levels_preserved():
+    """KVCache now stores block-mask levels: a cached decode with the VLA
+    level rule must equal the uncached forward (round-1 zeroed levels)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vlaser_tpu.core.config import tiny_llm
+    from vlaser_tpu.inference.kv_cache import KVCache
+    from vlaser_tpu.models.qwen2 import Qwen2Model
+
+    cfg = tiny_llm()
+    model = Qwen2Model(cfg, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    B, S1, S2 = 1, 6, 2
+    x = jnp.asarray(rng.standard_normal((B, S1 + S2, cfg.hidden_size)),
+                    jnp.float32)
+    pos = jnp.arange(S1 + S2)[None, :]
+    seg = jnp.ones((B, S1 + S2), jnp.int32)
+    lev = jnp.asarray([[0] * S1 + [1] * S2], jnp.int32)
+
+    params = model.init(jax.random.PRNGKey(0), x, pos, seg_ids=seg,
+                        levels=lev, causal=False, attn_impl="reference")
+    full, _ = model.apply(params, x, pos, seg_ids=seg, levels=lev,
+                          causal=False, attn_impl="reference")
+
+    cache = KVCache.create(cfg.num_layers, B, S1 + S2, cfg.num_kv_heads,
+                           cfg.head_dim, jnp.float32)
+    _, cache = model.apply(params, x[:, :S1], pos[:, :S1],
+                           seg_ids=seg[:, :S1], levels=lev[:, :S1],
+                           cache=cache, causal=False, attn_impl="reference")
+    out2, _ = model.apply(params, x[:, S1:], pos[:, S1:],
+                          seg_ids=seg[:, S1:], levels=lev[:, S1:],
+                          cache=cache, causal=False, attn_impl="reference")
+    # suffix (level 1) may attend to prefix (level 0): cached == uncached.
+    # With round-1's zeroed cache levels this still passed; the reverse
+    # direction is the trap: prefix queries must NOT see the suffix.
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(full[:, S1:]),
+                               rtol=1e-5, atol=1e-5)
+
+    # now levels reversed: suffix at level 0 must not attend to level-1 keys
+    lev_hi = jnp.asarray([[1] * S1 + [0] * S2], jnp.int32)
+    full_hi, _ = model.apply(params, x, pos, seg_ids=seg, levels=lev_hi,
+                             causal=False, attn_impl="reference")
+    cache2 = KVCache.create(cfg.num_layers, B, S1 + S2, cfg.num_kv_heads,
+                            cfg.head_dim, jnp.float32)
+    _, cache2 = model.apply(params, x[:, :S1], pos[:, :S1],
+                            seg_ids=seg[:, :S1], levels=lev_hi[:, :S1],
+                            cache=cache2, causal=False, attn_impl="reference")
+    out_hi, _ = model.apply(params, x[:, S1:], pos[:, S1:],
+                            seg_ids=seg[:, S1:], levels=lev_hi[:, S1:],
+                            cache=cache2, causal=False, attn_impl="reference")
+    np.testing.assert_allclose(np.asarray(out_hi),
+                               np.asarray(full_hi[:, S1:]),
+                               rtol=1e-5, atol=1e-5)

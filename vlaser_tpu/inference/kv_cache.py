@@ -20,6 +20,7 @@ class KVCache:
     k: jax.Array  # [L, B, max_len, KVH, D]
     v: jax.Array  # [L, B, max_len, KVH, D]
     seg: jax.Array  # [B, max_len] int32; 0 = empty/padding
+    lev: jax.Array  # [B, max_len] int32 — VLA block-mask levels (0 default)
     length: jax.Array  # [] int32 — next write offset
 
     @classmethod
@@ -37,6 +38,7 @@ class KVCache:
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
             seg=jnp.zeros((batch, max_len), jnp.int32),
+            lev=jnp.zeros((batch, max_len), jnp.int32),
             length=jnp.zeros((), jnp.int32),
         )
 
@@ -44,19 +46,21 @@ class KVCache:
     def max_len(self) -> int:
         return self.k.shape[2]
 
-    def write_seg(self, seg_ids: jax.Array) -> "KVCache":
-        """Record segment ids for the next `S` slots (call once per step)."""
+    def write_meta(self, seg_ids: jax.Array, levels=None) -> "KVCache":
+        """Record segment ids (+ optional levels) for the next `S` slots
+        (call once per step)."""
         s = seg_ids.shape[1]
         new_seg = jax.lax.dynamic_update_slice(self.seg, seg_ids, (0, self.length))
-        return self.replace(seg=new_seg, length=self.length + s)
+        new_lev = self.lev
+        if levels is not None:
+            new_lev = jax.lax.dynamic_update_slice(
+                self.lev, levels.astype(jnp.int32), (0, self.length)
+            )
+        return self.replace(seg=new_seg, lev=new_lev, length=self.length + s)
 
-    def write_layer(self, layer_k: jax.Array, layer_v: jax.Array, layer_idx):
-        """Functional per-layer write used inside scanned layers.
-
-        layer_k/v: [B, S, KVH, D]. Returns updated [B, max, KVH, D] slices.
-        (The scan carries the sliced buffers; see Qwen2Model.)
-        """
-        raise NotImplementedError("use write_layer_buffers")
+    # kept for callers written against the round-1 API
+    def write_seg(self, seg_ids: jax.Array) -> "KVCache":
+        return self.write_meta(seg_ids)
 
 
 def write_kv(buf: jax.Array, new: jax.Array, offset: jax.Array) -> jax.Array:

@@ -64,6 +64,7 @@ def _flash_fwd_kernel(
     block_k: int,
     num_k_blocks: int,
     scale: float,
+    softcap: Optional[float] = None,
 ):
     ik = pl.program_id(3)
 
@@ -89,6 +90,9 @@ def _flash_fwd_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [bq, bk]
+        if softcap is not None:
+            # Gemma logit soft-clamp (joint_model.py:368-371)
+            s = softcap * jnp.tanh(s / softcap)
 
         qm = qm_ref[0, 0]  # [bq] int32
         km = km_ref[0, 0]  # [bk]
@@ -141,7 +145,8 @@ def _pad_to(x: jax.Array, axis: int, multiple: int, value=0):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "scale", "block_q", "block_k", "interpret"),
+    static_argnames=("causal", "scale", "block_q", "block_k", "interpret",
+                     "softcap"),
 )
 def flash_attention_fwd(
     q: jax.Array,  # [B, Sq, H, D]
@@ -155,6 +160,7 @@ def flash_attention_fwd(
     block_q: int = 256,
     block_k: int = 256,
     interpret: bool = False,
+    softcap: Optional[float] = None,
 ):
     b, sq, h, d = q.shape
     skv, kvh = k.shape[1], k.shape[2]
@@ -185,6 +191,7 @@ def flash_attention_fwd(
         block_k=block_k,
         num_k_blocks=nk,
         scale=scale,
+        softcap=softcap,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -254,7 +261,7 @@ def _flash_bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qm_ref, km_ref,
     dq_ref,
     dq_scr,
-    *, causal, block_q, block_k, num_k_blocks, scale,
+    *, causal, block_q, block_k, num_k_blocks, scale, softcap=None,
 ):
     ik = pl.program_id(3)
     iq = pl.program_id(2)
@@ -276,6 +283,9 @@ def _flash_bwd_dq_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if softcap is not None:
+            t_cap = jnp.tanh(s / softcap)
+            s = softcap * t_cap
         allowed = _bwd_mask(qm_ref[0, 0], km_ref[0, 0], q_start, k_start,
                             block_q, block_k, causal)
         lse = lse_ref[0, 0]  # [bq, 1]
@@ -287,6 +297,8 @@ def _flash_bwd_dq_kernel(
         )  # [bq, bk]
         delta = delta_ref[0, 0]  # [bq, 1]
         ds = p * (dp - delta)
+        if softcap is not None:
+            ds = ds * (1.0 - t_cap * t_cap)  # d/ds softcap*tanh(s/softcap)
         dq_scr[:] = dq_scr[:] + scale * jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -301,7 +313,7 @@ def _flash_bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qm_ref, km_ref,
     dk_ref, dv_ref,
     dk_scr, dv_scr,
-    *, causal, block_q, block_k, num_q_blocks, num_inner, scale,
+    *, causal, block_q, block_k, num_q_blocks, num_inner, scale, softcap=None,
 ):
     t = pl.program_id(3)
     ik = pl.program_id(2)
@@ -326,6 +338,9 @@ def _flash_bwd_dkv_kernel(
         st = jax.lax.dot_general(
             k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if softcap is not None:
+            t_cap = jnp.tanh(st / softcap)
+            st = softcap * t_cap
         allowed = _bwd_mask(qm_ref[0, 0], km_ref[0, 0], q_start, k_start,
                             block_q, block_k, causal)
         lse = lse_ref[0, 0][:, 0]  # [bq]
@@ -340,6 +355,8 @@ def _flash_bwd_dkv_kernel(
         )  # [bk, bq]
         delta = delta_ref[0, 0][:, 0]  # [bq]
         dst = pt * (dpt - delta[None, :])
+        if softcap is not None:
+            dst = dst * (1.0 - t_cap * t_cap)
         dk_scr[:] = dk_scr[:] + scale * jax.lax.dot_general(
             dst, q / scale, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -353,7 +370,8 @@ def _flash_bwd_dkv_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "scale", "block_q", "block_k", "interpret"),
+    static_argnames=("causal", "scale", "block_q", "block_k", "interpret",
+                     "softcap"),
 )
 def flash_attention_bwd(
     q, k, v, q_meta, kv_meta, q_offset, out, lse, dout,
@@ -362,6 +380,7 @@ def flash_attention_bwd(
     block_q: int = 256,
     block_k: int = 256,
     interpret: bool = False,
+    softcap: Optional[float] = None,
 ):
     b, sq, h, d = q.shape
     skv, kvh = k.shape[1], k.shape[2]
@@ -389,7 +408,7 @@ def flash_attention_bwd(
     dq = pl.pallas_call(
         functools.partial(
             _flash_bwd_dq_kernel, causal=causal, block_q=block_q,
-            block_k=block_k, num_k_blocks=nk, scale=scale,
+            block_k=block_k, num_k_blocks=nk, scale=scale, softcap=softcap,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -428,6 +447,7 @@ def flash_attention_bwd(
         functools.partial(
             _flash_bwd_dkv_kernel, causal=causal, block_q=block_q,
             block_k=block_k, num_q_blocks=nq, num_inner=num_inner, scale=scale,
+            softcap=softcap,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -495,7 +515,7 @@ def _attention(q, k, v, q_meta, kv_meta, q_offset, causal, scale, use_pallas,
     if use_pallas:
         out, _ = flash_attention_fwd(
             q, k, v, q_meta, kv_meta, q_offset, causal=causal, scale=scale,
-            interpret=interpret,
+            interpret=interpret, softcap=softcap,
         )
         return out
     return _ref_attention(q, k, v, q_meta, kv_meta, q_offset, causal, scale,
@@ -507,7 +527,7 @@ def _attention_fwd(q, k, v, q_meta, kv_meta, q_offset, causal, scale,
     if use_pallas:
         out, lse = flash_attention_fwd(
             q, k, v, q_meta, kv_meta, q_offset, causal=causal, scale=scale,
-            interpret=interpret,
+            interpret=interpret, softcap=softcap,
         )
         return out, (q, k, v, q_meta, kv_meta, q_offset, out, lse)
     out = _ref_attention(q, k, v, q_meta, kv_meta, q_offset, causal, scale,
@@ -520,7 +540,7 @@ def _attention_bwd(causal, scale, use_pallas, interpret, softcap, res, g):
     if use_pallas:
         dq, dk, dv = flash_attention_bwd(
             q, k, v, q_meta, kv_meta, q_offset, out, lse, g,
-            causal=causal, scale=scale, interpret=interpret,
+            causal=causal, scale=scale, interpret=interpret, softcap=softcap,
         )
     else:
         _, vjp = jax.vjp(
@@ -579,8 +599,6 @@ def attention(
             else "reference"
         )
     use_pallas = impl == "pallas"
-    if softcap is not None:
-        assert not use_pallas, "attn softcap supported on the reference path"
     return _attention(
         q, k, v, q_meta, kv_meta, jnp.asarray(q_offset, jnp.int32),
         causal, scale, use_pallas, interpret, softcap,

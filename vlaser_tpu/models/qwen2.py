@@ -174,10 +174,12 @@ class Qwen2Model(nn.Module):
         use_cache = cache is not None
         if use_cache:
             q_offset = cache.length
-            cache = cache.write_seg(seg_ids)
+            cache = cache.write_meta(seg_ids, levels)
             kv_seg = cache.seg
             kv_k, kv_v = cache.k, cache.v  # [L, B, max, KVH, D]
-            kv_levels = None if levels is None else jnp.zeros_like(kv_seg)
+            # levels persist in the cache, so the VLA block rule holds across
+            # cached decode steps too (round-1 silently zeroed them)
+            kv_levels = None if levels is None else cache.lev
         else:
             q_offset = jnp.zeros((), jnp.int32)
             kv_seg = seg_ids
