@@ -159,3 +159,47 @@ def test_vlm_text_path():
     toks = model.apply(merged, args[0], args[1], args[2],
                        method=model.infer_text, max_new_tokens=3)
     assert toks.shape == (B, 3)
+
+
+@pytest.mark.parametrize("mode", ["adaln", "adaln_zero"])
+def test_adaptive_mode_cached_oracle(mode):
+    """adaLN / adaLN-Zero mixture options (modules.py:78-117, pizero.py:86-102):
+    cached infer_action must equal the no-cache oracle with time-conditioned
+    norms active, and the adaptive params must exist."""
+    import dataclasses
+
+    from vlaser_tpu.core.config import tiny_vla
+
+    cfg = dataclasses.replace(tiny_vla(max_image_text_tokens=12),
+                              adaptive_mode=mode, time_hidden_size=16)
+    model = PiZeroVLA(cfg, compute_dtype=jnp.float32, attn_impl="reference")
+    rng = np.random.default_rng(0)
+    B, S = 1, cfg.max_image_text_tokens
+    img = cfg.vlm.vision.image_size
+    ids = rng.integers(1, 400, (B, S))
+    ids[:, 2] = cfg.vlm.img_context_token_id
+    args = (
+        jnp.asarray(ids),
+        jnp.asarray(rng.standard_normal((B, img, img, 3)).astype(np.float32)),
+        jnp.ones((B, S), jnp.int32),
+        jnp.zeros((B, cfg.cond_steps, cfg.proprio_dim), jnp.float32),
+        jnp.asarray(rng.standard_normal(
+            (B, cfg.num_action_tokens, cfg.action_dim)).astype(np.float32)),
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), args[0], args[1], args[2], args[3],
+        jnp.zeros((B, cfg.num_action_tokens, cfg.action_dim)),
+        jnp.zeros((B,)), args[4],
+    )
+    flat = "/".join(
+        "/".join(str(k.key) for k in path if hasattr(k, "key"))
+        for path, _ in jax.tree_util.tree_leaves_with_path(params)
+    )
+    assert "ada_input_norm" in flat
+    if mode == "adaln_zero":
+        assert "post_adaptive_scale" in flat
+
+    cached = model.apply(params, *args, method=model.infer_action)
+    naive = model.apply(params, *args, method=model.infer_action_naive)
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(naive),
+                               rtol=1e-4, atol=1e-4)

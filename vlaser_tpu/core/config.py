@@ -161,6 +161,11 @@ class VLAConfig:
     backbone: str = "internvl"
     siglip: Optional["SiglipConfig"] = None
     use_lm_head: bool = False  # optional text output (pizero_internvl.py:322)
+    # adaLN ablation (pizero.py:86-102, modules.py:78-117): None | 'adaln' |
+    # 'adaln_zero'. Time conditions the action tokens' norms instead of being
+    # concatenated into the action encoder.
+    adaptive_mode: Optional[str] = None
+    time_hidden_size: int = 256
 
     @property
     def num_proprio_tokens(self) -> int:

@@ -130,3 +130,57 @@ class Embed(nn.Module):
             hidden.astype(self.dtype), emb.T.astype(self.dtype),
             preferred_element_type=jnp.float32,
         )
+
+
+class AdaptiveRMSNorm(nn.Module):
+    """Time-conditioned RMSNorm (adaLN): norm(x) * sigmoid(W_g cond) + W_b cond
+    (src/model/vla/modules.py:78-99)."""
+
+    dim: int
+    eps: float = 1e-6
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, cond):
+        from ..kernels import ops
+
+        normed = ops.rms_norm(x, jnp.ones((self.dim,), x.dtype), self.eps)
+        if cond.ndim == 2:
+            cond = cond[:, None, :]
+        gamma = jax.nn.sigmoid(
+            Dense(self.dim, use_bias=True, param_dtype=self.param_dtype,
+                  compute_dtype=self.compute_dtype, name="to_gamma")(cond)
+        )
+        beta = Dense(self.dim, use_bias=False, param_dtype=self.param_dtype,
+                     compute_dtype=self.compute_dtype, name="to_beta")(cond)
+        return normed * gamma.astype(normed.dtype) + beta.astype(normed.dtype)
+
+
+class AdaptiveLayerscale(nn.Module):
+    """adaLN-Zero residual gate: x * sigmoid(Linear(cond)), zero-init weight,
+    bias -2 => gates open slowly from ~0.12 (modules.py:102-117)."""
+
+    dim: int
+    bias_init: float = -2.0
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, cond):
+        if cond.ndim == 2:
+            cond = cond[:, None, :]
+        kernel = self.param(
+            "kernel", nn.initializers.zeros,
+            (cond.shape[-1], self.dim), self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.constant(self.bias_init),
+            (self.dim,), self.param_dtype,
+        )
+        gamma = (
+            jnp.dot(cond.astype(self.compute_dtype),
+                    kernel.astype(self.compute_dtype))
+            + bias.astype(self.compute_dtype)
+        )
+        return x * jax.nn.sigmoid(gamma).astype(x.dtype)

@@ -18,6 +18,7 @@ drawn from jax PRNG keys passed in explicitly.
 from __future__ import annotations
 
 import math
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,21 +44,25 @@ def sinusoidal_pos_emb(t: jax.Array, dim: int, max_period: float) -> jax.Array:
 
 class ActionEncoder(nn.Module):
     """pi0 appendix action encoder (modules.py:25-55): Linear -> [concat time]
-    -> SiLU -> Linear."""
+    -> SiLU -> Linear. time_cond=False (adaLN variants) drops the concat —
+    time enters through the adaptive norms instead (pizero.py:86-102)."""
 
     width: int
     param_dtype: jnp.dtype = jnp.float32
     compute_dtype: jnp.dtype = jnp.bfloat16
+    time_cond: bool = True
 
     @nn.compact
-    def __call__(self, action: jax.Array, time_emb: jax.Array) -> jax.Array:
+    def __call__(self, action: jax.Array,
+                 time_emb: Optional[jax.Array] = None) -> jax.Array:
         d = lambda f, name: Dense(f, use_bias=True, param_dtype=self.param_dtype,
                                   compute_dtype=self.compute_dtype, name=name)
         emb = d(self.width, "linear_1")(action)
-        time_full = jnp.broadcast_to(
-            time_emb[:, None, :], (*emb.shape[:-1], time_emb.shape[-1])
-        ).astype(emb.dtype)
-        emb = jnp.concatenate([time_full, emb], axis=-1)
+        if self.time_cond:
+            time_full = jnp.broadcast_to(
+                time_emb[:, None, :], (*emb.shape[:-1], time_emb.shape[-1])
+            ).astype(emb.dtype)
+            emb = jnp.concatenate([time_full, emb], axis=-1)
         emb = nn.silu(d(self.width, "linear_2")(emb))
         return d(self.width, "linear_3")(emb)
 
@@ -96,13 +101,15 @@ class PiZeroVLA(nn.Module):
         )
         self.joint = JointModel(
             vlm.llm, expert, self.param_dtype, self.compute_dtype, self.remat,
-            self.attn_impl,
+            self.attn_impl, cfg.adaptive_mode or "",
         )
         mkd = lambda f: Dense(f, use_bias=True, param_dtype=self.param_dtype,
                               compute_dtype=self.compute_dtype)
         self.proprio_encoder = mkd(expert.hidden_size)
-        self.action_encoder = ActionEncoder(expert.hidden_size,
-                                            self.param_dtype, self.compute_dtype)
+        self.action_encoder = ActionEncoder(
+            expert.hidden_size, self.param_dtype, self.compute_dtype,
+            time_cond=not cfg.adaptive_mode,
+        )
         self.action_decoder = mkd(cfg.action_dim)
         if cfg.use_lm_head:
             self.lm_head = Dense(
@@ -186,6 +193,21 @@ class PiZeroVLA(nn.Module):
     def _rope(self, positions, theta):
         return ops.rope_cos_sin(positions, self.cfg.expert.head_dim, theta)
 
+    def _time_embed(self, t: jax.Array):
+        """-> (encoder_time_emb, adaLN_cond): concat-into-encoder by default;
+        adaLN variants route time through the adaptive norms instead
+        (pizero.py:86-102, :483-495)."""
+        cfg = self.cfg
+        if cfg.adaptive_mode:
+            cond = sinusoidal_pos_emb(
+                t, cfg.time_hidden_size, cfg.time_max_period
+            ).astype(self.compute_dtype)
+            return None, cond
+        return (
+            sinusoidal_pos_emb(t, cfg.expert.hidden_size, cfg.time_max_period),
+            None,
+        )
+
     # ------------------------------------------------------------------ #
     # flow-matching training forward (pizero_internvl.py:1064-1197)
     # ------------------------------------------------------------------ #
@@ -210,9 +232,7 @@ class PiZeroVLA(nn.Module):
         proprio_embeds = self.proprio_encoder(
             proprios.reshape(b, cfg.num_proprio_tokens, -1).astype(self.compute_dtype)
         )
-        time_emb = sinusoidal_pos_emb(
-            t, cfg.expert.hidden_size, cfg.time_max_period
-        )
+        time_emb, cond = self._time_embed(t)
         action_embeds = self.action_encoder(
             psi_t.astype(self.compute_dtype), time_emb
         )
@@ -228,7 +248,8 @@ class PiZeroVLA(nn.Module):
         seg, lev = self._meta(text_mask, include_action=True)
 
         _, pa_out = self.joint(
-            "train", embeds_vlm, x_pa, cos_v, sin_v, cos_pa, sin_pa, seg, lev
+            "train", embeds_vlm, x_pa, cos_v, sin_v, cos_pa, sin_pa, seg, lev,
+            cond,
         )
         action_out = pa_out[:, cfg.num_proprio_tokens :]
         v_psi = self.action_decoder(action_out).astype(jnp.float32)
@@ -261,7 +282,7 @@ class PiZeroVLA(nn.Module):
         """One velocity evaluation of the action suffix (768-wide only)."""
         cfg = self.cfg
         b = action.shape[0]
-        time_emb = sinusoidal_pos_emb(t, cfg.expert.hidden_size, cfg.time_max_period)
+        time_emb, cond = self._time_embed(t)
         action_embeds = self._scale_pa(
             self.action_encoder(action.astype(self.compute_dtype), time_emb)
         )
@@ -273,7 +294,7 @@ class PiZeroVLA(nn.Module):
         lev_kv = jnp.concatenate([lev_pre, lev_q], axis=1)
         out = self.joint(
             "suffix", action_embeds, cos_a, sin_a, seg_q, seg_kv, lev_q, lev_kv,
-            k_pre, v_pre,
+            k_pre, v_pre, cond,
         )
         return self.action_decoder(out).astype(jnp.float32)
 
@@ -331,41 +352,66 @@ class PiZeroVLA(nn.Module):
 
     def infer_text(self, input_ids, pixel_values, text_mask,
                    max_new_tokens: int = 16, eos_token_id: int = 2):
-        """Greedy text generation on the joint vlm mixture
-        (pizero_internvl.py:1005 infer_text). One jitted lax.scan; each step
-        re-runs the full prefix (text gen on the VLA is a debug/aux path —
-        the production chat path is inference/chat.py with shared weights)."""
+        """Greedy text generation on the joint vlm mixture with a KV cache
+        (pizero_internvl.py:1005-1048 decodes over its cache): one causal
+        prefill writes the prompt K/V into fixed [L, B, total] buffers, then
+        each lax.scan step runs a single token against the buffers."""
         cfg = self.cfg
+        llm = cfg.vlm.llm
         b, s = input_ids.shape
         total = s + max_new_tokens
-        ids = jnp.concatenate(
-            [input_ids, jnp.zeros((b, max_new_tokens), input_ids.dtype)], axis=1
-        )
-        mask = jnp.concatenate(
-            [text_mask.astype(jnp.int32), jnp.zeros((b, max_new_tokens), jnp.int32)],
-            axis=1,
-        )
-        lengths = jnp.sum(text_mask.astype(jnp.int32), axis=1)
 
-        def step(carry, _):
-            ids, mask, lengths, done = carry
-            logits = self.forward_vlm(ids, pixel_values, mask)
-            last = jnp.take_along_axis(
-                logits, (lengths - 1)[:, None, None], axis=1
-            )[:, 0]
-            nxt = jnp.argmax(last, axis=-1).astype(ids.dtype)
+        embeds = self._image_text_embeds(input_ids, pixel_values)
+        pos = jnp.broadcast_to(jnp.arange(1, s + 1)[None, :], (b, s))
+        cos_v, sin_v = self._rope(pos, llm.rope_theta)
+        seg_prompt = text_mask.astype(jnp.int32)
+        kv_seg = jnp.concatenate(
+            [seg_prompt, jnp.zeros((b, max_new_tokens), jnp.int32)], axis=1
+        )
+        shape = (llm.num_layers, b, total, llm.num_kv_heads, llm.head_dim)
+        k_bufs = jnp.zeros(shape, self.compute_dtype)
+        v_bufs = jnp.zeros(shape, self.compute_dtype)
+        hidden, k_bufs, v_bufs = self.joint(
+            "vlm_cached", embeds, cos_v, sin_v, seg_prompt, kv_seg,
+            jnp.zeros((), jnp.int32), k_bufs, v_bufs,
+        )
+        lengths = jnp.sum(seg_prompt, axis=1)
+        last = jnp.take_along_axis(hidden, (lengths - 1)[:, None, None], axis=1)
+        first_tok = jnp.argmax(
+            self.lm_head(last[:, 0]).astype(jnp.float32), axis=-1
+        ).astype(input_ids.dtype)
+        done0 = first_tok == eos_token_id
+        first_tok = jnp.where(done0, 0, first_tok)
+
+        if self.is_initializing():
+            return first_tok[:, None]
+
+        def step(mdl, carry, i):
+            tok, k_bufs, v_bufs, kv_seg, done, lengths = carry
+            offset = s + i
+            x = mdl.embed_tokens(tok[:, None])
+            position = (lengths + 1 + i)[:, None]  # 1-based like _positions
+            cos, sin = mdl._rope(position, llm.rope_theta)
+            kv_seg = jax.lax.dynamic_update_slice(
+                kv_seg, jnp.ones((b, 1), jnp.int32), (0, offset)
+            )
+            hidden, k_bufs, v_bufs = mdl.joint(
+                "vlm_cached", x, cos, sin, jnp.ones((b, 1), jnp.int32),
+                kv_seg, offset, k_bufs, v_bufs,
+            )
+            logits = mdl.lm_head(hidden[:, 0]).astype(jnp.float32)
+            nxt = jnp.argmax(logits, axis=-1).astype(tok.dtype)
+            done = jnp.logical_or(done, tok == eos_token_id)
             nxt = jnp.where(done, 0, nxt)
-            ids = jnp.asarray(ids)
-            b_idx = jnp.arange(b)
-            ids = ids.at[b_idx, lengths].set(nxt)
-            mask = mask.at[b_idx, lengths].set(jnp.where(done, 0, 1).astype(jnp.int32))
             done = jnp.logical_or(done, nxt == eos_token_id)
-            return (ids, mask, lengths + 1, done), nxt
+            return (nxt, k_bufs, v_bufs, kv_seg, done, lengths), tok
 
-        done0 = jnp.zeros((b,), bool)
-        (ids, mask, _, _), toks = jax.lax.scan(
-            step, (ids, mask, lengths, done0), None, length=max_new_tokens
-        )
+        _, toks = nn.scan(
+            step,
+            variable_broadcast=("params", "quant"),
+            split_rngs={"params": False},
+        )(self, (first_tok, k_bufs, v_bufs, kv_seg, done0, lengths),
+          jnp.arange(max_new_tokens))
         return jnp.transpose(toks, (1, 0))
 
     def infer_action_naive(
@@ -390,8 +436,7 @@ class PiZeroVLA(nn.Module):
         action = noise.astype(jnp.float32)
         for i in range(cfg.num_inference_steps):
             t = jnp.full((b,), i * delta_t, jnp.float32)
-            time_emb = sinusoidal_pos_emb(t, cfg.expert.hidden_size,
-                                          cfg.time_max_period)
+            time_emb, cond = self._time_embed(t)
             action_embeds = self.action_encoder(
                 action.astype(self.compute_dtype), time_emb
             )
@@ -399,7 +444,8 @@ class PiZeroVLA(nn.Module):
                 jnp.concatenate([proprio_embeds, action_embeds], axis=1)
             )
             _, pa_out = self.joint(
-                "train", embeds_vlm, x_pa, cos_v, sin_v, cos_pa, sin_pa, seg, lev
+                "train", embeds_vlm, x_pa, cos_v, sin_v, cos_pa, sin_pa, seg,
+                lev, cond,
             )
             v = self.action_decoder(
                 pa_out[:, cfg.num_proprio_tokens :]
