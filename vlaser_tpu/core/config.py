@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Optional
+from typing import Optional, Tuple
 
 
 def _replace(cfg, **kw):
@@ -82,6 +82,11 @@ class LLMConfig:
     embed_scale: bool = False  # Gemma multiplies embeddings by sqrt(hidden)
     attn_softcap: Optional[float] = None  # tanh soft-clamp on logits (50.0)
     query_pre_attn_scalar: Optional[float] = None  # Gemma scale override
+    # Phi3 su/longrope scaling (modeling_phi3.py:139-178): per-frequency
+    # extension factors, hashable tuples (head_dim/2 entries each)
+    rope_short_factor: Optional[Tuple[float, ...]] = None
+    rope_long_factor: Optional[Tuple[float, ...]] = None
+    original_max_position: Optional[int] = None
 
     @property
     def q_dim(self) -> int:

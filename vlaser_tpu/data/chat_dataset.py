@@ -113,6 +113,94 @@ def preprocess_internvl2_5(
     return np.asarray(ids_out, np.int32), np.asarray(labels_out, np.int32)
 
 
+def preprocess_mpt_family(
+    conversations: List[Dict[str, str]],
+    tokenizer,
+    num_image_token_list: Sequence[int],
+    template_name: str,
+    text_only: bool = False,
+    add_bos: bool = False,
+):
+    """Per-segment tokenization + assistant-only masking for the chatml/MPT
+    template family: Hermes-2, internlm2-chat, phi3-chat.
+
+    Parity surface: internvl/train/dataset.py preprocess_mpt(:418),
+    preprocess_phi3(:512), preprocess_internlm(:621) — those retokenize
+    turn-splits of the full prompt; segment-wise construction here yields the
+    same strings with the same assistant-span supervision. add_bos: the
+    internlm2-chat convention prepends <s> (dataset.py:621 comment in
+    conversation.py:345-349)."""
+    tpl = get_conv_template(template_name)
+    convs = list(conversations)
+    if convs and convs[0]["from"] == "system":
+        tpl.system_message = convs[0]["value"]
+        convs = convs[1:]
+
+    if not text_only:
+        idx = 0
+        expanded = []
+        for c in convs:
+            c = dict(c)
+            if c["from"] == "human":
+                n = c["value"].count("<image>")
+                for _ in range(n):
+                    if idx == len(num_image_token_list):
+                        break
+                    tokens = (
+                        IMG_START_TOKEN
+                        + IMG_CONTEXT_TOKEN * num_image_token_list[idx]
+                        + IMG_END_TOKEN
+                    )
+                    c["value"] = c["value"].replace("<image>", tokens, 1)
+                    idx += 1
+            expanded.append(c)
+        convs = expanded
+
+    segments: List[str] = []
+    supervised: List[bool] = []  # whole-segment flag; role prefix masked below
+    sys_str = tpl.system_template.format(system_message=tpl.system_message)
+    segments.append(sys_str + tpl.sep)
+    supervised.append(False)
+    for c in convs:
+        if c["from"] == "human":
+            segments.append(tpl.roles[0] + c["value"] + tpl.sep)
+            supervised.append(False)
+        elif c["from"] == "gpt":
+            segments.append(tpl.roles[1] + c["value"] + tpl.sep)
+            supervised.append(True)
+        else:
+            raise NotImplementedError(c["from"])
+
+    ids_out: List[int] = []
+    labels_out: List[int] = []
+    if add_bos and getattr(tokenizer, "bos_token_id", None) is not None:
+        ids_out.append(tokenizer.bos_token_id)
+        labels_out.append(IGNORE_TOKEN_ID)
+    role_len = len(tokenizer(tpl.roles[1], add_special_tokens=False)["input_ids"])
+    for seg, sup in zip(segments, supervised):
+        ids = tokenizer(seg, add_special_tokens=False)["input_ids"]
+        ids_out.extend(ids)
+        if sup:
+            lab = list(ids)
+            lab[:role_len] = [IGNORE_TOKEN_ID] * role_len
+            labels_out.extend(lab)
+        else:
+            labels_out.extend([IGNORE_TOKEN_ID] * len(ids))
+    return np.asarray(ids_out, np.int32), np.asarray(labels_out, np.int32)
+
+
+PREPROCESS_FUNCTIONS = {
+    "internvl2_5": preprocess_internvl2_5,
+    # chatml/MPT family dispatches through preprocess_mpt_family
+    "Hermes-2": lambda convs, tok, ntl, template_name="Hermes-2", **kw:
+        preprocess_mpt_family(convs, tok, ntl, template_name, **kw),
+    "internlm2-chat": lambda convs, tok, ntl, template_name="internlm2-chat", **kw:
+        preprocess_mpt_family(convs, tok, ntl, template_name, add_bos=True, **kw),
+    "phi3-chat": lambda convs, tok, ntl, template_name="phi3-chat", **kw:
+        preprocess_mpt_family(convs, tok, ntl, template_name, **kw),
+}
+
+
 @dataclass
 class ChatDatasetConfig:
     jsonl_path: str
@@ -143,6 +231,18 @@ class ConversationDataset:
 
     def __len__(self):
         return len(self.lines)
+
+    def _preprocess(self, convs, num_image_token_list, text_only=False):
+        """Template-dispatched chat preprocessing (dataset.py preprocess_*
+        variants: internvl2_5 / Hermes-2 / internlm2-chat / phi3-chat)."""
+        fn = PREPROCESS_FUNCTIONS.get(self.cfg.template)
+        if fn is None:
+            return preprocess_internvl2_5(
+                convs, self.tokenizer, num_image_token_list, self.cfg.template,
+                text_only=text_only,
+            )
+        return fn(convs, self.tokenizer, num_image_token_list,
+                  text_only=text_only)
 
     def _load_tiles(self, image_paths: List[str]) -> np.ndarray:
         from PIL import Image
@@ -200,28 +300,24 @@ class ConversationDataset:
                     )
                     c["value"] = c["value"].replace("<video>", frames_txt, 1)
             tiles = self._load_tiles_per_image(paths, max_num=1)
-            ids, labels = preprocess_internvl2_5(
-                convs, self.tokenizer, [cfg.num_image_token] * len(paths),
-                cfg.template,
+            ids, labels = self._preprocess(
+                convs, [cfg.num_image_token] * len(paths)
             )
             flags = np.ones(len(tiles), np.int32)
             return self._finalize(ids, labels, tiles, flags)
         if "image" in item and item["image"]:
             paths = item["image"] if isinstance(item["image"], list) else [item["image"]]
             tiles = self._load_tiles(paths)
-            ids, labels = preprocess_internvl2_5(
-                convs, self.tokenizer,
+            ids, labels = self._preprocess(
+                convs,
                 [cfg.num_image_token * (len(tiles) if len(paths) == 1 else 1)]
                 if len(paths) == 1
                 else [cfg.num_image_token] * len(paths),
-                cfg.template,
             )
             flags = np.ones(len(tiles), np.int32)
         else:
             # text-only: blank tile with flag 0 (finetune.py:581-622)
-            ids, labels = preprocess_internvl2_5(
-                convs, self.tokenizer, [], cfg.template, text_only=True
-            )
+            ids, labels = self._preprocess(convs, [], text_only=True)
             tiles = np.zeros((1, cfg.image_size, cfg.image_size, 3), np.float32)
             flags = np.zeros(1, np.int32)
         return self._finalize(ids, labels, tiles, flags)
@@ -499,3 +595,47 @@ class PackedDataset:
             "pixel_values": np.concatenate([s["pixel_values"] for s in buf], 0),
             "image_flags": np.concatenate([s["image_flags"] for s in buf], 0),
         }
+
+
+def estimate_lengths(dataset) -> List[int]:
+    """Cheap per-sample token-length estimates for length grouping
+    (LazySupervisedDataset group-by-length token estimation,
+    internvl_chat_finetune.py:269-330 region): conversation characters / 4 +
+    image-token budget."""
+    out = []
+    for raw in getattr(dataset, "lines", []):
+        item = json.loads(raw)
+        n_chars = sum(len(c["value"]) for c in item["conversations"])
+        n = n_chars // 4
+        if item.get("image") or item.get("video"):
+            n += getattr(dataset.cfg, "num_image_token", 256) * 4
+        out.append(max(n, 1))
+    return out
+
+
+def length_grouped_indices(
+    lengths: Sequence[int],
+    batch_size: int,
+    mega_batch_mult: int = 50,
+    seed: int = 0,
+) -> List[int]:
+    """HF LengthGroupedSampler order (patch/train_sampler_patch.py:54-125):
+    shuffle, split into megabatches of batch_size*mega_batch_mult, sort each
+    by length desc, and swap the globally-longest sample into position 0 so
+    the first step surfaces OOM immediately."""
+    rng = random.Random(seed)
+    idx = list(range(len(lengths)))
+    rng.shuffle(idx)
+    mb = batch_size * mega_batch_mult
+    megabatches = [idx[i : i + mb] for i in range(0, len(idx), mb)]
+    megabatches = [
+        sorted(m, key=lambda i: lengths[i], reverse=True) for m in megabatches
+    ]
+    if megabatches:
+        longest_mb = max(
+            range(len(megabatches)), key=lambda i: lengths[megabatches[i][0]]
+        )
+        megabatches[0][0], megabatches[longest_mb][0] = (
+            megabatches[longest_mb][0], megabatches[0][0],
+        )
+    return [i for m in megabatches for i in m]

@@ -122,3 +122,20 @@ def normalize_uint8(frames: np.ndarray) -> np.ndarray:
     (VLA serving path; processing.py:303-311)."""
     x = frames.astype(np.float32) / 255.0
     return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def simulate_jpeg_degradation(image, quality_range=(75, 100), rng=None):
+    """Train-time JPEG round-trip augmentation
+    (internvl/train/dataset.py:261-275 simulate_jpeg_degradation): re-encode
+    the PIL image at a random quality."""
+    import io
+    import random as _random
+
+    from PIL import Image
+
+    rng = rng or _random
+    quality = rng.randint(*quality_range)
+    buf = io.BytesIO()
+    image.convert("RGB").save(buf, format="JPEG", quality=quality)
+    buf.seek(0)
+    return Image.open(buf).convert("RGB")

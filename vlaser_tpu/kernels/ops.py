@@ -57,6 +57,36 @@ def rope_cos_sin(
     return jnp.cos(emb), jnp.sin(emb)
 
 
+def rope_cos_sin_su(
+    positions: jax.Array,
+    head_dim: int,
+    theta: float,
+    short_factor,
+    long_factor,
+    original_max_position: int,
+    max_position: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Phi3 su/longrope-scaled rotary (modeling_phi3.py:139-178): per-frequency
+    extension factors (short within the original context, long beyond) and a
+    sqrt(1 + ln(scale)/ln(orig)) amplitude on cos/sin when extended."""
+    idx = jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim
+    base = theta**idx
+    short = jnp.asarray(short_factor, jnp.float32)
+    long = jnp.asarray(long_factor, jnp.float32)
+    use_long = (jnp.max(positions) + 1) > original_max_position
+    ext = jnp.where(use_long, long, short)
+    inv_freq = 1.0 / (ext * base)
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    scale = max_position / original_max_position
+    scaling = (
+        math.sqrt(1 + math.log(scale) / math.log(original_max_position))
+        if scale > 1.0
+        else 1.0
+    )
+    return jnp.cos(emb) * scaling, jnp.sin(emb) * scaling
+
+
 def apply_rope(
     x: jax.Array, cos: jax.Array, sin: jax.Array
 ) -> jax.Array:

@@ -169,7 +169,14 @@ class Qwen2Model(nn.Module):
         b, s, _ = inputs_embeds.shape
         if seg_ids is None:
             seg_ids = jnp.ones((b, s), jnp.int32)
-        cos, sin = ops.rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+        if cfg.rope_short_factor is not None:
+            cos, sin = ops.rope_cos_sin_su(
+                positions, cfg.head_dim, cfg.rope_theta,
+                cfg.rope_short_factor, cfg.rope_long_factor,
+                cfg.original_max_position, cfg.max_position_embeddings,
+            )
+        else:
+            cos, sin = ops.rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
         use_cache = cache is not None
         if use_cache:

@@ -18,11 +18,23 @@ class Conversation:
     system_message: str = ""
     roles: Tuple[str, str] = ("USER", "ASSISTANT")
     sep: str = "\n"
+    sep2: Optional[str] = None
+    sep_style: str = "mpt"  # 'mpt' (chatml family) | 'internvl_zh'
     stop_str: Optional[str] = None
     messages: List[Tuple[str, Optional[str]]] = field(default_factory=list)
 
     def get_prompt(self) -> str:
-        """MPT/chatml style: system + role-prefixed turns joined by sep."""
+        if self.sep_style == "internvl_zh":
+            # conversation.py:229-237: alternating seps, 'role: message'
+            seps = [self.sep2, self.sep]
+            ret = self.system_message + seps[0]
+            for i, (role, message) in enumerate(self.messages):
+                if message:
+                    ret += role + ": " + message + seps[i % 2]
+                else:
+                    ret += role + ":"
+            return ret
+        # MPT/chatml style: system + role-prefixed turns joined by sep
         ret = self.system_template.format(system_message=self.system_message)
         ret += self.sep
         for role, message in self.messages:
@@ -42,6 +54,8 @@ class Conversation:
             system_message=self.system_message,
             roles=self.roles,
             sep=self.sep,
+            sep2=self.sep2,
+            sep_style=self.sep_style,
             stop_str=self.stop_str,
             messages=list(self.messages),
         )
@@ -97,6 +111,30 @@ register_conv_template(
         ),
         roles=("<|im_start|>user\n", "<|im_start|>assistant\n"),
         sep="<|im_end|>",
+    )
+)
+
+register_conv_template(
+    Conversation(
+        name="phi3-chat",
+        system_template="<|system|>\n{system_message}",
+        system_message=(
+            "你是由上海人工智能实验室联合商汤科技开发的书生多模态大模型，英文名叫InternVL, "
+            "是一个有用无害的人工智能助手。"
+        ),
+        roles=("<|user|>\n", "<|assistant|>\n"),
+        sep="<|end|>",
+    )
+)
+
+register_conv_template(
+    Conversation(
+        name="internvl_zh",
+        system_template="",
+        roles=("<human>", "<bot>"),
+        sep_style="internvl_zh",
+        sep="</s>",
+        sep2=" ",
     )
 )
 
