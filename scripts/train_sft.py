@@ -41,6 +41,8 @@ def main():
     ap.add_argument("--fsdp", type=int, default=1)
     ap.add_argument("--tp", type=int, default=1)
     ap.add_argument("--freeze_vision", action="store_true", default=True)
+    ap.add_argument("--freeze_llm", action="store_true",
+                    help="projector-only training (pretrain stage 1)")
     ap.add_argument("--checkpoint_dir", default="checkpoints/sft")
     args = ap.parse_args()
 
@@ -147,7 +149,8 @@ def main():
     trainer = SFTTrainer(
         model, params,
         TrainConfig(learning_rate=args.lr, total_steps=args.steps,
-                    freeze_vision=args.freeze_vision, mesh_fsdp=args.fsdp,
+                    freeze_vision=args.freeze_vision,
+                    freeze_llm=args.freeze_llm, mesh_fsdp=args.fsdp,
                     mesh_tp=args.tp, checkpoint_dir=args.checkpoint_dir),
     )
     trainer.train(batches, data_state_fn=data_state)

@@ -1,0 +1,158 @@
+"""Deploy server, RoboTwin QA folder dataset, flax->HF export roundtrip."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_deploy_server_act_roundtrip():
+    from vlaser_tpu.serve.deploy_server import (
+        PolicyHTTPServer, act_request, decode_value, encode_array,
+    )
+
+    calls = {}
+
+    def policy(image, instruction, qpos):
+        calls["image"] = image
+        calls["instruction"] = instruction
+        calls["qpos"] = qpos
+        return np.tile(np.arange(14, dtype=np.float32), (8, 1))
+
+    srv = PolicyHTTPServer(policy, host="127.0.0.1", port=0)
+    srv.start_background()
+    try:
+        url = f"http://127.0.0.1:{srv.port}"
+        img = np.random.default_rng(0).integers(0, 255, (32, 32, 3), np.uint8)
+        qpos = np.linspace(-1, 1, 14).astype(np.float32)
+        action = act_request(url, img, "pick up the bell", qpos)
+        assert action.shape == (8, 14)
+        np.testing.assert_array_equal(calls["image"], img)
+        assert calls["instruction"] == "pick up the bell"
+        np.testing.assert_allclose(calls["qpos"], qpos)
+
+        # probe: missing image -> 400 with a clear error
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            url + "/act", json.dumps({"instruction": "x"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 400
+
+        # health endpoint
+        with urllib.request.urlopen(url + "/health", timeout=10) as r:
+            assert json.loads(r.read())["ok"] is True
+    finally:
+        srv.shutdown()
+
+    # encoding roundtrip incl. non-contiguous input
+    a = np.arange(24, dtype=np.float32).reshape(4, 6)[:, ::2]
+    np.testing.assert_array_equal(decode_value(encode_array(a)), a)
+
+
+def test_robotwin_qa_folder_dataset(tmp_path):
+    from PIL import Image
+
+    from vlaser_tpu.data.robotwin_qa_dataset import (
+        RoboTwinEpisodeFolderDataset, RoboTwinQAFolderConfig, parse_triplet,
+    )
+
+    root = tmp_path / "images"
+    inst = tmp_path / "instructions"
+    for task in ("click_bell", "handover_mic"):
+        for domain in ("Aloha-AgileX", "SomeOtherDomain"):
+            for ep in ("episode0", "episode1"):
+                d = root / task / domain / "frames" / ep
+                d.mkdir(parents=True)
+                for i in range(2):
+                    Image.new("RGB", (64, 48), (i * 50, 80, 20)).save(
+                        d / f"{i:03d}.jpg"
+                    )
+        (inst / task).mkdir(parents=True)
+        json.dump(
+            {"seen": [f"{task} seen A", f"{task} seen B"], "unseen": ["u"]},
+            open(inst / task / "episode0.json", "w"),
+        )
+
+    cfg = RoboTwinQAFolderConfig(
+        images_root=str(root), instructions_root=str(inst),
+        resize_to=(32, 32),
+    )
+    ds = RoboTwinEpisodeFolderDataset(cfg)
+    # only the whitelisted domain: 2 tasks x 1 domain x 2 eps x 2 frames
+    assert len(ds) == 8
+    s = ds[0]
+    assert s["image"].shape == (32, 32, 3)
+    assert s["task"] == "click_bell" and s["domain"] == "Aloha-AgileX"
+    assert s["instruction"].startswith("click_bell seen")
+    # stable sampling: same episode always picks the same instruction
+    assert ds[0]["instruction"] == ds[1]["instruction"]
+    # episode1 has no json -> default template
+    eps1 = [ds[i] for i in range(len(ds)) if ds[i]["episode"] == "episode1"]
+    assert all("Describe the scene" in e["instruction"] for e in eps1)
+
+    assert parse_triplet("/x/t/d/frames/episode7/img.jpg") == ("t", "d", "episode7")
+
+    # probe: task filter
+    ds2 = RoboTwinEpisodeFolderDataset(
+        RoboTwinQAFolderConfig(images_root=str(root),
+                               include_tasks=["handover_mic"],
+                               resize_to=None)
+    )
+    assert len(ds2) == 4 and all(
+        ds2[i]["task"] == "handover_mic" for i in range(4)
+    )
+
+
+def test_export_roundtrip():
+    """convert_internvl_chat(export_internvl_chat(p)) == p."""
+    import jax
+    import jax.numpy as jnp
+
+    from vlaser_tpu.core.config import tiny_vlm
+    from vlaser_tpu.models.vlm import InternVLChatModel
+    from vlaser_tpu.utils.hf_convert import (
+        convert_internvl_chat, export_internvl_chat,
+    )
+
+    cfg = tiny_vlm()
+    model = InternVLChatModel(cfg, compute_dtype=jnp.float32,
+                              attn_impl="reference")
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 300, (1, 8)).astype(np.int32)
+    img = cfg.vision.image_size
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(ids),
+        jnp.asarray(rng.standard_normal((1, img, img, 3)).astype(np.float32)),
+        jnp.ones((1,), jnp.int32),
+    )["params"]
+    sd = export_internvl_chat(params)
+    back = convert_internvl_chat(sd, cfg.vision.num_layers, cfg.llm.num_layers)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(
+        ("/".join(str(getattr(k, "key", k)) for k in path), leaf)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(back)
+    )
+    n = 0
+    for path, leaf in flat_a:
+        key = "/".join(str(getattr(k, "key", k)) for k in path)
+        assert key in flat_b, key
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(flat_b[key]),
+                                   rtol=1e-6, atol=1e-6)
+        n += 1
+    assert n == len(flat_b)
+
+
+def test_export_save_safetensors(tmp_path):
+    from vlaser_tpu.utils.hf_convert import load_safetensors_dir, save_safetensors
+
+    sd = {"a.weight": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    save_safetensors(sd, str(tmp_path / "model.safetensors"))
+    back = load_safetensors_dir(str(tmp_path))
+    np.testing.assert_array_equal(back["a.weight"], sd["a.weight"])

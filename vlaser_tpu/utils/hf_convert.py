@@ -262,3 +262,109 @@ def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
             for k in fh.keys():
                 sd[k] = fh.get_tensor(k)
     return sd
+
+
+# ---------------------------------------------------------------------------
+# flax -> HF export (inverse of the converters above; tools/internvl_custom2hf
+# analogue so trained checkpoints interoperate with the HF ecosystem)
+# ---------------------------------------------------------------------------
+
+
+def _unstack(dst: Dict, fmt: str, stacked, transpose: bool = False):
+    arr = np.asarray(stacked)
+    for i in range(arr.shape[0]):
+        m = arr[i]
+        dst[fmt.format(i)] = m.T if transpose else m
+
+
+def export_qwen2(params: Mapping, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Qwen2ForCausalLM flax params -> HF state_dict arrays (fp32 numpy)."""
+    p = prefix
+    out: Dict[str, np.ndarray] = {}
+    layers = params["model"]["layers"]
+    L = np.asarray(layers["input_layernorm"]["weight"]).shape[0]
+    for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+        entry = layers["self_attn"][proj]
+        _unstack(out, f"{p}model.layers.{{}}.self_attn.{proj}.weight",
+                 entry["kernel"], transpose=True)
+        if "bias" in entry:
+            _unstack(out, f"{p}model.layers.{{}}.self_attn.{proj}.bias",
+                     entry["bias"])
+    for proj in ("gate_proj", "up_proj", "down_proj"):
+        _unstack(out, f"{p}model.layers.{{}}.mlp.{proj}.weight",
+                 layers["mlp"][proj]["kernel"], transpose=True)
+    for norm in ("input_layernorm", "post_attention_layernorm"):
+        _unstack(out, f"{p}model.layers.{{}}.{norm}.weight",
+                 layers[norm]["weight"])
+    out[f"{p}model.norm.weight"] = np.asarray(params["model"]["norm"]["weight"])
+    if "embed_tokens" in params:
+        out[f"{p}model.embed_tokens.weight"] = np.asarray(
+            params["embed_tokens"]["embedding"])
+    if "lm_head" in params:
+        out[f"{p}lm_head.weight"] = np.asarray(params["lm_head"]["kernel"]).T
+    return out
+
+
+def export_internvit(params: Mapping, prefix: str = "") -> Dict[str, np.ndarray]:
+    p = prefix
+    out: Dict[str, np.ndarray] = {}
+    emb = params["embeddings"]
+    out[f"{p}embeddings.class_embedding"] = np.asarray(
+        emb["class_embedding"]).reshape(1, 1, -1)
+    out[f"{p}embeddings.position_embedding"] = np.asarray(
+        emb["position_embedding"])
+    out[f"{p}embeddings.patch_embedding.weight"] = np.asarray(
+        emb["patch_embedding"]["kernel"]).transpose(3, 2, 0, 1)
+    out[f"{p}embeddings.patch_embedding.bias"] = np.asarray(
+        emb["patch_embedding"]["bias"])
+    lay = params["encoder"]
+    _unstack(out, f"{p}encoder.layers.{{}}.attn.qkv.weight",
+             lay["attn"]["qkv"]["kernel"], transpose=True)
+    if "bias" in lay["attn"]["qkv"]:
+        _unstack(out, f"{p}encoder.layers.{{}}.attn.qkv.bias",
+                 lay["attn"]["qkv"]["bias"])
+    _unstack(out, f"{p}encoder.layers.{{}}.attn.proj.weight",
+             lay["attn"]["proj"]["kernel"], transpose=True)
+    _unstack(out, f"{p}encoder.layers.{{}}.attn.proj.bias",
+             lay["attn"]["proj"]["bias"])
+    for fc in ("fc1", "fc2"):
+        _unstack(out, f"{p}encoder.layers.{{}}.mlp.{fc}.weight",
+                 lay["mlp"][fc]["kernel"], transpose=True)
+        _unstack(out, f"{p}encoder.layers.{{}}.mlp.{fc}.bias",
+                 lay["mlp"][fc]["bias"])
+    _unstack(out, f"{p}encoder.layers.{{}}.ls1", lay["ls1"])
+    _unstack(out, f"{p}encoder.layers.{{}}.ls2", lay["ls2"])
+    for norm in ("norm1", "norm2"):
+        _unstack(out, f"{p}encoder.layers.{{}}.{norm}.weight",
+                 lay[norm]["weight"])
+        if "bias" in lay[norm]:
+            _unstack(out, f"{p}encoder.layers.{{}}.{norm}.bias",
+                     lay[norm]["bias"])
+    if "q_norm" in lay["attn"]:
+        _unstack(out, f"{p}encoder.layers.{{}}.attn.q_norm.weight",
+                 lay["attn"]["q_norm"]["weight"])
+        _unstack(out, f"{p}encoder.layers.{{}}.attn.k_norm.weight",
+                 lay["attn"]["k_norm"]["weight"])
+    return out
+
+
+def export_internvl_chat(params: Mapping) -> Dict[str, np.ndarray]:
+    """InternVLChatModel flax params -> full HF state_dict arrays
+    (inverse of convert_internvl_chat; roundtrip-tested)."""
+    out = export_internvit(params["vision_model"], "vision_model.")
+    out.update(export_qwen2(params["language_model"], "language_model."))
+    mlp1 = params["mlp1"]
+    out["mlp1.0.weight"] = np.asarray(mlp1["norm"]["weight"])
+    out["mlp1.0.bias"] = np.asarray(mlp1["norm"]["bias"])
+    out["mlp1.1.weight"] = np.asarray(mlp1["fc1"]["kernel"]).T
+    out["mlp1.1.bias"] = np.asarray(mlp1["fc1"]["bias"])
+    out["mlp1.3.weight"] = np.asarray(mlp1["fc2"]["kernel"]).T
+    out["mlp1.3.bias"] = np.asarray(mlp1["fc2"]["bias"])
+    return out
+
+
+def save_safetensors(state_dict: Mapping, path: str):
+    """Write an HF-layout state dict to one .safetensors file."""
+    from safetensors.numpy import save_file
+
+    save_file({k: np.ascontiguousarray(v) for k, v in state_dict.items()}, path)
