@@ -203,3 +203,75 @@ def test_adaptive_mode_cached_oracle(mode):
     naive = model.apply(params, *args, method=model.infer_action_naive)
     np.testing.assert_allclose(np.asarray(cached), np.asarray(naive),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_vision_in_expert_oracle():
+    """imgfeat ablation (pizero_internvl_vision.py / DEBUG_IMGFEAT): a second
+    tower feeds expert-width image tokens ahead of proprio; cached inference
+    must equal the no-cache oracle, and the expert image stream must matter."""
+    import dataclasses
+
+    from vlaser_tpu.core.config import tiny_vla
+
+    cfg = dataclasses.replace(tiny_vla(max_image_text_tokens=12),
+                              vision_in_expert=True)
+    model = PiZeroVLA(cfg, compute_dtype=jnp.float32, attn_impl="reference")
+    rng = np.random.default_rng(0)
+    B, S = 1, cfg.max_image_text_tokens
+    img = cfg.vlm.vision.image_size
+    ids = rng.integers(1, 400, (B, S))
+    ids[:, 2] = cfg.vlm.img_context_token_id
+    pixels = jnp.asarray(rng.standard_normal((B, img, img, 3)).astype(np.float32))
+    args = (
+        jnp.asarray(ids), pixels, jnp.ones((B, S), jnp.int32),
+        jnp.zeros((B, cfg.cond_steps, cfg.proprio_dim), jnp.float32),
+        jnp.asarray(rng.standard_normal(
+            (B, cfg.num_action_tokens, cfg.action_dim)).astype(np.float32)),
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), args[0], args[1], args[2], args[3],
+        jnp.zeros((B, cfg.num_action_tokens, cfg.action_dim)),
+        jnp.zeros((B,)), args[4],
+    )
+    flat = "/".join(
+        "/".join(str(k.key) for k in path if hasattr(k, "key"))
+        for path, _ in jax.tree_util.tree_leaves_with_path(params)
+    )
+    assert "vision_model_expert" in flat and "expert_img_proj" in flat
+
+    cached = model.apply(params, *args, method=model.infer_action)
+    naive = model.apply(params, *args, method=model.infer_action_naive)
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(naive),
+                               rtol=1e-4, atol=1e-4)
+
+    # perturbing ONLY the expert tower weights must change the action:
+    # the expert image stream is live (not just the frozen VLM scatter)
+    import copy
+
+    p2 = jax.tree_util.tree_map(lambda x: x, params)
+    p2 = jax.device_get(p2)
+    proj = p2["params"]["expert_img_proj"]
+    proj["kernel"] = proj["kernel"] + 0.5
+    out2 = model.apply(p2, *args, method=model.infer_action)
+    assert float(jnp.abs(out2 - cached).max()) > 1e-6
+
+    # VLM-side image gradient is stopped: grads w.r.t. the FIRST tower are 0
+    # through the flow loss, while the expert tower gets real gradients
+    def loss(p):
+        return model.apply(
+            p, args[0], args[1], args[2], args[3],
+            jnp.zeros((B, cfg.num_action_tokens, cfg.action_dim)),
+            jnp.full((B,), 0.3), args[4],
+        )
+
+    g = jax.grad(lambda p: loss(p))(params)["params"]
+    g_main = np.max([
+        float(jnp.abs(x).max()) for x in jax.tree_util.tree_leaves(
+            g["vision_model"])
+    ])
+    g_expert = np.max([
+        float(jnp.abs(x).max()) for x in jax.tree_util.tree_leaves(
+            g["vision_model_expert"])
+    ])
+    assert g_main == 0.0
+    assert g_expert > 0.0

@@ -171,6 +171,13 @@ class VLAConfig:
     # concatenated into the action encoder.
     adaptive_mode: Optional[str] = None
     time_hidden_size: int = 256
+    # vision-in-expert (imgfeat) ablation (pizero_internvl_vision.py /
+    # DEBUG_IMGFEAT, pizero_internvl.py:272-289, 769-789): a second trainable
+    # vision tower + projector feeds num_image_token expert-width image
+    # tokens ahead of proprio in the expert stream; the VLM-side image
+    # features are stop-gradient. (Implements the NO_CAUSAL_IMG flavor:
+    # expert image tokens attend each other non-causally.)
+    vision_in_expert: bool = False
 
     @property
     def num_proprio_tokens(self) -> int:

@@ -105,6 +105,16 @@ class PiZeroVLA(nn.Module):
         )
         mkd = lambda f: Dense(f, use_bias=True, param_dtype=self.param_dtype,
                               compute_dtype=self.compute_dtype)
+        if cfg.vision_in_expert:
+            # second trainable tower + mlp1-like projector with an extra
+            # Linear down to expert width (pizero_internvl.py:272-276, 785-789)
+            self.vision_model_expert = InternVisionModel(
+                vlm.vision, self.param_dtype, self.compute_dtype, self.remat,
+                self.attn_impl,
+            )
+            self.expert_img_mlp = MLP1(vlm.vit_proj_in_dim, vlm.llm.hidden_size,
+                                       self.param_dtype, self.compute_dtype)
+            self.expert_img_proj = mkd(expert.hidden_size)
         self.proprio_encoder = mkd(expert.hidden_size)
         self.action_encoder = ActionEncoder(
             expert.hidden_size, self.param_dtype, self.compute_dtype,
@@ -140,6 +150,10 @@ class PiZeroVLA(nn.Module):
             vit = vit.reshape(t, side, side, c)
             vit = ops.pixel_shuffle(vit, cfg.downsample_ratio, cfg.ps_version)
             vit = self.mlp1(vit.reshape(t, -1, vit.shape[-1]))
+        if self.cfg.vision_in_expert:
+            # VLM-side image features are frozen in the imgfeat ablation
+            # (pizero_internvl.py:773 .detach())
+            vit = jax.lax.stop_gradient(vit)
         fused = scatter_image_embeds(input_ids, tok, vit, None,
                                      cfg.img_context_token_id)
         if self.cfg.backbone == "paligemma":
@@ -147,48 +161,76 @@ class PiZeroVLA(nn.Module):
             fused = fused * jnp.asarray(cfg.llm.hidden_size**0.5, fused.dtype)
         return fused
 
+    def _expert_image_feats(self, pixel_values):
+        """[T,H,W,3] -> [T, num_image_token, expert_hidden] via the second
+        tower (pizero_internvl.py:775-789)."""
+        cfg = self.cfg.vlm
+        vit = self.vision_model_expert(pixel_values,
+                                       select_layer=cfg.select_layer)
+        vit = vit[:, 1:, :]
+        t, s, c = vit.shape
+        side = int(s**0.5)
+        vit = vit.reshape(t, side, side, c)
+        vit = ops.pixel_shuffle(vit, cfg.downsample_ratio, cfg.ps_version)
+        vit = self.expert_img_mlp(vit.reshape(t, -1, vit.shape[-1]))
+        return self.expert_img_proj(vit)
+
     def _scale_pa(self, x):
         if self.cfg.backbone == "paligemma":
             return x * jnp.asarray(self.cfg.expert.hidden_size**0.5, x.dtype)
         return x
 
+    @property
+    def _n_expert_img(self) -> int:
+        """imgfeat ablation: expert-stream image tokens ahead of proprio
+        (pizero_internvl.py:1105-1110: positions 1..256, proprio/action +256)."""
+        return self.cfg.vlm.num_image_token if self.cfg.vision_in_expert else 0
+
     def _positions(self, batch: int):
         cfg = self.cfg
+        n_pre = self._n_expert_img
         vlm_pos = jnp.broadcast_to(
             jnp.arange(1, cfg.max_image_text_tokens + 1)[None, :],
             (batch, cfg.max_image_text_tokens),
         )
+        n_p = n_pre + cfg.num_proprio_tokens
         p_pos = jnp.broadcast_to(
-            jnp.arange(1, cfg.num_proprio_tokens + 1)[None, :],
-            (batch, cfg.num_proprio_tokens),
+            jnp.arange(1, n_p + 1)[None, :], (batch, n_p)
         )
         a_pos = jnp.broadcast_to(
-            jnp.arange(
-                cfg.num_proprio_tokens + 1,
-                cfg.num_proprio_tokens + cfg.num_action_tokens + 1,
-            )[None, :],
+            jnp.arange(n_p + 1, n_p + cfg.num_action_tokens + 1)[None, :],
             (batch, cfg.num_action_tokens),
         )
         return vlm_pos, p_pos, a_pos
 
     def _meta(self, text_mask: jax.Array, include_action: bool):
-        """(segments, levels) over [vlm | proprio (| action)]."""
+        """(segments, levels) over [vlm | (expert-img) proprio (| action)]."""
         cfg = self.cfg
         b = text_mask.shape[0]
-        n_pa = cfg.num_proprio_tokens + (cfg.num_action_tokens if include_action else 0)
+        n_p = self._n_expert_img + cfg.num_proprio_tokens
+        n_pa = n_p + (cfg.num_action_tokens if include_action else 0)
         seg = jnp.concatenate(
             [text_mask.astype(jnp.int32), jnp.ones((b, n_pa), jnp.int32)], axis=1
         )
         lev = jnp.concatenate(
             [
                 jnp.zeros((b, cfg.max_image_text_tokens), jnp.int32),
-                jnp.ones((b, cfg.num_proprio_tokens), jnp.int32),
+                jnp.ones((b, n_p), jnp.int32),
                 *( [jnp.full((b, cfg.num_action_tokens), 2, jnp.int32)]
                    if include_action else [] ),
             ],
             axis=1,
         )
         return seg, lev
+
+    def _pa_prefix_embeds(self, pixel_values, proprio_embeds):
+        """[(expert-img) | proprio] stream embeddings."""
+        if not self.cfg.vision_in_expert:
+            return proprio_embeds
+        b = proprio_embeds.shape[0]
+        feats = self._expert_image_feats(pixel_values)
+        feats = feats.reshape(b, -1, feats.shape[-1])
+        return jnp.concatenate([feats, proprio_embeds], axis=1)
 
     def _rope(self, positions, theta):
         return ops.rope_cos_sin(positions, self.cfg.expert.head_dim, theta)
@@ -236,8 +278,9 @@ class PiZeroVLA(nn.Module):
         action_embeds = self.action_encoder(
             psi_t.astype(self.compute_dtype), time_emb
         )
+        pa_prefix = self._pa_prefix_embeds(pixel_values, proprio_embeds)
         x_pa = self._scale_pa(
-            jnp.concatenate([proprio_embeds, action_embeds], axis=1)
+            jnp.concatenate([pa_prefix, action_embeds], axis=1)
         )
 
         vlm_pos, p_pos, a_pos = self._positions(b)
@@ -251,7 +294,7 @@ class PiZeroVLA(nn.Module):
             "train", embeds_vlm, x_pa, cos_v, sin_v, cos_pa, sin_pa, seg, lev,
             cond,
         )
-        action_out = pa_out[:, cfg.num_proprio_tokens :]
+        action_out = pa_out[:, self._n_expert_img + cfg.num_proprio_tokens :]
         v_psi = self.action_decoder(action_out).astype(jnp.float32)
         d_psi = (x1 - (1.0 - cfg.flow_sig_min) * x0).astype(jnp.float32)
         return jnp.mean((v_psi - d_psi) ** 2)
@@ -272,8 +315,9 @@ class PiZeroVLA(nn.Module):
         cos_v, sin_v = self._rope(vlm_pos, cfg.vlm.llm.rope_theta)
         cos_p, sin_p = self._rope(p_pos, cfg.expert.rope_theta)
         seg, lev = self._meta(text_mask, include_action=False)
+        x_p = self._pa_prefix_embeds(pixel_values, proprio_embeds)
         k_pre, v_pre = self.joint(
-            "prefix", embeds_vlm, self._scale_pa(proprio_embeds),
+            "prefix", embeds_vlm, self._scale_pa(x_p),
             cos_v, sin_v, cos_p, sin_p, seg, lev,
         )
         return k_pre, v_pre, seg, lev
@@ -431,6 +475,7 @@ class PiZeroVLA(nn.Module):
             jnp.concatenate([p_pos, a_pos], axis=1), cfg.expert.rope_theta
         )
         seg, lev = self._meta(text_mask, include_action=True)
+        pa_prefix = self._pa_prefix_embeds(pixel_values, proprio_embeds)
         delta_t = 1.0 / cfg.num_inference_steps
 
         action = noise.astype(jnp.float32)
@@ -441,14 +486,14 @@ class PiZeroVLA(nn.Module):
                 action.astype(self.compute_dtype), time_emb
             )
             x_pa = self._scale_pa(
-                jnp.concatenate([proprio_embeds, action_embeds], axis=1)
+                jnp.concatenate([pa_prefix, action_embeds], axis=1)
             )
             _, pa_out = self.joint(
                 "train", embeds_vlm, x_pa, cos_v, sin_v, cos_pa, sin_pa, seg,
                 lev, cond,
             )
             v = self.action_decoder(
-                pa_out[:, cfg.num_proprio_tokens :]
+                pa_out[:, self._n_expert_img + cfg.num_proprio_tokens :]
             ).astype(jnp.float32)
             action = action + delta_t * v
         if cfg.final_action_clip_value is not None:
