@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--horizon", type=int, default=4)
     ap.add_argument("--image_size", type=int, default=448)
     ap.add_argument("--fsdp", type=int, default=1)
+    ap.add_argument("--adam8bit", action="store_true",
+                    help="8-bit optimizer state (bnb AdamW8bit parity)")
     ap.add_argument("--strong_aug", action="store_true",
                     help="use_strong_data_aug augmentation variant")
     ap.add_argument("--shuffle_buffer", type=int, default=200_000)
@@ -120,6 +122,7 @@ def main():
     trainer = VLATrainer(
         model, params,
         VLATrainConfig(lr_action=args.lr, lr_vlm=args.lr, mesh_fsdp=args.fsdp,
+                       optimizer_8bit=args.adam8bit,
                        checkpoint_dir=args.checkpoint_dir),
     )
     trainer.train_steps(batches(), args.steps)

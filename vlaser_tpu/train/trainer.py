@@ -118,6 +118,7 @@ class VLATrainConfig:
     accum_steps: int = 1
     train_vlm: bool = True
     flow_sampling: str = "beta"
+    optimizer_8bit: bool = False  # bnb AdamW8bit parity (train/optim8bit.py)
     averaging: AveragingConfig = field(default_factory=AveragingConfig)
     log_every: int = 10
     save_every: int = 1000
@@ -154,10 +155,18 @@ class VLATrainer:
         sched_v = cosine_warmup_restarts(
             cfg.lr_vlm, cfg.first_cycle_steps, warmup_steps=cfg.warmup_steps
         )
-        mk = lambda sched: optax.chain(
-            optax.clip_by_global_norm(cfg.grad_clip),
-            optax.adamw(sched, weight_decay=cfg.weight_decay),
-        )
+        if cfg.optimizer_8bit:
+            from .optim8bit import adamw8bit
+
+            mk = lambda sched: optax.chain(
+                optax.clip_by_global_norm(cfg.grad_clip),
+                adamw8bit(sched, weight_decay=cfg.weight_decay),
+            )
+        else:
+            mk = lambda sched: optax.chain(
+                optax.clip_by_global_norm(cfg.grad_clip),
+                optax.adamw(sched, weight_decay=cfg.weight_decay),
+            )
         labels = _vla_param_groups(params, cfg.train_vlm)
         self.tx = optax.multi_transform(
             {"action": mk(sched_a), "vlm": mk(sched_v),
