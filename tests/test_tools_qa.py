@@ -199,3 +199,85 @@ def test_qa_parse_and_generate(tmp_path):
     )
     assert len(kept) == 2
     assert kept[0]["quality_score"] == 9.0
+
+
+def test_reasoning_pipeline_end_to_end(tmp_path):
+    """MMPR correctness pipeline: rollouts -> pos/neg buckets -> preference
+    pairs consumable by the MPO PreferenceDataset."""
+    from vlaser_tpu.data.reasoning_pipeline import (
+        build_items_based_on_correctness,
+        build_pairs,
+        check_answer,
+        extract_final_answer,
+        relaxed_correctness,
+        sample_responses,
+        write_pairs_jsonl,
+    )
+
+    assert extract_final_answer("thinking...\n\\boxed{42}") == "42"
+    assert extract_final_answer("So the answer is: 7.") == "7"
+    assert extract_final_answer("blah\nlast line") == "last line"
+    assert check_answer("42", "42") == 1
+    assert check_answer("43", "42") == 0
+    assert check_answer("41.9", "42", mode="relaxed_accuracy") == 1
+    assert relaxed_correctness("100", "104") == 1
+    assert relaxed_correctness("100", "110") == 0
+
+    items = [
+        {"image": "a.png", "question": "2+2?", "answer": "4"},
+        {"question": "capital of France?", "answer": "Paris"},
+    ]
+
+    def gen(item, k):
+        # half the rollouts correct, half wrong; one unparsable
+        if k == 3:
+            return ""
+        good = k % 2 == 0
+        ans = item["answer"] if good else "wrong"
+        return f"Let me think.\nFinal answer: {ans}"
+
+    rollouts = sample_responses(items, gen, num_samples=4)
+    assert len(rollouts) == 8
+    pos, neg, fmt = build_items_based_on_correctness(rollouts)
+    assert sum(len(v) for v in pos.values()) == 4
+    assert sum(len(v) for v in neg.values()) == 2  # k=1 only (k=3 is format)
+    assert sum(len(v) for v in fmt.values()) == 2
+    pairs = build_pairs(pos, neg, max_pairs_per_key=10)
+    assert len(pairs) == 4  # 2 pos x 1 neg per question
+    p = pairs[0]
+    assert set(p) == {"image", "question", "chosen", "rejected", "answer_gt"}
+    assert "Final answer: 4" in p["chosen"] or "Paris" in p["chosen"]
+    assert "wrong" in p["rejected"]
+
+    # jsonl output loads through the MPO preference dataset
+    out = tmp_path / "pairs.jsonl"
+    write_pairs_jsonl(pairs, str(out))
+    from vlaser_tpu.data.preference_dataset import (
+        PreferenceDataset, PreferenceDatasetConfig,
+    )
+
+    class MiniTok:
+        pad_token_id = 0
+
+        def __call__(self, text, add_special_tokens=False, **kw):
+            return {"input_ids": [ord(c) % 200 for c in text]}
+
+    ds = PreferenceDataset(
+        PreferenceDatasetConfig(jsonl_path=str(out), num_image_token=1,
+                                image_size=8),
+        MiniTok(),
+    )
+    s = ds[1]  # text-only pair (question 2 has no real image file)
+    assert (s["chosen_labels"] != -100).sum() > 0
+    assert (s["rejected_labels"] != -100).sum() > 0
+
+
+def test_dropout_ntp_pairs():
+    from vlaser_tpu.data.reasoning_pipeline import build_dropout_ntp_pairs
+
+    items = [{"question": "q", "response": "A" * 10 + "B" * 10}]
+    pairs = build_dropout_ntp_pairs(
+        items, lambda item, prefix: "XXX", drop_ratio=0.5
+    )
+    assert pairs[0]["chosen"] == "A" * 10 + "B" * 10
+    assert pairs[0]["rejected"] == "A" * 10 + "XXX"
