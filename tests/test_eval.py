@@ -205,3 +205,81 @@ def test_point_metrics():
     res = evaluate_points(preds, gt)
     assert res["num_evaluated"] == 2 and res["num_correct"] == 1
     assert res["accuracy"] == 0.5
+
+
+def test_episodes_for_spec_protocol_counts():
+    """Episode enumeration matches the reference protocol: VM coke-can =
+    5x5 object grid per spec; VM move-near = 60 object episodes per spec."""
+    from vlaser_tpu.eval.simpler_eval import episodes_for_spec, fractal_variant_specs
+
+    vm_coke = fractal_variant_specs("google_robot_pick_coke_can", "vm")
+    eps = episodes_for_spec(vm_coke[0])
+    assert len(eps) == 25  # 1 robot pose x 5x5 obj grid
+    assert "robot_init_options" in eps[0] and "obj_init_options" in eps[0]
+    assert eps[0]["obj_init_options"]["init_xy"].shape == (2,)
+
+    vm_mn = fractal_variant_specs("google_robot_move_near_v0", "vm")
+    eps = episodes_for_spec(vm_mn[0])
+    assert len(eps) == 60
+    assert eps[0]["obj_init_options"] == {"episode_id": 0}
+    assert eps[-1]["obj_init_options"] == {"episode_id": 59}
+
+    # VA drawer: 3x3 robot poses, single obj position
+    va_drawer = fractal_variant_specs("google_robot_open_drawer", "va")
+    eps = episodes_for_spec(va_drawer[0])
+    assert len(eps) == 9
+
+
+def test_run_fractal_protocol_with_mock_env():
+    """The full VM sweep drives a mock env once per protocol episode."""
+    from vlaser_tpu.eval.simpler_eval import EvalConfig, run_fractal_protocol
+
+    class MockEnv:
+        def __init__(self, spec):
+            self.spec_seen = spec
+            self.resets = []
+            self.unwrapped = self
+
+        def get_language_instruction(self):
+            return "pick the coke can"
+
+        def reset(self, options=None):
+            self.resets.append(options)
+            return {"obs": 0}, {}
+
+        def step(self, action):
+            return {"obs": 0}, 1.0, True, True, {"success": True}
+
+        def seed(self, s):
+            pass
+
+        def close(self):
+            pass
+
+    class MockPolicy:
+        def reset(self, instruction):
+            self.instruction = instruction
+
+        def step(self, obs, image):
+            import numpy as np
+
+            return np.zeros((4, 7), np.float32)
+
+    envs = []
+
+    def factory(spec):
+        e = MockEnv(spec)
+        envs.append(e)
+        return e
+
+    out = run_fractal_protocol(
+        EvalConfig(act_steps=4), MockPolicy(), "google_robot_move_near_v0",
+        protocol="vm", env_factory=factory,
+        get_image=lambda env, obs: __import__("numpy").zeros((8, 8, 3)),
+    )
+    assert out["aggregate_success"] == 1.0
+    assert len(envs) == 4  # 4 urdf variants
+    # every env saw all 60 protocol episodes with reset options
+    assert all(len(e.resets) == 60 for e in envs)
+    assert envs[0].resets[0] is not None
+    assert "robot_init_options" in envs[0].resets[0]

@@ -58,9 +58,11 @@ def run_episode(
     max_steps: Optional[int] = None,
     get_image: Callable = None,
     video_frames: Optional[List[np.ndarray]] = None,
+    reset_options: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
     """One closed-loop rollout; returns {success, steps}."""
-    obs, _ = env.reset()
+    obs, _ = env.reset(options=reset_options) if reset_options is not None \
+        else env.reset()
     policy.reset(instruction)
     get_image = get_image or (lambda env, obs: get_image_from_obs(env, obs))
     success = False
@@ -88,7 +90,8 @@ class EvalRunner:
 
     def __init__(self, cfg: EvalConfig, policy, env=None,
                  get_instruction: Optional[Callable] = None,
-                 get_image: Optional[Callable] = None):
+                 get_image: Optional[Callable] = None,
+                 episode_options: Optional[Sequence[Dict[str, Any]]] = None):
         self.cfg = cfg
         self.policy = policy
         self.env = env if env is not None else make_simpler_env(cfg.task)
@@ -96,26 +99,34 @@ class EvalRunner:
             lambda env: env.unwrapped.get_language_instruction()
         )
         self.get_image = get_image
+        # protocol-defined per-episode reset options (episodes_for_spec);
+        # overrides n_eval_episode when given
+        self.episode_options = episode_options
 
     def run(self) -> Dict[str, Any]:
         cfg = self.cfg
         results = []
-        for ep in range(cfg.n_eval_episode):
+        n = (len(self.episode_options) if self.episode_options is not None
+             else cfg.n_eval_episode)
+        for ep in range(n):
             if hasattr(self.env.unwrapped, "seed"):
                 self.env.unwrapped.seed(cfg.seed + ep)
             frames: Optional[List[np.ndarray]] = (
                 [] if cfg.record_video_dir else None
             )
+            opts = (self.episode_options[ep]
+                    if self.episode_options is not None else None)
             instruction = self.get_instruction(self.env)
             res = run_episode(
                 self.env, self.policy, instruction,
                 act_steps=cfg.act_steps, max_steps=cfg.max_steps,
                 get_image=self.get_image, video_frames=frames,
+                reset_options=opts,
             )
             results.append(res)
             logger.info(
                 "episode %d/%d success=%s steps=%d",
-                ep + 1, cfg.n_eval_episode, res["success"], res["steps"],
+                ep + 1, n, res["success"], res["steps"],
             )
             if frames:
                 self._save_video(frames, ep, res["success"])
@@ -194,6 +205,67 @@ def fractal_variant_specs(task: str, protocol: str = "va"):
     return list(enumerate_env_specs(fams))
 
 
+def episodes_for_spec(spec: Dict[str, Any]) -> List[Dict[str, Any]]:
+    """Concrete env.reset(options=...) dicts for one env spec: the product of
+    robot pose grid x object init grid / episode range
+    (variant_aggressive_config.py get_env:956-975 option naming)."""
+    out = []
+    for rx in spec["robot_init_xs"]:
+        for ry in spec["robot_init_ys"]:
+            for rq in spec["robot_init_quats"]:
+                base = {
+                    "robot_init_options": {
+                        "init_xy": np.array([rx, ry]),
+                        "init_rot_quat": np.asarray(rq),
+                    }
+                }
+                if spec["obj_variation_mode"] == "xy":
+                    for ox in spec["obj_init_xs"]:
+                        for oy in spec["obj_init_ys"]:
+                            out.append({
+                                **base,
+                                "obj_init_options": {
+                                    "init_xy": np.array([ox, oy])
+                                },
+                            })
+                else:
+                    lo, hi = spec["obj_episode_range"]
+                    for ep in range(lo, hi):
+                        out.append({
+                            **base,
+                            "obj_init_options": {"episode_id": ep},
+                        })
+    return out
+
+
+def build_env_from_spec(spec: Dict[str, Any], task: str, *,
+                        robot: str = "google_robot_static",
+                        control_freq: int = 3, sim_freq: int = 513,
+                        overlay_root: Optional[str] = None):
+    """gym.make with the spec's build kwargs (get_env:904-954): raytracing
+    prepends shader_dir=rt; VM overlay path resolves under overlay_root."""
+    import gymnasium as gym
+
+    build_kwargs = dict(spec["build_kwargs"])
+    if spec.get("enable_raytracing"):
+        build_kwargs = {"shader_dir": "rt", **build_kwargs}
+    kwargs = dict(
+        obs_mode="rgbd",
+        robot=robot,
+        sim_freq=sim_freq,
+        control_freq=control_freq,
+        control_mode="arm_pd_ee_delta_pose_align_interpolate_by_planner_gripper_pd_joint_target_delta_pos_interpolate_by_planner",
+        max_episode_steps=spec["max_episode_steps"],
+        scene_name=spec["scene_name"],
+        camera_cfgs={"add_segmentation": True},
+    )
+    if spec.get("rgb_overlay") and overlay_root:
+        kwargs["rgb_overlay_path"] = os.path.join(overlay_root,
+                                                  spec["rgb_overlay"])
+        kwargs["rgb_overlay_cameras"] = ["overhead_camera"]
+    return gym.make(spec["env_name"], **build_kwargs, **kwargs)
+
+
 def run_fractal_protocol(
     base_cfg: EvalConfig,
     policy,
@@ -205,12 +277,25 @@ def run_fractal_protocol(
     """VM/VA sweep over the full per-task grid, averaging success across env
     specs (EvalAgent.run_variant_aggregation, eval.py:215-420)."""
     specs = fractal_variant_specs(task, protocol)
-    env_factory = env_factory or (lambda spec: make_simpler_env(
-        task,
-        scene_name=spec["scene_name"],
-        max_episode_steps=spec["max_episode_steps"],
-        **spec["build_kwargs"],
-    ))
-    return run_variant_aggregation(
-        base_cfg, policy, specs, env_factory=env_factory, **runner_kw
-    )
+    env_factory = env_factory or (lambda spec: build_env_from_spec(spec, task))
+    per_variant = []
+    for spec in specs:
+        env = env_factory(spec)
+        runner = EvalRunner(
+            base_cfg, policy, env=env,
+            episode_options=episodes_for_spec(spec), **runner_kw,
+        )
+        s_ = runner.run()
+        s_["spec"] = {k: spec[k] for k in
+                      ("env_name", "scene_name", "build_kwargs")}
+        per_variant.append(s_)
+        if hasattr(env, "close"):
+            env.close()
+    return {
+        "task": task,
+        "protocol": protocol,
+        "aggregate_success": float(
+            np.mean([s_["success_rate"] for s_ in per_variant])
+        ),
+        "per_variant": per_variant,
+    }
