@@ -124,3 +124,64 @@ def test_point_in_mask():
     assert point_in_mask((7, 5), mask)
     assert not point_in_mask((5, 7), mask)  # (x,y) order matters
     assert not point_in_mask((100, 100), mask)  # out of bounds
+
+
+def test_mmbench_tsv_loader(tmp_path):
+    import base64, io
+    from PIL import Image
+
+    from vlaser_tpu.eval.vlm_benchmarks import MMBENCH_PROMPT, load_mmbench_tsv
+
+    buf = io.BytesIO()
+    Image.new("RGB", (16, 16), (200, 10, 10)).save(buf, format="PNG")
+    b64img = base64.b64encode(buf.getvalue()).decode()
+    tsv = tmp_path / "mmbench.tsv"
+    tsv.write_text(
+        "index\tquestion\thint\tA\tB\tC\tD\timage\tanswer\n"
+        f"0\tWhat color?\tLook closely.\tred\tblue\tgreen\t\t{b64img}\tA\n"
+    )
+    items = load_mmbench_tsv(str(tsv))
+    assert len(items) == 1
+    q = items[0].question
+    assert q.startswith("Look closely.\nWhat color?")
+    assert "\nA. red" in q and "\nB. blue" in q and "\nC. green" in q
+    assert "\nD." not in q  # empty option dropped
+    assert q.endswith(MMBENCH_PROMPT["en"])
+    assert items[0].answer == "A" and items[0].choices is None
+
+
+def test_pope_metrics(tmp_path):
+    from PIL import Image
+
+    from vlaser_tpu.eval.vlm_benchmarks import evaluate_pope, load_pope, pope_yes_no
+
+    assert pope_yes_no("No, there is not.") == "no"
+    assert pope_yes_no("Yes. It is on the table.") == "yes"
+    assert pope_yes_no("There is not a dog, only a cat.") == "no"
+
+    Image.new("RGB", (8, 8)).save(tmp_path / "im.png")
+    qf = tmp_path / "pope.jsonl"
+    with open(qf, "w") as f:
+        for i, (q, label) in enumerate([
+            ("Is there a dog?", "yes"), ("Is there a cat?", "no"),
+            ("Is there a car?", "no"), ("Is there a tree?", "yes"),
+        ]):
+            f.write(json.dumps({"image": "im.png", "text": q, "label": label}) + "\n")
+    items = load_pope(str(qf), str(tmp_path))
+
+    class StubChat:
+        def batch_chat(self, qs, pixel_values, num_patches_list=None):
+            out = []
+            for q in qs:
+                # correct on dog/cat, wrong on car (says yes), wrong on tree
+                if "dog" in q: out.append("Yes, a dog.")
+                elif "cat" in q: out.append("No.")
+                elif "car" in q: out.append("Yes, a car.")
+                else: out.append("No tree visible.")
+            return out
+
+    m = evaluate_pope(StubChat(), items, batch_size=4)
+    assert m["accuracy"] == 0.5
+    assert abs(m["precision"] - 0.5) < 1e-9  # tp=1 (dog), fp=1 (car)
+    assert abs(m["recall"] - 0.5) < 1e-9  # fn=1 (tree)
+    assert abs(m["yes_ratio"] - 0.5) < 1e-9

@@ -122,3 +122,105 @@ def evaluate_benchmark(
         "num_evaluated": total,
         "responses": responses,
     }
+
+
+# --------------------------------------------------------------------------
+# Benchmark-specific loaders/metrics (the reference's per-benchmark dirs)
+# --------------------------------------------------------------------------
+
+MMBENCH_PROMPT = {
+    "en": "Answer with the option's letter from the given choices directly.",
+    "cn": "请直接回答选项字母。",
+}
+
+
+def load_mmbench_tsv(path: str, language: str = "en") -> List[BenchmarkItem]:
+    """MMBench TSV (base64 images, hint + A-E options)
+    (eval/mmbench/evaluate_mmbench.py:77-135): the question is pre-assembled
+    exactly as the reference does (hint newline question, per-option lines,
+    trailing language prompt), so format_mc_question must not re-wrap it."""
+    import base64 as b64
+    import csv
+    import io
+
+    from PIL import Image
+
+    items = []
+    with open(path, newline="") as f:
+        reader = csv.DictReader(f, delimiter="\t")
+        for row in reader:
+            q = row["question"]
+            hint = row.get("hint") or ""
+            if hint and hint.lower() != "nan":
+                q = hint + "\n" + q
+            for cand in "ABCDE":
+                v = row.get(cand) or ""
+                if v and v.lower() != "nan":
+                    q += f"\n{cand}. {v}"
+            q += "\n" + MMBENCH_PROMPT[language]
+            img = Image.open(io.BytesIO(b64.b64decode(row["image"]))).convert("RGB")
+            items.append(BenchmarkItem(
+                question=q, answer=str(row.get("answer") or ""), image=img,
+                choices=None,  # options already inlined
+            ))
+    return items
+
+
+def load_pope(question_file: str, image_root: str = "") -> List[BenchmarkItem]:
+    """POPE jsonl: {question_id?, image, text, label(yes/no)}."""
+    import os
+
+    from PIL import Image
+
+    items = []
+    with open(question_file) as f:
+        for line in f:
+            d = json.loads(line)
+            img = Image.open(
+                os.path.join(image_root, d["image"])
+            ).convert("RGB")
+            items.append(BenchmarkItem(
+                question=d.get("text") or d["question"],
+                answer=str(d.get("label", d.get("answer", ""))).lower(),
+                image=img,
+            ))
+    return items
+
+
+def pope_yes_no(text: str) -> str:
+    """eval/pope/eval_pope.py:10-21 mapping: first sentence, 'no'/'not' wins."""
+    if "." in text:
+        text = text.split(".")[0]
+    words = text.replace(",", "").split(" ")
+    return "no" if ("No" in words or "not" in words or "no" in words) else "yes"
+
+
+def evaluate_pope(chat, items: Sequence[BenchmarkItem], **kw) -> Dict[str, float]:
+    """POPE metrics: accuracy + precision/recall/F1 over yes/no
+    (eval_pope.py:38-65; yes = positive class)."""
+    res = evaluate_benchmark(chat, items, mode="exact", **kw)
+    tp = tn = fp = fn = 0
+    yes = 0
+    for it, resp in zip(items, res["responses"]):
+        pred = pope_yes_no(resp)
+        label = "no" if "no" in it.answer else "yes"
+        yes += int(pred == "yes")
+        if pred == "yes" and label == "yes":
+            tp += 1
+        elif pred == "no" and label == "no":
+            tn += 1
+        elif pred == "yes" and label == "no":
+            fp += 1
+        else:
+            fn += 1
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+    n = max(len(items), 1)
+    return {
+        "accuracy": (tp + tn) / n,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+        "yes_ratio": yes / n,
+    }
