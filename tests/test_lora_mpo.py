@@ -120,3 +120,71 @@ def test_mpo_loss_prefers_chosen():
     rm = RunningMoments()
     d = rm.update(np.asarray(metrics["rewards"]))
     assert np.isfinite(d)
+
+
+def test_qlora_over_int8_base():
+    """QLoRA analogue: LoRA collection over a quantized base — adapters
+    change outputs (starting from exactly the base output at init), grads
+    flow only to the lora collection, and merge_qlora_into_quant exports a
+    plain fp tree matching quant+lora."""
+    import dataclasses
+
+    from vlaser_tpu.core.config import tiny_llm
+    from vlaser_tpu.core.quant import quantize_variables
+    from vlaser_tpu.models.qwen2 import Qwen2ForCausalLM
+    from vlaser_tpu.train.lora import (
+        init_qlora_collection, merge_qlora_into_quant,
+    )
+
+    cfg = dataclasses.replace(tiny_llm(), num_layers=2)
+    model = Qwen2ForCausalLM(cfg, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 200, (1, 6)))
+    variables = model.init(jax.random.PRNGKey(0), input_ids=ids)
+    qvars = quantize_variables(
+        variables, (r"(^|/)layers/.*kernel$",)
+    )
+    base_logits, _, _ = model.apply(qvars, input_ids=ids, attn_impl="reference")
+
+    lora = init_qlora_collection(jax.random.PRNGKey(1), qvars, r=4, alpha=8.0)
+    # every quantized layer kernel got an adapter ([L, in, r] factors)
+    flat = jax.tree_util.tree_leaves_with_path(lora)
+    assert any("q_proj" in str(p) for p, _ in flat)
+    qvars_l = dict(qvars, lora=lora)
+
+    # b = 0 at init -> identical to base
+    out0, _, _ = model.apply(qvars_l, input_ids=ids, attn_impl="reference")
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(base_logits),
+                               rtol=1e-6, atol=1e-6)
+
+    # grads flow to lora only; base params untouched by the quantized layers
+    def loss(lora_tree):
+        v = dict(qvars, lora=lora_tree)
+        logits, _, _ = model.apply(v, input_ids=ids, attn_impl="reference")
+        return jnp.mean(logits**2)
+
+    g = jax.grad(loss)(lora)
+    gb = [x for p, x in jax.tree_util.tree_leaves_with_path(g)
+          if getattr(p[-1], "key", None) == "b"]
+    assert gb and max(float(jnp.abs(x).max()) for x in gb) > 0
+
+    # train a few steps and confirm the adapter moves the output
+    import optax
+
+    tx = optax.adam(1e-2)
+    st = tx.init(lora)
+    cur = lora
+    for _ in range(3):
+        gr = jax.grad(loss)(cur)
+        up, st = tx.update(gr, st, cur)
+        cur = optax.apply_updates(cur, up)
+    out1, _, _ = model.apply(dict(qvars, lora=cur), input_ids=ids,
+                             attn_impl="reference")
+    assert float(jnp.abs(out1 - base_logits).max()) > 1e-3
+
+    # merged export == quant base + adapters, as plain fp params
+    merged = merge_qlora_into_quant(dict(qvars, lora=cur))
+    assert "quant" not in merged
+    out_m, _, _ = model.apply(merged, input_ids=ids, attn_impl="reference")
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out1),
+                               rtol=2e-5, atol=2e-5)

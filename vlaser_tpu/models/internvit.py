@@ -173,7 +173,7 @@ class InternVisionModel(nn.Module):
             layer_cls = nn.remat(InternVisionLayer, prevent_cse=False)
         scan = nn.scan(
             layer_cls,
-            variable_axes={"params": 0, "quant": 0},
+            variable_axes={"params": 0, "quant": 0, "lora": 0},
             split_rngs={"params": True},
             in_axes=(nn.broadcast,),
             out_axes=0,

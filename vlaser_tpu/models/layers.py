@@ -71,6 +71,19 @@ class Dense(nn.Module):
             kernel,
             preferred_element_type=self.compute_dtype,
         )
+        if self.has_variable("lora", "a"):
+            # QLoRA-style activation-path low-rank adapter: y += s*(x A)B.
+            # Never materializes base+delta, so it composes with the int8
+            # base above (train/lora.py init_qlora_collection).
+            a = self.get_variable("lora", "a").astype(self.compute_dtype)
+            b = self.get_variable("lora", "b").astype(self.compute_dtype)
+            # alpha/r is folded into `a` at init (scalars can't ride a
+            # scanned collection)
+            y = y + jnp.dot(
+                jnp.dot(x.astype(self.compute_dtype), a,
+                        preferred_element_type=self.compute_dtype),
+                b, preferred_element_type=self.compute_dtype,
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
             y = y + bias.astype(y.dtype)

@@ -201,7 +201,7 @@ class Qwen2Model(nn.Module):
 
         scan = nn.scan(
             layer_cls,
-            variable_axes={"params": 0, "quant": 0},
+            variable_axes={"params": 0, "quant": 0, "lora": 0},
             split_rngs={"params": True},
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast,
                      0, 0, nn.broadcast, nn.broadcast, nn.broadcast),

@@ -238,7 +238,7 @@ class JointModel(nn.Module):
             layer_cls = nn.remat(JointLayer, prevent_cse=False)
         return nn.scan(
             layer_cls,
-            variable_axes={"params": 0, "quant": 0},
+            variable_axes={"params": 0, "quant": 0, "lora": 0},
             split_rngs={"params": True},
             in_axes=0,
             out_axes=0,

@@ -367,7 +367,7 @@ class PiZeroVLA(nn.Module):
                 lambda mdl, a, i: mdl.denoise_scan_body(
                     a, i, delta_t, k_pre, v_pre, seg_pre, lev_pre
                 ),
-                variable_broadcast=("params", "quant"),
+                variable_broadcast=("params", "quant", "lora"),
                 split_rngs={"params": False},
             )(self, action0, jnp.arange(cfg.num_inference_steps))
         if cfg.final_action_clip_value is not None:
@@ -452,7 +452,7 @@ class PiZeroVLA(nn.Module):
 
         _, toks = nn.scan(
             step,
-            variable_broadcast=("params", "quant"),
+            variable_broadcast=("params", "quant", "lora"),
             split_rngs={"params": False},
         )(self, (first_tok, k_bufs, v_bufs, kv_seg, done0, lengths),
           jnp.arange(max_new_tokens))
