@@ -18,12 +18,17 @@ Replace with a measured GPU number when hardware is available.
 Prints ONE JSON line.
 """
 
+import functools
 import json
 import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def functools_partial_donate(f):
+    return jax.jit(f, donate_argnums=(0, 1, 2))
 
 ESTIMATED_GPU_BASELINE_ACTIONS_PER_SEC = 90.0
 
@@ -80,6 +85,87 @@ def _bench_decode():
         ts.append(time.perf_counter() - t0)
     sec = max(float(np.median(ts)) - rtt, 1e-9)
     return NEW / sec
+
+
+def _bench_sft_train():
+    """Vlaser-2B QLoRA SFT train-step throughput on one chip (tokens/sec):
+    int8 base (core/quant.py), LoRA r=64 adapters on the LLM targets
+    (train/lora.py), vocab-chunked CE (train/losses.py), 2048-token packed
+    batch. Full-parameter 2B finetuning needs >=2 chips (fsdp) — the 16G
+    chip cannot hold params+grads+moments without donation, which the axon
+    AOT path does not honor; the multi-chip path is validated by
+    __graft_entry__.dryrun_multichip."""
+    import time
+
+    import optax
+
+    from vlaser_tpu.core.config import vlaser_2b
+    from vlaser_tpu.core.quant import DEFAULT_PATTERNS, quantize_variables
+    from vlaser_tpu.models.vlm import InternVLChatModel
+    from vlaser_tpu.train.lora import init_qlora_collection
+    from vlaser_tpu.train.losses import make_sft_loss_chunked
+    from vlaser_tpu.utils.benchmark import measure_rtt
+
+    cfg = vlaser_2b()
+    model = InternVLChatModel(cfg, param_dtype=jnp.bfloat16,
+                              compute_dtype=jnp.bfloat16, remat=True)
+    B, N = 1, 2048
+    img = cfg.vision.image_size
+    rng = np.random.default_rng(0)
+    ids = rng.integers(4, 1000, (B, N)).astype(np.int32)
+    ids[0, :256] = cfg.img_context_token_id
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(ids.copy()),
+        "loss_weight": jnp.ones((B, N), jnp.float32),
+        "seg_ids": jnp.asarray(
+            (rng.integers(0, 4, (B, N)) + 1).astype(np.int32)
+        ),
+        "pixel_values": jnp.full((1, img, img, 3), 0.5, jnp.float32),
+        "image_flags": jnp.ones((1,), jnp.int32),
+    }
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), batch["input_ids"],
+                           batch["pixel_values"], batch["image_flags"])
+    )
+
+    @jax.jit
+    def mk():
+        k = jax.random.PRNGKey(2)
+        return jax.tree_util.tree_map(
+            lambda s: (jax.random.normal(k, s.shape, jnp.float32) * 0.02
+                       ).astype(s.dtype),
+            shapes,
+        )
+
+    qvars = quantize_variables(mk(), DEFAULT_PATTERNS)
+    lora = init_qlora_collection(jax.random.PRNGKey(3), qvars, r=64,
+                                 alpha=128.0, dtype=jnp.bfloat16)
+    base_loss = make_sft_loss_chunked(model, chunk=512)
+
+    def loss_fn(lora_tree, base_vars, batch):
+        v = dict(base_vars, lora=lora_tree)
+        return base_loss(v, batch, None)
+
+    tx = optax.adamw(1e-4, weight_decay=0.01)
+    opt = tx.init(lora)
+
+    @jax.jit
+    def step(lora_tree, opt, base_vars, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(lora_tree, base_vars, batch)
+        upd, opt = tx.update(grads, opt, lora_tree)
+        return optax.apply_updates(lora_tree, upd), opt, loss
+
+    lora, opt, loss = step(lora, opt, qvars, batch)  # compile
+    np.asarray(loss)
+    rtt = measure_rtt()
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        lora, opt, loss = step(lora, opt, qvars, batch)
+    np.asarray(loss)
+    sec = (time.perf_counter() - t0 - rtt) / iters
+    return B * N / sec, sec
 
 
 def main():
@@ -168,6 +254,10 @@ def main():
         decode_tok_s = _bench_decode()
     except Exception:
         decode_tok_s = float("nan")
+    try:
+        sft_tok_s, sft_step_s = _bench_sft_train()
+    except Exception:
+        sft_tok_s, sft_step_s = float("nan"), float("nan")
 
     print(
         json.dumps(
@@ -185,6 +275,8 @@ def main():
                     "batch8_actions_per_sec": round(batch8_actions_per_sec, 2),
                     "batch8_step_ms": round(sec8 * 1e3, 3),
                     "vlm_decode_tok_per_sec": round(decode_tok_s, 1),
+                    "sft_train_tok_per_sec": round(sft_tok_s, 1),
+                    "sft_step_ms": round(sft_step_s * 1e3, 2),
                     "weights": "int8 weight-only (per-channel), bf16 compute",
                     "device": str(jax.devices()[0]),
                     "baseline_note": "estimated A100 fp32 torch.compile reference (no published numbers; derivation in bench.py docstring)",

@@ -113,3 +113,56 @@ def test_beta_flow_time_sampler_statistics():
     u = np.asarray(sample_fm_time(jax.random.PRNGKey(1), 1000, "uniform"))
     assert u.min() >= 0 and u.max() < 1
     np.testing.assert_allclose(u.mean(), 0.5, atol=0.02)
+
+
+def test_chunked_ce_matches_full():
+    """chunked_weighted_ce == weighted_ce_loss in value and gradients (tied
+    and untied heads), without materializing [N, V] logits."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vlaser_tpu.core.config import tiny_vlm
+    from vlaser_tpu.models.vlm import InternVLChatModel
+    from vlaser_tpu.train.losses import (
+        make_sft_loss, make_sft_loss_chunked,
+    )
+
+    for tie in (False, True):
+        cfg = tiny_vlm()
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm, tie_word_embeddings=tie))
+        model = InternVLChatModel(cfg, compute_dtype=jnp.float32,
+                                  attn_impl="reference")
+        rng = np.random.default_rng(0)
+        B, N = 2, 21  # deliberately not a multiple of the chunk
+        ids = rng.integers(1, 300, (B, N)).astype(np.int32)
+        ids[:, 1] = cfg.img_context_token_id
+        labels = ids.copy()
+        labels[:, :3] = -100
+        img = cfg.vision.image_size
+        batch = {
+            "input_ids": jnp.asarray(ids),
+            "labels": jnp.asarray(labels),
+            "loss_weight": jnp.asarray(
+                rng.uniform(0.5, 1.5, (B, N)).astype(np.float32)),
+            "seg_ids": jnp.ones((B, N), jnp.int32),
+            "pixel_values": jnp.asarray(
+                rng.standard_normal((B, img, img, 3)).astype(np.float32)),
+            "image_flags": jnp.ones((B,), jnp.int32),
+        }
+        params = model.init(jax.random.PRNGKey(0), batch["input_ids"],
+                            batch["pixel_values"], batch["image_flags"])
+        full = make_sft_loss(model)
+        chunked = make_sft_loss_chunked(model, chunk=8)
+        lf, gf = jax.value_and_grad(lambda p: full(p, batch, None))(params)
+        lc, gc = jax.value_and_grad(lambda p: chunked(p, batch, None))(params)
+        np.testing.assert_allclose(float(lc), float(lf), rtol=1e-6)
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(gf),
+            jax.tree_util.tree_leaves_with_path(gc),
+        ):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-5, atol=2e-6, err_msg=str(pa))

@@ -256,6 +256,23 @@ def _bwd_mask(qm, km, q_start, k_start, block_q, block_k, causal):
     return allowed
 
 
+def _bwd_mask_t(qm, km, q_start, k_start, block_q, block_k, causal):
+    """[bk, bq] mask built directly — Mosaic cannot legalize transposing an
+    i1 vector (tpu.transpose on vector<...xi1>), so the dkv kernel gets the
+    transposed layout natively instead of `allowed.T`."""
+    q_seg = (qm >> LEVEL_BITS)[None, :]
+    k_seg = (km >> LEVEL_BITS)[:, None]
+    q_lev = (qm & LEVEL_MASK)[None, :]
+    k_lev = (km & LEVEL_MASK)[:, None]
+    allowed = jnp.logical_and(q_seg == k_seg, k_seg != 0)
+    allowed = jnp.logical_and(allowed, k_lev <= q_lev)
+    if causal:
+        cols_q = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_k, block_q), 1)
+        rows_k = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_k, block_q), 0)
+        allowed = jnp.logical_and(allowed, cols_q >= rows_k)
+    return allowed
+
+
 def _flash_bwd_dq_kernel(
     q_offset_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qm_ref, km_ref,
@@ -341,10 +358,10 @@ def _flash_bwd_dkv_kernel(
         if softcap is not None:
             t_cap = jnp.tanh(st / softcap)
             st = softcap * t_cap
-        allowed = _bwd_mask(qm_ref[0, 0], km_ref[0, 0], q_start, k_start,
-                            block_q, block_k, causal)
+        allowed_t = _bwd_mask_t(qm_ref[0, 0], km_ref[0, 0], q_start, k_start,
+                                block_q, block_k, causal)
         lse = lse_ref[0, 0][:, 0]  # [bq]
-        pt = jnp.where(allowed.T, jnp.exp(st - lse[None, :]), 0.0)  # [bk, bq]
+        pt = jnp.where(allowed_t, jnp.exp(st - lse[None, :]), 0.0)  # [bk, bq]
         do = do_ref[0, 0].astype(jnp.float32)  # [bq, D]
         dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
             pt, do, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32

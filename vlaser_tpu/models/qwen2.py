@@ -252,6 +252,7 @@ class Qwen2ForCausalLM(nn.Module):
         seg_ids: Optional[jax.Array] = None,
         cache: Optional[KVCache] = None,
         attn_impl: str = "auto",
+        return_logits: bool = True,
     ):
         if inputs_embeds is None:
             inputs_embeds = self.embed_tokens(input_ids)
@@ -265,7 +266,10 @@ class Qwen2ForCausalLM(nn.Module):
             inputs_embeds, positions, seg_ids=seg_ids, cache=cache,
             attn_impl=attn_impl,
         )
-        logits = self.logits(hidden)
+        # return_logits=False: long-context SFT computes the CE vocab-chunked
+        # from `hidden` instead (train/losses.py chunked_weighted_ce) — the
+        # [B, S, V] fp32 logits tensor would dominate HBM at 2B scale
+        logits = self.logits(hidden) if return_logits else None
         return logits, hidden, new_cache
 
     def embed(self, input_ids: jax.Array) -> jax.Array:

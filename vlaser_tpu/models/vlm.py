@@ -129,11 +129,12 @@ class InternVLChatModel(nn.Module):
         seg_ids: Optional[jax.Array] = None,  # [B, N] padding/packing
         positions: Optional[jax.Array] = None,
         cache: Optional[KVCache] = None,
+        return_logits: bool = True,
     ) -> Tuple[jax.Array, jax.Array, Optional[KVCache]]:
         embeds = self.fuse_embeddings(input_ids, pixel_values, image_flags)
         return self.language_model(
             inputs_embeds=embeds, positions=positions, seg_ids=seg_ids,
-            cache=cache, attn_impl=self.attn_impl,
+            cache=cache, return_logits=return_logits, attn_impl=self.attn_impl,
         )
 
     # decode-path helpers (used by inference/chat.py inside jitted loops)

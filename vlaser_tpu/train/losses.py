@@ -54,3 +54,98 @@ def make_sft_loss(model):
         return weighted_ce_loss(logits, batch["labels"], batch.get("loss_weight"))
 
     return loss_fn
+
+
+def chunked_weighted_ce(
+    hidden: jax.Array,  # [B, N, H] (pre-head)
+    vocab_table: jax.Array,  # [V, H] (tied embedding) or [H, V] kernel
+    labels: jax.Array,  # [B, N]
+    loss_weight: Optional[jax.Array] = None,
+    chunk: int = 512,
+    table_is_kernel: bool = False,
+) -> jax.Array:
+    """Shift-by-one weighted CE computed in sequence chunks so the [N, V]
+    fp32 logits never materialize (the vocab tensor dominates HBM for
+    long-context SFT at 2B scale: 2048 x 151k fp32 = 1.2 GB per copy, and
+    fwd+bwd holds several). Each chunk's logits are recomputed in the
+    backward via jax.checkpoint; gradients to hidden and the vocab table
+    accumulate across chunks through the scan."""
+    b, n, h = hidden.shape
+    sh = hidden[:, :-1].reshape(-1, h)
+    sl = labels[:, 1:].reshape(-1)
+    if loss_weight is not None:
+        w = loss_weight[:, 1:].reshape(-1)
+    else:
+        w = jnp.ones_like(sl, jnp.float32)
+    valid = sl != IGNORE_TOKEN_ID
+    w = w * valid
+    safe = jnp.where(valid, sl, 0)
+
+    total = sh.shape[0]
+    pad = (-total) % chunk
+    if pad:
+        sh = jnp.pad(sh, ((0, pad), (0, 0)))
+        safe = jnp.pad(safe, (0, pad))
+        w = jnp.pad(w, (0, pad))
+    k = sh.shape[0] // chunk
+    sh = sh.reshape(k, chunk, h)
+    safe = safe.reshape(k, chunk)
+    w = w.reshape(k, chunk)
+
+    kernel = vocab_table.T if not table_is_kernel else vocab_table  # [H, V]
+
+    @jax.checkpoint
+    def chunk_nll(h_c, lab_c, w_c, kern):
+        logits = jnp.dot(
+            h_c, kern.astype(h_c.dtype), preferred_element_type=jnp.float32
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, lab_c[:, None], axis=-1)[:, 0]
+        return jnp.sum(nll * w_c)
+
+    def body(acc, xs):
+        h_c, lab_c, w_c = xs
+        return acc + chunk_nll(h_c, lab_c, w_c, kernel), None
+
+    loss_sum, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), (sh, safe, w))
+    return loss_sum / jnp.maximum(jnp.sum(w), 1e-8)
+
+
+def make_sft_loss_chunked(model, chunk: int = 512):
+    """make_sft_loss variant that never materializes full logits; reads the
+    (tied) vocab table / lm_head kernel straight from the param tree."""
+
+    def loss_fn(params, batch, rng):
+        _, hidden, _ = model.apply(
+            params,
+            batch["input_ids"],
+            batch["pixel_values"],
+            batch.get("image_flags"),
+            seg_ids=batch.get("seg_ids"),
+            positions=batch.get("positions"),
+            return_logits=False,
+        )
+        lm_q = params.get("quant", {}).get("language_model", {})
+        p = params["params"]["language_model"]
+        if model.cfg.llm.tie_word_embeddings:
+            if "embed_tokens" in lm_q:  # int8 base (core/quant.py)
+                eq = lm_q["embed_tokens"]
+                table = (eq["embedding_q"].astype(jnp.bfloat16)
+                         * eq["embedding_scale"].astype(jnp.bfloat16))
+            else:
+                table = p["embed_tokens"]["embedding"]
+            is_kernel = False
+        else:
+            if "lm_head" in lm_q:
+                hq = lm_q["lm_head"]
+                table = (hq["kernel_q"].astype(jnp.bfloat16)
+                         * hq["kernel_scale"].astype(jnp.bfloat16))
+            else:
+                table = p["lm_head"]["kernel"]
+            is_kernel = True
+        return chunked_weighted_ce(
+            hidden, table, batch["labels"], batch.get("loss_weight"),
+            chunk=chunk, table_is_kernel=is_kernel,
+        )
+
+    return loss_fn

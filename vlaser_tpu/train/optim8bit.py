@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import optax
 
 BLOCK = 256
+SLAB_BLOCKS = 32_768  # 8.4M elements per scan step (~200 MB fp32 temps)
 
 
 def _pad_len(n: int) -> int:
@@ -138,20 +139,65 @@ def scale_by_adam8bit(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
         moments = jax.tree_util.tree_map(quant_leaf, params)
         return Adam8bitState(jnp.zeros((), jnp.int32), moments)
 
-    def update_leaf(g, st):
-        g = g.astype(jnp.float32)
+    def update_leaf(g, st, bc1, bc2, out_dtype):
+        """One leaf's full chain (dequant -> adam -> requant -> update),
+        kept as one unit so XLA's scheduler can free each leaf's fp32
+        temporaries before the next — materializing every dequantized
+        moment at once OOMs a 2B model on one 16G chip."""
+        gf = g.astype(jnp.float32)
         if isinstance(st, tuple) and not isinstance(st, Adam8bitLeaf):
             m, v = st
-            m = b1 * m + (1 - b1) * g
-            v = b2 * v + (1 - b2) * g * g
-            return m, v, (m, v)
-        m = _dequant_signed(st.m_q, st.m_scale, g.shape)
-        v = _dequant_unsigned(st.v_q, st.v_scale, g.shape)
-        m = b1 * m + (1 - b1) * g
-        v = b2 * v + (1 - b2) * g * g
-        mq, ms = _quant_signed(m)
-        vq, vs = _quant_unsigned(v)
-        return m, v, Adam8bitLeaf(mq, ms, vq, vs)
+            m = b1 * m + (1 - b1) * gf
+            v = b2 * v + (1 - b2) * gf * gf
+            upd = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+            return upd.astype(out_dtype), (m, v)
+        # slab-scan: process the leaf in fixed-size slabs so fp32/int32
+        # temporaries stay bounded (~200 MB) no matter how large the leaf —
+        # whole-leaf chains needed >10 GB of temps for the 2B MLP stacks
+        nb = st.m_q.shape[0]  # [nb, BLOCK] quantized layout
+        # keep the gradient in its own (bf16) dtype until inside each slab —
+        # a whole-leaf fp32 copy is itself GBs for the 2B MLP stacks
+        gp = jnp.pad(g.reshape(-1), (0, _pad_len(g.size))).reshape(nb, BLOCK)
+        slab = max(1, min(nb, SLAB_BLOCKS))
+        pad_b = (-nb) % slab
+        def padb(x, value=0):
+            return jnp.pad(x, ((0, pad_b),) + ((0, 0),) * (x.ndim - 1),
+                           constant_values=value) if pad_b else x
+        gps = padb(gp).reshape(-1, slab, BLOCK)
+        mqs = padb(st.m_q).reshape(-1, slab, BLOCK)
+        mss = padb(st.m_scale).reshape(-1, slab, 1)
+        vqs = padb(st.v_q).reshape(-1, slab, BLOCK)
+        vss = padb(st.v_scale).reshape(-1, slab, 1)
+        stable = jnp.asarray(_SMAP)
+        utable = jnp.asarray(_UMAP)
+
+        def body(_, xs):
+            g_s, mq_s, ms_s, vq_s, vs_s = xs
+            g_s = g_s.astype(jnp.float32)
+            qi = mq_s.astype(jnp.int32)
+            m = jnp.where(qi >= 128, -1.0, 1.0) * stable[qi % 128] * ms_s
+            m = b1 * m + (1 - b1) * g_s
+            msc = jnp.maximum(jnp.max(jnp.abs(m), axis=1, keepdims=True), 1e-32)
+            mag = _encode_table(jnp.abs(m) / msc, stable)
+            mq2 = (mag + 128 * (m < 0).astype(jnp.int32)).astype(jnp.uint8)
+            v = utable[vq_s.astype(jnp.int32)] * vs_s
+            v = b2 * v + (1 - b2) * g_s * g_s
+            vsc = jnp.maximum(jnp.max(v, axis=1, keepdims=True), 1e-32)
+            vq2 = _encode_table(v / vsc, utable).astype(jnp.uint8)
+            upd = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+            return None, (upd.astype(out_dtype), mq2,
+                          msc.astype(jnp.float32),
+                          vq2, vsc.astype(jnp.float32))
+
+        _, (upd, mq2, ms2, vq2, vs2) = jax.lax.scan(
+            body, None, (gps, mqs, mss, vqs, vss)
+        )
+        def unpad(x, cols):
+            return x.reshape(-1, cols)[:nb]
+        upd = unpad(upd, BLOCK).reshape(-1)[: g.size].reshape(g.shape)
+        return upd, Adam8bitLeaf(
+            unpad(mq2, BLOCK), unpad(ms2, 1), unpad(vq2, BLOCK), unpad(vs2, 1)
+        )
 
     def update_fn(updates, state, params=None):
         count = state.count + 1
@@ -160,11 +206,27 @@ def scale_by_adam8bit(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
 
         flat_u, treedef = jax.tree_util.tree_flatten(updates)
         flat_s = treedef.flatten_up_to(state.moments)
-        outs = [update_leaf(g, s) for g, s in zip(flat_u, flat_s)]
-        new_updates = [
-            (m / bc1) / (jnp.sqrt(v / bc2) + eps) for m, v, _ in outs
-        ]
-        new_moments = [s for _, _, s in outs]
+        # serialize the big leaves' dequant->adam->requant chains with an
+        # optimization-barrier token: XLA otherwise schedules every leaf's
+        # fp32 moment temporaries concurrently, which OOMs a 2B model on one
+        # 16G chip (measured: 26.2G requested vs ~14G serialized)
+        token = count.astype(jnp.float32)
+        new_updates = []
+        new_moments = []
+        order = sorted(range(len(flat_u)), key=lambda i: -flat_u[i].size)
+        out_by_idx = {}
+        for i in order:
+            g = flat_u[i]
+            if g.size >= MIN_8BIT_SIZE:
+                g, token = jax.lax.optimization_barrier((g, token))
+            upd, st = update_leaf(g, flat_s[i], bc1, bc2, flat_u[i].dtype)
+            if flat_u[i].size >= MIN_8BIT_SIZE:
+                upd, token = jax.lax.optimization_barrier((upd, token))
+            out_by_idx[i] = (upd, st)
+        for i in range(len(flat_u)):
+            u, s = out_by_idx[i]
+            new_updates.append(u)
+            new_moments.append(s)
         return (
             jax.tree_util.tree_unflatten(treedef, new_updates),
             Adam8bitState(count, jax.tree_util.tree_unflatten(treedef, new_moments)),
