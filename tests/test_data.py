@@ -386,3 +386,49 @@ def test_jpeg_degradation():
     assert out.size == (32, 32)
     a = np.asarray(out).astype(int)
     assert abs(a[0, 0] - np.array([123, 40, 200])).sum() < 60  # lossy but close
+
+
+def test_prefetch_iterator_order_and_errors():
+    from vlaser_tpu.data.prefetch import PrefetchIterator
+
+    out = list(PrefetchIterator(iter(range(20)), buffer_size=3))
+    assert out == list(range(20))
+
+    def bad():
+        yield 1
+        raise ValueError("boom")
+
+    it = PrefetchIterator(bad())
+    assert next(it) == 1
+    with pytest.raises(ValueError, match="boom"):
+        next(it)
+
+
+def test_map_prefetch_matches_sequential(jsonl_dataset):
+    import time
+
+    from vlaser_tpu.data.prefetch import map_prefetch
+
+    class Slow:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            time.sleep(0.01)
+            return {"i": i, "x": np.full((4,), i, np.float32)}
+
+    order = [3, 1, 4, 1, 5, 2, 6, 0]
+    batches = list(map_prefetch(
+        Slow(), order, collate=lambda xs: [s["i"] for s in xs],
+        batch_size=3, num_threads=4,
+    ))
+    assert batches == [[3, 1, 4], [1, 5, 2], [6, 0]]  # order preserved
+
+    # real dataset items through threads == sequential access
+    got = list(map_prefetch(
+        jsonl_dataset, [0, 1, 0, 1], collate=lambda xs: xs, batch_size=2,
+        num_threads=2,
+    ))
+    seq = [jsonl_dataset[i] for i in (0, 1)]
+    np.testing.assert_array_equal(got[0][0]["input_ids"], seq[0]["input_ids"])
+    np.testing.assert_array_equal(got[0][1]["input_ids"], seq[1]["input_ids"])
