@@ -133,17 +133,33 @@ def main():
                                image_size=cfg.vision.image_size)
         if jax.process_count() > 1:
             packed = packed.shard(jax.process_count(), jax.process_index())
-        batches = iter(packed)
+        from vlaser_tpu.data.prefetch import PrefetchIterator
+
+        batches = PrefetchIterator(iter(packed), buffer_size=4)
         data_state = packed.state_dict
     else:
-        def gen():
-            i = 0
-            while True:
-                samples = [dataset[(i + j) % len(dataset)] for j in range(args.batch)]
-                i += args.batch
-                yield pad_collate(samples, cfg.pad_token_id)
+        # length-grouped batching (train_sampler_patch.py:54-125) + threaded
+        # item loading (DataLoader-workers equivalent)
+        from vlaser_tpu.data.chat_dataset import (
+            estimate_lengths, length_grouped_indices,
+        )
+        from vlaser_tpu.data.prefetch import map_prefetch
 
-        batches = gen()
+        lengths = estimate_lengths(dataset)
+        if lengths:
+            order = length_grouped_indices(lengths, args.batch)
+        else:  # ConcatDataset: fall back to sequential order
+            order = list(range(len(dataset)))
+
+        def cycle():
+            while True:
+                yield from order
+
+        batches = map_prefetch(
+            dataset, cycle(),
+            collate=lambda xs: pad_collate(xs, cfg.pad_token_id),
+            batch_size=args.batch, num_threads=4,
+        )
         data_state = None
 
     trainer = SFTTrainer(
