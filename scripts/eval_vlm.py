@@ -1,0 +1,113 @@
+"""VLM benchmark evaluation entry (the embodied-reasoning sweep).
+
+Replaces the reference's per-benchmark eval scripts (internvl_chat/eval/*,
+Simpler/src/model/internvl_chat/eval/ 23 dirs) with one CLI over the
+adapters in eval/embodied_benchmarks.py + eval/vlm_benchmarks.py.
+
+Usage:
+  python scripts/eval_vlm.py --model_path Vlaser-2B/ \
+      --benchmark erqa --data erqa.jsonl --image_root images/
+  python scripts/eval_vlm.py --model_path Vlaser-2B/ \
+      --benchmark pixmo --data pixmo_eval.jsonl --image_root pixmo-images/
+  python scripts/eval_vlm.py --model_path Vlaser-2B/ \
+      --benchmark mmbench --data mmbench_dev.tsv
+  python scripts/eval_vlm.py --model_path Vlaser-2B/ \
+      --benchmark pope --data pope_questions.jsonl --image_root coco/
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+logging.basicConfig(level=logging.INFO,
+                    format="%(asctime)s %(name)s %(message)s")
+
+EMBODIED = ("erqa", "egoplan2", "refspatial", "mmsi", "vsi", "vsi_bench",
+            "pixmo", "paco_lavis", "where2place", "pointarena")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_path", required=True)
+    ap.add_argument("--benchmark", required=True)
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--image_root", default="")
+    ap.add_argument("--max_tiles", type=int, default=12)
+    ap.add_argument("--max_new_tokens", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--int8", action="store_true", default=True,
+                    help="int8 weight-only serving (core/quant.py)")
+    ap.add_argument("--out", default=None, help="results json path")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+
+    from vlaser_tpu.core.config import vlaser_2b
+    from vlaser_tpu.core.distributed import respect_platform_env
+    from vlaser_tpu.core.quant import DEFAULT_PATTERNS, quantize_variables
+    from vlaser_tpu.inference.chat import VlaserChat
+    from vlaser_tpu.models.vlm import InternVLChatModel
+    from vlaser_tpu.utils.hf_convert import (
+        convert_internvl_chat, load_safetensors_dir,
+    )
+
+    respect_platform_env()
+    tokenizer = AutoTokenizer.from_pretrained(args.model_path, use_fast=False,
+                                              trust_remote_code=True)
+    cfg = vlaser_2b(vocab_size=len(tokenizer))
+    model = InternVLChatModel(cfg, param_dtype=jnp.bfloat16,
+                              compute_dtype=jnp.bfloat16)
+    params = {"params": convert_internvl_chat(
+        load_safetensors_dir(args.model_path), cfg.vision.num_layers,
+        cfg.llm.num_layers,
+    )}
+    if args.int8:
+        params = quantize_variables(params, DEFAULT_PATTERNS)
+    chat = VlaserChat(model, params, tokenizer,
+                      max_new_tokens=args.max_new_tokens)
+
+    key = args.benchmark.lower().replace("-", "_")
+    if key in EMBODIED:
+        from vlaser_tpu.eval.embodied_benchmarks import run_benchmark
+
+        out = run_benchmark(key, chat, args.data, args.image_root,
+                            max_tiles=args.max_tiles)
+    elif key == "mmbench":
+        from vlaser_tpu.eval.vlm_benchmarks import (
+            evaluate_benchmark, load_mmbench_tsv,
+        )
+
+        items = load_mmbench_tsv(args.data)
+        out = evaluate_benchmark(chat, items, mode="multiple_choice",
+                                 batch_size=args.batch,
+                                 max_tiles=args.max_tiles)
+    elif key == "pope":
+        from vlaser_tpu.eval.vlm_benchmarks import evaluate_pope, load_pope
+
+        items = load_pope(args.data, args.image_root)
+        out = evaluate_pope(chat, items, batch_size=args.batch,
+                            max_tiles=args.max_tiles)
+    else:
+        from vlaser_tpu.eval.vlm_benchmarks import (
+            evaluate_benchmark, load_jsonl_benchmark,
+        )
+
+        items = load_jsonl_benchmark(args.data, args.image_root)
+        out = evaluate_benchmark(chat, items, mode="multiple_choice",
+                                 batch_size=args.batch,
+                                 max_tiles=args.max_tiles)
+
+    printable = {k: v for k, v in out.items() if k != "responses"}
+    print(json.dumps({"benchmark": key, **printable}, indent=2))
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump({"benchmark": key, **out}, f, indent=2, default=str)
+
+
+if __name__ == "__main__":
+    main()

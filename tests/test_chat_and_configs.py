@@ -139,3 +139,60 @@ def test_vlaser_2b_vla_param_shapes():
     assert p["mlp1"]["fc1"]["kernel"].shape == (4096, 1536)
     total = sum(int(np.prod(s.shape)) for s in jax.tree_util.tree_leaves(p))
     assert 2.0e9 < total < 2.6e9  # ~2B params + 0.3B expert
+
+
+def test_templates_match_reference_module():
+    """Our template registry renders identical prompts to the reference's
+    conversation.py (imported live) for every shared template."""
+    import importlib.util
+    import os
+    import sys
+
+    import pytest as _pytest
+
+    ref = "/root/reference/Vlaser_VLM/internvl_chat/internvl/conversation.py"
+    if not os.path.exists(ref):
+        _pytest.skip("reference unavailable")
+    spec = importlib.util.spec_from_file_location("ref_conversation", ref)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from vlaser_tpu.tokenizer.conversation import get_conv_template
+
+    for name in ("internvl2_5", "Hermes-2", "internlm2-chat", "phi3-chat",
+                 "internvl_zh"):
+        theirs = mod.get_conv_template(name)
+        ours = get_conv_template(name)
+        theirs.append_message(theirs.roles[0], "What is in <image>?")
+        theirs.append_message(theirs.roles[1], "A cat.")
+        theirs.append_message(theirs.roles[0], "Color?")
+        theirs.append_message(theirs.roles[1], None)
+        ours.append_message(ours.roles[0], "What is in <image>?")
+        ours.append_message(ours.roles[1], "A cat.")
+        ours.append_message(ours.roles[0], "Color?")
+        ours.append_message(ours.roles[1], None)
+        assert ours.get_prompt() == theirs.get_prompt(), name
+
+
+def test_top_p_sampling():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vlaser_tpu.inference.sampling import _sample
+
+    # distribution: probs ~ [0.5, 0.3, 0.15, 0.05]; top_p=0.6 keeps {0, 1}
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
+    keys = jax.random.split(jax.random.PRNGKey(0), 300)
+    draws = np.asarray([
+        int(_sample(logits, k, temperature=1.0, top_k=0, top_p=0.6)[0])
+        for k in keys[:300]
+    ])
+    assert set(draws) <= {0, 1}
+    assert (draws == 0).mean() > 0.45  # renormalized 0.5/0.8
+    # top_p=1.0 keeps the full support
+    draws = np.asarray([
+        int(_sample(logits, k, temperature=1.0, top_k=0, top_p=1.0)[0])
+        for k in keys[:300]
+    ])
+    assert set(draws) == {0, 1, 2, 3}

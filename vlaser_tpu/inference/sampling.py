@@ -18,13 +18,25 @@ import jax.numpy as jnp
 from .kv_cache import KVCache
 
 
-def _sample(logits, rng, temperature: float, top_k: int):
+def _sample(logits, rng, temperature: float, top_k: int,
+            top_p: float = 1.0):
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / temperature
     if top_k > 0:
         top = jax.lax.top_k(logits, top_k)[0][..., -1:]
         logits = jnp.where(logits < top, -1e30, logits)
+    if top_p < 1.0:
+        # nucleus sampling (HF generation_config top_p): drop the tail whose
+        # cumulative probability exceeds top_p (keep at least the argmax)
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = cum - probs < top_p  # token included while mass before it < p
+        threshold = jnp.min(
+            jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True
+        )
+        logits = jnp.where(logits < threshold, -1e30, logits)
     return jax.random.categorical(rng, logits).astype(jnp.int32)
 
 
@@ -36,6 +48,7 @@ def make_generate_fn(
     pad_token_id: int,
     temperature: float = 0.0,
     top_k: int = 0,
+    top_p: float = 1.0,
     cache_dtype=jnp.bfloat16,
 ):
     """Build a jitted fn(params, input_ids, seg_ids, pixel_values, rng) ->
@@ -63,7 +76,7 @@ def make_generate_fn(
             logits, (lengths - 1)[:, None, None], axis=1
         )[:, 0]  # [B, V]
         rng, sub = jax.random.split(rng)
-        token = _sample(last, sub, temperature, top_k)
+        token = _sample(last, sub, temperature, top_k, top_p)
         done = jnp.any(token[:, None] == eos[None, :], axis=-1)
 
         def step(carry, t):
@@ -75,7 +88,7 @@ def make_generate_fn(
                 method=model.decode_step,
             )
             rng, sub = jax.random.split(rng)
-            nxt = _sample(logits[:, 0], sub, temperature, top_k)
+            nxt = _sample(logits[:, 0], sub, temperature, top_k, top_p)
             nxt_done = jnp.logical_or(
                 done, jnp.any(nxt[:, None] == eos[None, :], axis=-1)
             )
