@@ -71,7 +71,12 @@ def _bench_decode():
     # int8 weight-only serving (core/quant.py): decode is weight-streaming
     # bound, so halving streamed bytes is the dominant lever
     params = quantize_variables(mk(), DEFAULT_PATTERNS)
-    gen = make_generate_fn(
+    # decode steps run through the fused int8 stack kernel
+    # (kernels/fused_decode.py): 2.01ms vs 2.24ms per token for the XLA
+    # dequant-dot path at this shape
+    from vlaser_tpu.inference.fused_runner import make_fused_generate_fn
+
+    gen = make_fused_generate_fn(
         model, max_new_tokens=NEW, eos_token_ids=[2], pad_token_id=0,
     )
     args = (params, jnp.asarray(ids), jnp.asarray(seg), pixels,

@@ -137,3 +137,52 @@ def test_fused_stack_matches_reference(R, ext_len):
                                rtol=0.05, atol=0.05)
     np.testing.assert_allclose(np.asarray(got_x, np.float32), want_x,
                                rtol=0.08, atol=0.08)
+
+def test_fused_runner_matches_xla_decode():
+    """fused_runner.fused_decode_step vs model.decode_step: same prefilled
+    cache, same teacher-forced tokens, logits must agree (bf16 tolerance)."""
+    import jax
+
+    from vlaser_tpu.core.config import tiny_vlm
+    from vlaser_tpu.core.quant import DEFAULT_PATTERNS, quantize_variables
+    from vlaser_tpu.inference.fused_runner import (
+        fused_decode_step, pack_qwen2_stack,
+    )
+    from vlaser_tpu.inference.kv_cache import KVCache
+    from vlaser_tpu.models.vlm import InternVLChatModel
+
+    cfg = tiny_vlm()
+    model = InternVLChatModel(cfg, compute_dtype=jnp.bfloat16)
+    n = 10
+    ids = jnp.asarray(np.full((1, n), 5, np.int32))
+    seg = jnp.ones((1, n), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), ids, None, seg)
+    variables = quantize_variables(variables, DEFAULT_PATTERNS)
+
+    new = 3
+    llm = cfg.llm
+    cache = KVCache.create(llm.num_layers, 1, n + new, llm.num_kv_heads,
+                           llm.head_dim, dtype=jnp.bfloat16)
+    logits, _, cache0 = model.apply(variables, ids, None, seg, cache,
+                                    method=model.prefill)
+    tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+
+    stack = pack_qwen2_stack(variables)
+    q = variables["quant"]["language_model"]
+    head = (("lm_head", q["lm_head"]["kernel_q"], q["lm_head"]["kernel_scale"])
+            if "lm_head" in q else
+            ("tied", q["embed_tokens"]["embedding_q"],
+             q["embed_tokens"]["embedding_scale"]))
+
+    cache_a, cache_b, t = cache0, cache0, tok
+    for i in range(new):
+        pos = jnp.asarray([n + i], jnp.int32)
+        la, _, cache_a = model.apply(variables, t[:, None], cache_a,
+                                     pos[:, None], method=model.decode_step)
+        lb, cache_b = fused_decode_step(stack, q["embed_tokens"], head, llm,
+                                        t, cache_b, pos)
+        a = np.asarray(la[:, 0], np.float32)
+        b = np.asarray(lb, np.float32)
+        scale = max(np.abs(a).max(), 1e-6)
+        assert np.abs(a - b).max() / scale < 0.04, (i, np.abs(a - b).max())
+        t = jnp.argmax(lb, -1).astype(jnp.int32)

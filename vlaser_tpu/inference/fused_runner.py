@@ -1,0 +1,215 @@
+"""Serving glue for the fused int8 decoder-stack kernel.
+
+`make_generate_fn` (inference/sampling.py) drives decode through XLA's
+dequant-dot path; this module swaps the per-token decoder stack for ONE
+`fused_int8_stack` pallas_call (kernels/fused_decode.py) — measured 2.006ms
+vs 2.24ms per token on the Vlaser-2B stack shape (v5e). Prefill stays on
+the XLA path (MXU-bound, XLA already optimal); embedding lookup and the
+tied int8 logits matmul stay outside the kernel.
+
+Requires batch 1 (the kernel's R rows are the self-attention block) and an
+int8-quantized model (core/quant.quantize_variables); greedy decode.
+
+Reference parity: generation semantics match sampling.make_generate_fn
+(modeling_internvl_chat.py:285-316 chat -> generate); the kernel replaces
+only how each decode step's stack math executes.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..inference.kv_cache import KVCache
+from ..kernels import ops
+from ..kernels.fused_decode import NEG_INF, fused_int8_stack
+
+
+def pack_qwen2_stack(variables, llm_key: str | None = "language_model"):
+    """Pull the scanned Qwen2 layer stack out of an int8-quantized variable
+    tree into the fused kernel's argument layout.
+
+    The nn.scan layout already stores every per-layer tensor stacked on a
+    leading [L] axis, so this is pure dict plumbing — no reshapes, no copies
+    beyond bias fill-ins when attention_bias=False.
+    """
+    p = variables["params"]
+    q = variables["quant"]
+    if llm_key is not None:
+        p, q = p[llm_key], q[llm_key]
+    lp, lq = p["model"]["layers"], q["model"]["layers"]
+
+    def wpair(node):
+        return node["kernel_q"], node["kernel_scale"].astype(jnp.float32)
+
+    wq, sq = wpair(lq["self_attn"]["q_proj"])
+    wk, sk = wpair(lq["self_attn"]["k_proj"])
+    wv, sv = wpair(lq["self_attn"]["v_proj"])
+    wo, so = wpair(lq["self_attn"]["o_proj"])
+    wg, sg = wpair(lq["mlp"]["gate_proj"])
+    wu, su = wpair(lq["mlp"]["up_proj"])
+    wd, sd = wpair(lq["mlp"]["down_proj"])
+    L = wq.shape[0]
+
+    def bias(name, n):
+        sa = lp.get("self_attn", {})
+        if name in sa:
+            return sa[name]["bias"].astype(jnp.float32)
+        return jnp.zeros((L, n), jnp.float32)
+
+    return dict(
+        ln1=lp["input_layernorm"]["weight"].astype(jnp.float32),
+        ln2=lp["post_attention_layernorm"]["weight"].astype(jnp.float32),
+        bq=bias("q_proj", wq.shape[-1]),
+        bk=bias("k_proj", wk.shape[-1]),
+        bv=bias("v_proj", wv.shape[-1]),
+        wq=wq, sq=sq, wk=wk, sk=sk, wv=wv, sv=sv, wo=wo, so=so,
+        wg=wg, sg=sg, wu=wu, su=su, wd=wd, sd=sd,
+        final_norm=p["model"]["norm"]["weight"].astype(jnp.float32),
+    )
+
+
+def _embed_lookup(q, token):
+    """int8 embedding row gather: ids [B] -> [B, H] bf16."""
+    eq, es = q["embedding_q"], q["embedding_scale"]
+    rows = jnp.take(eq, token, axis=0).astype(jnp.bfloat16)
+    return rows * jnp.take(es, token, axis=0).astype(jnp.bfloat16)
+
+
+def _head_logits(head, hidden):
+    """hidden [B, H] -> logits [B, V]; per-channel scales ride the output
+    (same trick as the kernel's GEMVs). `head` = (kind, table, scale):
+    kind 'lm_head' -> int8 [H, V] kernel; kind 'tied' -> int8 [V, H] embed
+    table used transposed."""
+    kind, tbl, sc = head
+    dims = (((1,), (0,)), ((), ())) if kind == "lm_head" \
+        else (((1,), (1,)), ((), ()))
+    y = jax.lax.dot_general(
+        hidden.astype(jnp.bfloat16), tbl.astype(jnp.bfloat16), dims,
+        preferred_element_type=jnp.float32,
+    )
+    return y * sc.reshape(-1)[None, :]
+
+
+def _pick_tile(inter: int) -> int:
+    """Largest MLP stream tile (lane-aligned) dividing the intermediate dim;
+    bigger tiles amortize DMA issue overhead (kernels/fused_decode.py)."""
+    for t in (4480, 3584, 2560, 2240, 1792, 1280, 1120, 896, 640, 512, 384,
+              256, 128):
+        if inter % t == 0:
+            return t
+    return inter
+
+
+def fused_decode_step(stack, embed_q, head, cfg, token, cache: KVCache,
+                      pos):
+    """One greedy decode step: embed -> fused stack kernel -> cache append
+    -> final norm -> int8 logits head. Batch 1 only.
+
+    Returns (logits [1, V], new cache).
+    """
+    x = _embed_lookup(embed_q, token)  # [1, H]
+    cos, sin = ops.rope_cos_sin(pos.astype(jnp.float32), cfg.head_dim,
+                                cfg.rope_theta)  # [1, D]
+    ext_mask = jnp.where(cache.seg[0] > 0, 0.0, NEG_INF)[None, :]
+    self_mask = jnp.zeros((1, 1), jnp.float32)
+    x_out, k_new, v_new = fused_int8_stack(
+        x, cos, sin, self_mask, ext_mask,
+        stack["ln1"], stack["ln2"], stack["bq"], stack["bk"], stack["bv"],
+        stack["wq"], stack["sq"], stack["wk"], stack["sk"],
+        stack["wv"], stack["sv"], stack["wo"], stack["so"],
+        stack["wg"], stack["sg"], stack["wu"], stack["su"],
+        stack["wd"], stack["sd"],
+        cache.k[:, 0], cache.v[:, 0],
+        eps=cfg.rms_norm_eps,
+        mlp_tile=_pick_tile(stack["wg"].shape[-1]),
+        # Mosaic compile needs a real TPU; CPU (tests, dryrun) interprets
+        interpret=jax.default_backend() != "tpu",
+    )
+    k_buf = jax.lax.dynamic_update_slice(
+        cache.k, k_new[:, None].astype(cache.k.dtype),
+        (0, 0, cache.length, 0, 0),
+    )
+    v_buf = jax.lax.dynamic_update_slice(
+        cache.v, v_new[:, None].astype(cache.v.dtype),
+        (0, 0, cache.length, 0, 0),
+    )
+    cache = cache.replace(k=k_buf, v=v_buf).write_meta(
+        jnp.ones((1, 1), jnp.int32)
+    )
+    hidden = ops.rms_norm(x_out, stack["final_norm"], eps=cfg.rms_norm_eps)
+    return _head_logits(head, hidden), cache
+
+
+def make_fused_generate_fn(
+    model,
+    *,
+    max_new_tokens: int,
+    eos_token_ids: Sequence[int],
+    pad_token_id: int,
+    llm_key: str | None = "language_model",
+):
+    """Drop-in for sampling.make_generate_fn at batch 1 / greedy: prefill on
+    the XLA path, every decode step through the fused stack kernel."""
+    eos = jnp.asarray(list(eos_token_ids), jnp.int32)
+    llm = model.cfg.llm if hasattr(model.cfg, "llm") else model.cfg
+
+    @jax.jit
+    def generate(params, input_ids, seg_ids, pixel_values, rng):
+        del rng  # greedy
+        b, n = input_ids.shape
+        assert b == 1, "fused decode path is single-stream (batch 1)"
+        stack = pack_qwen2_stack(params, llm_key)
+        q = (params["quant"][llm_key] if llm_key is not None
+             else params["quant"])
+        embed_q = q["embed_tokens"]
+        if "lm_head" in q:
+            head = ("lm_head", q["lm_head"]["kernel_q"],
+                    q["lm_head"]["kernel_scale"])
+        else:  # tied embeddings
+            head = ("tied", embed_q["embedding_q"],
+                    embed_q["embedding_scale"])
+        cache = KVCache.create(
+            llm.num_layers, b, n + max_new_tokens, llm.num_kv_heads,
+            llm.head_dim, dtype=jnp.bfloat16,
+        )
+        lengths = jnp.sum((seg_ids != 0).astype(jnp.int32), axis=1)
+        logits, _, cache = model.apply(
+            params, input_ids, pixel_values, seg_ids, cache,
+            method=model.prefill,
+        )
+        last = jnp.take_along_axis(
+            logits, (lengths - 1)[:, None, None], axis=1
+        )[:, 0]
+        token = jnp.argmax(last, axis=-1).astype(jnp.int32)
+        done = jnp.any(token[:, None] == eos[None, :], axis=-1)
+
+        def step(carry, t):
+            cache, token, done = carry
+            out_token = jnp.where(done, pad_token_id, token)
+            pos = lengths + t
+            logits, cache = fused_decode_step(
+                stack, embed_q, head, llm, token, cache, pos
+            )
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            nxt_done = jnp.logical_or(
+                done, jnp.any(nxt[:, None] == eos[None, :], axis=-1)
+            )
+            return (cache, nxt, nxt_done), out_token
+
+        (cache, token, done), tokens = jax.lax.scan(
+            step, (cache, token, done), jnp.arange(max_new_tokens - 1)
+        )
+        last_token = jnp.where(done, pad_token_id, token)
+        tokens = jnp.concatenate(
+            [jnp.transpose(tokens, (1, 0)), last_token[:, None]], axis=1
+        )
+        num = jnp.sum(
+            jnp.cumprod((tokens != pad_token_id).astype(jnp.int32), axis=1),
+            axis=1,
+        )
+        return tokens, num
+
+    return generate
