@@ -13,6 +13,12 @@ Usage:
       --benchmark mmbench --data mmbench_dev.tsv
   python scripts/eval_vlm.py --model_path Vlaser-2B/ \
       --benchmark pope --data pope_questions.jsonl --image_root coco/
+  python scripts/eval_vlm.py --model_path Vlaser-2B/ \
+      --benchmark mmmu --data mmmu_val.jsonl --image_root mmmu/
+  python scripts/eval_vlm.py --model_path Vlaser-2B/ \
+      --benchmark vqa:textvqa_val --data textvqa_val.jsonl --image_root ./
+  python scripts/eval_vlm.py --model_path Vlaser-2B/ \
+      --benchmark refcoco --data refcoco_val.jsonl --image_root coco/
 """
 
 import argparse
@@ -91,6 +97,18 @@ def main():
         items = load_pope(args.data, args.image_root)
         out = evaluate_pope(chat, items, batch_size=args.batch,
                             max_tiles=args.max_tiles)
+    elif key in ("mmmu", "scienceqa", "seed", "mmvp", "mme", "mvbench",
+                 "refcoco", "caption", "mathvista") or key.startswith("vqa"):
+        from vlaser_tpu.eval.protocol_runners import RUNNERS
+
+        kw = dict(batch_size=args.batch, max_tiles=args.max_tiles)
+        if key.startswith("vqa"):
+            # 'vqa:<dataset>' routes the metric via METRIC_BY_DATASET
+            ds = key.split(":", 1)[1] if ":" in key else None
+            out = RUNNERS["vqa"](chat, args.data, args.image_root,
+                                 dataset=ds, **kw)
+        else:
+            out = RUNNERS[key](chat, args.data, args.image_root, **kw)
     else:
         from vlaser_tpu.eval.vlm_benchmarks import (
             evaluate_benchmark, load_jsonl_benchmark,

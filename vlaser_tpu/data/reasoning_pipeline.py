@@ -2,9 +2,9 @@
 
 Parity surface: Vlaser_VLM/internvl_chat/tools/reasoning_data_pipeline/
 - mmpr_data_pipeline_correctness.py: sample N rollouts per (image, question)
-- utils/accuracy_reward.py check_answer(:467): exact / relaxed / numeric
-  correctness (the math_verify + VQA-evaluator modes need external packages;
-  'exact', 'relaxed_accuracy' and 'numeric' are implemented natively)
+- utils/accuracy_reward.py check_answer(:467): exact / relaxed / numeric /
+  math_verify (sympy-backed, eval/math_verify.py) / vqa_score
+  (EvalAI-normalized, eval/vqa_metrics.py) correctness — all native now
 - mmpr_data_pipeline_correctness_postprocess.py: bucket rollouts into
   pos/neg/format-neg per question key and build chosen/rejected pairs
   (:22-160); output schema {image, question, chosen, rejected, answer_gt}
@@ -64,7 +64,11 @@ def relaxed_correctness(gt: str, pred: str, tol: float = 0.05) -> int:
 
 
 def check_answer(answer_pred: str, answer_gt: str, mode: str = "exact") -> int:
-    """accuracy_reward.py:467-510 semantics for the natively-supported modes."""
+    """accuracy_reward.py:467-510 semantics. Modes: 'exact' (plus the
+    substring modes below), 'relaxed_accuracy', 'numeric', 'math_verify'
+    (sympy-backed symbolic/numeric equivalence, eval/math_verify.py —
+    replacing the reference's external math_verify package),
+    'vqa_score' (EvalAI-normalized match, eval/vqa_metrics.py)."""
     if answer_pred is None:
         return 0
     if answer_pred.strip().lower() == answer_gt.strip().lower():
@@ -76,6 +80,15 @@ def check_answer(answer_pred: str, answer_gt: str, mode: str = "exact") -> int:
         g, p = _to_float(answer_gt), _to_float(answer_pred)
         if g is not None and p is not None:
             acc = max(acc, int(abs(p - g) < 1e-6 * max(1.0, abs(g))))
+    if "math_verify" in mode and not acc:
+        from ..eval.math_verify import verify_math
+
+        acc = max(acc, int(verify_math(answer_gt, answer_pred)))
+    if "vqa_score" in mode and not acc:
+        from ..eval.vqa_metrics import EvalAIAnswerProcessor
+
+        proc = EvalAIAnswerProcessor()
+        acc = max(acc, int(proc(answer_pred) == proc(answer_gt)))
     return acc
 
 
