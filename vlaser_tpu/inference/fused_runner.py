@@ -93,12 +93,19 @@ def _head_logits(head, hidden):
     return y * sc.reshape(-1)[None, :]
 
 
-def _pick_tile(inter: int) -> int:
-    """Largest MLP stream tile (lane-aligned) dividing the intermediate dim;
-    bigger tiles amortize DMA issue overhead (kernels/fused_decode.py)."""
-    for t in (4480, 3584, 2560, 2240, 1792, 1280, 1120, 896, 640, 512, 384,
+def _pick_tile(inter: int, hidden: int = 0) -> int:
+    """MLP stream tile for the fused stack kernel. The whole intermediate
+    dim as ONE tile is fastest when it fits VMEM — one gate + one up + one
+    down DMA per layer instead of a tile pipeline (measured v5e, 768-wide
+    expert: 8960-tile 169 act/s vs 4480-tile 155) — so prefer it whenever
+    the gu/down scratch stays under ~72MB of the 100MB VMEM budget.
+    Otherwise the largest lane-aligned (multiple-of-128: Mosaic
+    dynamic-slice starts) divisor."""
+    if inter % 128 == 0 and (hidden == 0 or 4 * hidden * inter <= 72 * 2**20):
+        return inter
+    for t in (4480, 3584, 2560, 1792, 1280, 1152, 896, 640, 512, 384,
               256, 128):
-        if inter % t == 0:
+        if inter % t == 0 and t % 128 == 0:
             return t
     return inter
 
@@ -124,7 +131,7 @@ def fused_decode_step(stack, embed_q, head, cfg, token, cache: KVCache,
         stack["wd"], stack["sd"],
         cache.k[:, 0], cache.v[:, 0],
         eps=cfg.rms_norm_eps,
-        mlp_tile=_pick_tile(stack["wg"].shape[-1]),
+        mlp_tile=_pick_tile(stack["wg"].shape[-1], stack["wg"].shape[1]),
         # Mosaic compile needs a real TPU; CPU (tests, dryrun) interprets
         interpret=jax.default_backend() != "tpu",
     )

@@ -69,6 +69,13 @@ def _make_kernel(
     groups = heads // kv_heads
     n_mlp_tiles = inter // mlp_tile
     assert inter % mlp_tile == 0, (inter, mlp_tile)
+    assert n_mlp_tiles == 1 or mlp_tile % 128 == 0, (
+        f"mlp_tile {mlp_tile} must be lane-aligned (Mosaic dynamic-slice "
+        "starts must be multiples of 128; a single tile always starts at 0)"
+    )
+    # single-tile MLP streams (the fastest configuration when VMEM allows:
+    # one DMA each for gate/up/down) never touch the lookahead pair — the
+    # scratch allocation below shrinks to 2 gate/up slots in that case
 
     def kernel(
         x_ref, cos_ref, sin_ref, selfm_ref, extm_ref,
@@ -342,7 +349,8 @@ def fused_int8_stack(
             pltpu.VMEM((R, hidden), jnp.bfloat16),
             pltpu.VMEM((hidden, q_dim + 2 * kv_dim), jnp.int8),
             pltpu.VMEM((q_dim, hidden), jnp.int8),
-            pltpu.VMEM((4, hidden, mlp_tile), jnp.int8),
+            pltpu.VMEM((2 if inter == mlp_tile else 4, hidden, mlp_tile),
+                       jnp.int8),
             pltpu.VMEM((2, mlp_tile, hidden), jnp.int8),
             pltpu.VMEM((R, inter), jnp.float32),
             pltpu.VMEM((2, ext_len, kv_heads, head_dim), jnp.bfloat16),

@@ -1,0 +1,182 @@
+"""Fused single-kernel denoise for VLA serving (batch 1).
+
+The 10-step Euler denoise loop is the dominant cost of the control step
+(docs/STATUS.md roofline): each step streams the whole 768-wide action
+expert from HBM for a 4-row GEMV chain. This module drives every denoise
+step through ONE `fused_int8_stack` pallas_call (kernels/fused_decode.py —
+the same kernel that owns the VLM decode stream; its R rows are the 4
+action tokens and its external KV block is the vlm+proprio prefix cache),
+replacing ~200 XLA ops per step with one launch whose weight DMAs are
+software-pipelined against compute.
+
+Prefill (ViT + joint vlm+proprio prefix) stays on the XLA path — it is
+MXU-bound. The tiny per-step modules around the stack (sinusoidal time
+embedding, ActionEncoder, final expert norm, action decoder) run as plain
+XLA ops between kernel launches.
+
+Reference parity: semantics match PiZeroVLA.infer_action (the reference's
+cached `infer_action`, src/model/vla/pizero_internvl.py:798-936); the
+kernel replaces only how each step's expert stack executes. Requires an
+int8-quantized model (core/quant.POLICY_PATTERNS), plain RMSNorm mixtures
+(no adaLN), no vision-in-expert, internvl backbone, batch 1.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..kernels import ops
+from ..kernels.fused_decode import NEG_INF, fused_int8_stack
+from ..inference.fused_runner import _pick_tile
+from .pizero import sinusoidal_pos_emb
+
+
+def pack_expert_stack(variables):
+    """Expert-mixture scanned weights -> fused kernel layout (the expert
+    twin of inference/fused_runner.pack_qwen2_stack; MixtureBlock stores
+    projections at the layer root, not under 'self_attn')."""
+    from ..core.quant import quantize_int8
+
+    p = variables["params"]["joint"]["layers"]["expert"]
+    q = (variables.get("quant", {}).get("joint", {}).get("layers", {})
+         .get("expert", {}))
+
+    def wpair(*path):
+        node = q
+        for k in path:
+            node = node.get(k, {})
+        if "kernel_q" in node:
+            return node["kernel_q"], node["kernel_scale"].astype(jnp.float32)
+        # leaves under quantize_variables' 4096-element floor (tiny test
+        # configs) stay in params; quantize them here so the kernel always
+        # sees int8 + [L, 1, N] scales
+        node = p
+        for k in path:
+            node = node[k]
+        return quantize_int8(node["kernel"], reduce_axis=-2)
+
+    wq, sq = wpair("q_proj")
+    wk, sk = wpair("k_proj")
+    wv, sv = wpair("v_proj")
+    wo, so = wpair("o_proj")
+    wg, sg = wpair("mlp", "gate_proj")
+    wu, su = wpair("mlp", "up_proj")
+    wd, sd = wpair("mlp", "down_proj")
+    L = wq.shape[0]
+
+    def bias(name, n):
+        if name in p and "bias" in p[name]:
+            return p[name]["bias"].astype(jnp.float32)
+        return jnp.zeros((L, n), jnp.float32)
+
+    return dict(
+        ln1=p["input_layernorm"]["weight"].astype(jnp.float32),
+        ln2=p["post_attention_layernorm"]["weight"].astype(jnp.float32),
+        bq=bias("q_proj", wq.shape[-1]),
+        bk=bias("k_proj", wk.shape[-1]),
+        bv=bias("v_proj", wv.shape[-1]),
+        wq=wq, sq=sq, wk=wk, sk=sk, wv=wv, sv=sv, wo=wo, so=so,
+        wg=wg, sg=sg, wu=wu, su=su, wd=wd, sd=sd,
+        final_norm=variables["params"]["joint"]["expert_norm"]["weight"]
+        .astype(jnp.float32),
+    )
+
+
+def _dense(p, x):
+    """Tiny bf16 Dense from raw params (ActionEncoder / action_decoder are
+    not quantized — they are < 4096-element streams)."""
+    y = x.astype(jnp.bfloat16) @ p["kernel"].astype(jnp.bfloat16)
+    return y + p["bias"].astype(jnp.bfloat16)
+
+
+def _encode_actions(enc_params, action, time_emb):
+    """ActionEncoder forward (policy/pizero.py:45-67, time_cond=True)."""
+    emb = _dense(enc_params["linear_1"], action)
+    time_full = jnp.broadcast_to(
+        time_emb[:, None, :].astype(emb.dtype),
+        (*emb.shape[:-1], time_emb.shape[-1]),
+    )
+    emb = jnp.concatenate([time_full, emb], axis=-1)
+    emb = jax.nn.silu(_dense(enc_params["linear_2"], emb))
+    return _dense(enc_params["linear_3"], emb)
+
+
+def make_fused_infer_action(model, *, interpret: bool | None = None):
+    """-> jitted fn(variables, input_ids, pixel_values, text_mask, proprios,
+    noise) with PiZeroVLA.infer_action semantics, denoise steps through the
+    fused int8 stack kernel. Batch 1."""
+    cfg = model.cfg
+    assert cfg.backbone != "paligemma", "fused denoise targets the 2B recipe"
+    assert not cfg.adaptive_mode and not cfg.vision_in_expert, (
+        "fused denoise supports the plain-RMSNorm checkpoint family"
+    )
+    expert = cfg.expert
+    n_p = cfg.num_proprio_tokens
+    R = cfg.num_action_tokens
+    steps = cfg.num_inference_steps
+    delta_t = 1.0 / steps
+    mlp_tile = _pick_tile(expert.intermediate_size, expert.hidden_size)
+
+    @jax.jit
+    def infer(variables, input_ids, pixel_values, text_mask, proprios, noise):
+        b = input_ids.shape[0]
+        assert b == 1, "fused denoise path is single-stream (batch 1)"
+        k_pre, v_pre, seg_pre, lev_pre = model.apply(
+            variables, input_ids, pixel_values, text_mask, proprios,
+            method=model.prefix_forward,
+        )
+        del lev_pre  # action level sees every prefix level; masks below
+        # [L, B=1, Sp, KVH, D] -> [L, Sp, KVH, D]
+        k_ext = k_pre[:, 0].astype(jnp.bfloat16)
+        v_ext = v_pre[:, 0].astype(jnp.bfloat16)
+
+        # additive masks: prefix padding blocked, action block fully visible
+        ext_mask = jnp.where(seg_pre[0] > 0, 0.0, NEG_INF)[None, :]
+        self_mask = jnp.zeros((R, R), jnp.float32)
+
+        a_pos = jnp.arange(n_p + 1, n_p + R + 1, dtype=jnp.float32)
+        cos, sin = ops.rope_cos_sin(a_pos, expert.head_dim,
+                                    expert.rope_theta)  # [R, D]
+        cos = cos.astype(jnp.bfloat16)
+        sin = sin.astype(jnp.bfloat16)
+
+        stack = pack_expert_stack(variables)
+        enc = variables["params"]["action_encoder"]
+        dec = variables["params"]["action_decoder"]
+        itp = (jax.default_backend() != "tpu") if interpret is None \
+            else interpret
+
+        def step(action, i):
+            t = jnp.full((1,), i.astype(jnp.float32) * delta_t, jnp.float32)
+            time_emb = sinusoidal_pos_emb(
+                t, expert.hidden_size, cfg.time_max_period
+            )
+            x = _encode_actions(enc, action.astype(jnp.bfloat16), time_emb)
+            x_out, _, _ = fused_int8_stack(
+                x[0], cos, sin, self_mask, ext_mask,
+                stack["ln1"], stack["ln2"],
+                stack["bq"], stack["bk"], stack["bv"],
+                stack["wq"], stack["sq"], stack["wk"], stack["sk"],
+                stack["wv"], stack["sv"], stack["wo"], stack["so"],
+                stack["wg"], stack["sg"], stack["wu"], stack["su"],
+                stack["wd"], stack["sd"],
+                k_ext, v_ext,
+                eps=expert.rms_norm_eps,
+                mlp_tile=mlp_tile,
+                interpret=itp,
+            )
+            hidden = ops.rms_norm(x_out, stack["final_norm"],
+                                  eps=expert.rms_norm_eps)
+            v = _dense(dec, hidden).astype(jnp.float32)[None]
+            return action + delta_t * v, None
+
+        action, _ = jax.lax.scan(
+            step, noise.astype(jnp.float32), jnp.arange(steps)
+        )
+        if cfg.final_action_clip_value is not None:
+            action = jnp.clip(action, -cfg.final_action_clip_value,
+                              cfg.final_action_clip_value)
+        return action[:, -cfg.horizon_steps:]
+
+    return infer
