@@ -122,17 +122,50 @@ def make_fused_infer_action(model, *, interpret: bool | None = None):
     def infer(variables, input_ids, pixel_values, text_mask, proprios, noise):
         b = input_ids.shape[0]
         assert b == 1, "fused denoise path is single-stream (batch 1)"
-        k_pre, v_pre, seg_pre, lev_pre = model.apply(
-            variables, input_ids, pixel_values, text_mask, proprios,
-            method=model.prefix_forward,
-        )
-        del lev_pre  # action level sees every prefix level; masks below
-        # [L, B=1, Sp, KVH, D] -> [L, Sp, KVH, D]
-        k_ext = k_pre[:, 0].astype(jnp.bfloat16)
-        v_ext = v_pre[:, 0].astype(jnp.bfloat16)
+        stack = pack_expert_stack(variables)
+        enc = variables["params"]["action_encoder"]
+        dec = variables["params"]["action_decoder"]
+        itp = (jax.default_backend() != "tpu") if interpret is None \
+            else interpret
 
-        # additive masks: prefix padding blocked, action block fully visible
-        ext_mask = jnp.where(seg_pre[0] > 0, 0.0, NEG_INF)[None, :]
+        # 1) vlm half of the prefix alone (level-0 tokens never attend
+        # proprio, so this equals the vlm rows of prefix_forward's cache —
+        # and drops 28 layers of interleaved 1-token expert GEMVs)
+        k_vlm, v_vlm = model.apply(
+            variables, input_ids, pixel_values, text_mask,
+            method=model.prefix_vlm_forward,
+        )
+        k_vlm = k_vlm[:, 0].astype(jnp.bfloat16)  # [L, Sv, KVH, D]
+        v_vlm = v_vlm[:, 0].astype(jnp.bfloat16)
+        vlm_mask = jnp.where(text_mask[0] > 0, 0.0, NEG_INF)[None, :]
+
+        # 2) proprio rows through the fused expert stack against the vlm KV
+        pr = variables["params"]["proprio_encoder"]
+        x_p = _dense(pr, proprios.reshape(1, n_p, -1).astype(jnp.bfloat16))
+        p_pos = jnp.arange(1, n_p + 1, dtype=jnp.float32)
+        cos_p, sin_p = ops.rope_cos_sin(p_pos, expert.head_dim,
+                                        expert.rope_theta)
+        _, k_p, v_p = fused_int8_stack(
+            x_p[0], cos_p.astype(jnp.bfloat16), sin_p.astype(jnp.bfloat16),
+            jnp.zeros((n_p, n_p), jnp.float32), vlm_mask,
+            stack["ln1"], stack["ln2"],
+            stack["bq"], stack["bk"], stack["bv"],
+            stack["wq"], stack["sq"], stack["wk"], stack["sk"],
+            stack["wv"], stack["sv"], stack["wo"], stack["so"],
+            stack["wg"], stack["sg"], stack["wu"], stack["su"],
+            stack["wd"], stack["sd"],
+            k_vlm, v_vlm,
+            eps=expert.rms_norm_eps,
+            mlp_tile=mlp_tile,
+            interpret=itp,
+        )
+
+        # 3) full prefix cache = [vlm | proprio]
+        k_ext = jnp.concatenate([k_vlm, k_p.astype(jnp.bfloat16)], axis=1)
+        v_ext = jnp.concatenate([v_vlm, v_p.astype(jnp.bfloat16)], axis=1)
+        ext_mask = jnp.concatenate(
+            [vlm_mask, jnp.zeros((1, n_p), jnp.float32)], axis=1
+        )
         self_mask = jnp.zeros((R, R), jnp.float32)
 
         a_pos = jnp.arange(n_p + 1, n_p + R + 1, dtype=jnp.float32)
@@ -140,12 +173,6 @@ def make_fused_infer_action(model, *, interpret: bool | None = None):
                                     expert.rope_theta)  # [R, D]
         cos = cos.astype(jnp.bfloat16)
         sin = sin.astype(jnp.bfloat16)
-
-        stack = pack_expert_stack(variables)
-        enc = variables["params"]["action_encoder"]
-        dec = variables["params"]["action_decoder"]
-        itp = (jax.default_backend() != "tpu") if interpret is None \
-            else interpret
 
         def step(action, i):
             t = jnp.full((1,), i.astype(jnp.float32) * delta_t, jnp.float32)

@@ -152,6 +152,23 @@ class JointLayer(nn.Module):
         expert = MixtureBlock(self.expert_cfg, self.param_dtype,
                               self.compute_dtype, self.adaptive_mode,
                               name="expert")
+        if self.mode == "vlm_prefix":
+            # vlm mixture alone, VLA block-mask semantics (non-causal within
+            # the image+text level, segment-masked), collecting rope'd K/V.
+            # Exactly equal to the vlm half of mode='prefix': level-0 tokens
+            # never attend proprio (the level rule), so the vlm stream is
+            # independent of the expert — running it alone drops 28 layers
+            # of interleaved 1-token expert GEMVs from the serving prefix
+            # (policy/fused_infer.py pushes proprio through the fused stack
+            # kernel against this K/V instead).
+            (x_vlm, cos_v, sin_v, seg) = carry
+            qv, kv_, vv = vlm.qkv(x_vlm, cos_v, sin_v)
+            out = attention(
+                qv, kv_, vv, q_segment_ids=seg, kv_segment_ids=seg,
+                causal=False, impl=self.attn_impl,
+            )
+            x_vlm = vlm.post_attn(x_vlm, out)
+            return (x_vlm, cos_v, sin_v, seg), (kv_, vv)
         if self.mode == "vlm_only":
             # causal text-only pass through the vlm mixture (forward_vlm /
             # infer_text path, pizero_internvl.py:1200, :1005)
@@ -262,6 +279,10 @@ class JointModel(nn.Module):
             (x_vlm, cos_v, sin_v, seg) = args
             carry, _ = scan((x_vlm, cos_v, sin_v, seg), None)
             return vlm_norm(carry[0])
+        if mode == "vlm_prefix":
+            (x_vlm, cos_v, sin_v, seg) = args
+            _, kv = scan((x_vlm, cos_v, sin_v, seg), None)
+            return kv  # (k [L,B,Sv,KVH,D], v [...]) — rope'd
         if mode == "vlm_cached":
             (x_vlm, cos_v, sin_v, seg_q, kv_seg, offset, k_bufs, v_bufs) = args
             carry, (new_k, new_v) = scan(

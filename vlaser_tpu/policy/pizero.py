@@ -322,6 +322,22 @@ class PiZeroVLA(nn.Module):
         )
         return k_pre, v_pre, seg, lev
 
+    def prefix_vlm_forward(self, input_ids, pixel_values, text_mask):
+        """VLM half of the prefix alone -> per-layer rope'd K/V
+        [L, B, S_it, KVH, D]. Exactly equal to the vlm rows of
+        prefix_forward's cache: level-0 tokens never attend proprio, so the
+        vlm stream is independent of the expert (joint.py 'vlm_prefix').
+        The serving path (policy/fused_infer.py) then runs proprio through
+        the fused expert-stack kernel against this cache."""
+        cfg = self.cfg
+        embeds_vlm = self._image_text_embeds(input_ids, pixel_values)
+        vlm_pos, _, _ = self._positions(input_ids.shape[0])
+        cos_v, sin_v = self._rope(vlm_pos, cfg.vlm.llm.rope_theta)
+        return self.joint(
+            "vlm_prefix", embeds_vlm, cos_v, sin_v,
+            text_mask.astype(jnp.int32),
+        )
+
     def denoise_step(self, action, t, k_pre, v_pre, seg_pre, lev_pre):
         """One velocity evaluation of the action suffix (768-wide only)."""
         cfg = self.cfg
