@@ -281,3 +281,40 @@ def test_check_answer_math_verify_mode():
     assert check_answer("0.5", "1/2", mode="math_verify") == 1
     assert check_answer("0.7", "1/2", mode="math_verify") == 0
     assert check_answer("The cat", "cat", mode="vqa_score") == 1
+
+
+# ------------------------------------------------------------- data tools
+
+def test_stitch_images_grid():
+    import numpy as np
+    from PIL import Image
+
+    from vlaser_tpu.utils.tools import stitch_images_grid
+
+    imgs = {c: Image.fromarray(np.full((30, 40, 3), i * 40, np.uint8))
+            for i, c in enumerate(["A", "B", "C", "D", "E", "F"])}
+    out = stitch_images_grid(imgs, image_size=32)
+    # 3x2 grid of (2*32, 32) views (images_stitching.py layout)
+    assert out.size == (64 * 3, 32 * 2)
+
+
+def test_json_to_jsonl(tmp_path):
+    import json
+
+    from vlaser_tpu.utils.tools import json_to_jsonl
+
+    jp = tmp_path / "x.json"
+    jp.write_text(json.dumps([{"q": 1}, {"id": 9, "q": 2}]))
+    n = json_to_jsonl(str(jp), str(tmp_path / "x.jsonl"))
+    rows = [json.loads(l) for l in open(tmp_path / "x.jsonl")]
+    assert n == 2
+    assert rows[0]["id"] == 0 and rows[1]["id"] == 9
+
+
+def test_video_frame_indices_reference_rounding():
+    from vlaser_tpu.utils.tools import video_frame_indices
+
+    # extract_video_frames.py get_index: int(seg/2 + round(seg*i))
+    assert video_frame_indices(100, 4) == [12, 37, 62, 86]
+    # shorter than num_segments: all frames + last repeated
+    assert video_frame_indices(2, 4) == [0, 1, 1, 1]

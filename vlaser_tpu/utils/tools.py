@@ -205,3 +205,90 @@ def resize_token_embeddings(params: Dict, new_vocab: int) -> Dict:
         return out
 
     return walk(params)
+
+
+# ---------------------------------------------------------------------------
+# data-prep utilities (tools/images_stitching.py, json2jsonl.py,
+# extract_video_frames.py)
+# ---------------------------------------------------------------------------
+
+
+def stitch_images_grid(
+    images: Mapping[str, "object"],
+    captions=None,
+    *,
+    image_size: int = 448,
+    cols: int = 3,
+    label: bool = True,
+):
+    """Stitch labeled camera views into one grid image
+    (tools/images_stitching.py:11-51 — nuScenes 6-cam layout: each view
+    resized to (2*image_size, image_size), pasted row-major over `cols`
+    columns with its caption drawn top-left). `images` maps caption -> PIL
+    image; `captions` fixes the order (reference: FRONT_LEFT, FRONT,
+    FRONT_RIGHT / BACK_LEFT, BACK, BACK_RIGHT)."""
+    from PIL import Image, ImageDraw
+
+    captions = list(captions or images.keys())
+    w, h = image_size * 2, image_size
+    rows = (len(captions) + cols - 1) // cols
+    out = Image.new("RGB", (w * cols, h * rows))
+    for i, cap in enumerate(captions):
+        img = images[cap].convert("RGB").resize((w, h))
+        if label:
+            ImageDraw.Draw(img).text((0, 0), cap, fill=(255, 0, 255))
+        out.paste(img, ((i % cols) * w, (i // cols) * h))
+    return out
+
+
+def json_to_jsonl(json_path: str, jsonl_path: str):
+    """tools/json2jsonl.py: a json list (or dict of lists) -> one object per
+    line, id field injected when missing."""
+    import json
+
+    with open(json_path) as f:
+        data = json.load(f)
+    if isinstance(data, dict):
+        data = [v for vs in data.values() for v in
+                (vs if isinstance(vs, list) else [vs])]
+    with open(jsonl_path, "w") as f:
+        for i, item in enumerate(data):
+            if isinstance(item, dict) and "id" not in item:
+                item = {"id": i, **item}
+            f.write(json.dumps(item, ensure_ascii=False) + "\n")
+    return len(data)
+
+
+def video_frame_indices(num_frames: int, num_segments: int):
+    """Uniform segment-center sampling (tools/extract_video_frames.py:37-49
+    get_index; also the chat video convention): when the clip is shorter
+    than num_segments, every frame (padded by repeating the last)."""
+    if num_segments > num_frames:
+        idx = list(range(num_frames))
+        return idx + [num_frames - 1] * (num_segments - num_frames)
+    seg = float(num_frames - 1) / num_segments
+    return [int(seg / 2 + round(seg * i)) for i in range(num_segments)]
+
+
+def extract_video_frames(
+    video_path: str, out_dir: str, *, num_segments: int = 16,
+    name_format: str = "{:05d}.jpg",
+):
+    """Decode a video into the frames-directory convention used by the chat
+    dataset and MVBench runner (1-based '{i:05d}.jpg'). Uses imageio when a
+    video backend is available (decord/ffmpeg are not shipped in this
+    environment — SURVEY video delta); raises a clear error otherwise."""
+    import os
+
+    import imageio.v3 as iio
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    frames = iio.imread(video_path, plugin=None)  # [T, H, W, C]
+    idxs = video_frame_indices(len(frames), num_segments)
+    paths = []
+    for j, fi in enumerate(idxs):
+        p = os.path.join(out_dir, name_format.format(j + 1))
+        Image.fromarray(frames[fi]).save(p)
+        paths.append(p)
+    return paths
