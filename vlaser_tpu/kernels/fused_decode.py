@@ -357,7 +357,10 @@ def fused_int8_stack(
             pltpu.SemaphoreType.DMA((12,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # v5e VMEM is 128MB; the R=384 prefix configuration peaks at
+            # ~107MB of scoped allocation (single-tile MLP stream + R-row
+            # f32 staging)
+            vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
     )(

@@ -20,11 +20,30 @@ import numpy as np
 from ..image.tiling import normalize_uint8
 
 
+def shard_policy_params(variables, mesh):
+    """Tensor-parallel (+fsdp) sharding of policy variables for multi-chip
+    serving latency scaling: QKV/MLP columns over the 'tensor' axis via the
+    same path rules as training (core/mesh.default_param_rules — the int8
+    'quant' collection shards identically: kernel_q follows its kernel's
+    spec, [L,1,N] scales degrade to per-column). GSPMD inserts the
+    all-reduces; there is no separate serving runtime (SURVEY §2.8 TP row).
+    """
+    from ..core.mesh import default_param_rules, tree_shardings
+
+    shardings = tree_shardings(variables, mesh, default_param_rules())
+    return jax.device_put(variables, shardings)
+
+
 class PolicyServer:
     def __init__(self, model, params, adapter, processor, act_steps: int = 4,
-                 seed: int = 0):
+                 seed: int = 0, mesh=None, fused: bool = False):
+        """mesh: optional (data, fsdp, tensor) mesh — params are TP-sharded
+        and the jitted step runs under GSPMD. fused: batch-1 single-chip
+        serving through the fused int8 denoise path (policy/fused_infer.py;
+        requires int8-quantized params)."""
         self.model = model
-        self.params = params
+        self.params = (shard_policy_params(params, mesh) if mesh is not None
+                       else params)
         self.adapter = adapter
         self.processor = processor
         self.act_steps = act_steps
@@ -33,13 +52,20 @@ class PolicyServer:
         self._instruction: Optional[str] = None
         self._cached_inputs: Optional[Dict[str, np.ndarray]] = None
 
-        def infer(params, input_ids, pixel_values, text_mask, proprios, noise):
-            return model.apply(
-                params, input_ids, pixel_values, text_mask, proprios, noise,
-                method=model.infer_action,
-            )
+        if fused:
+            assert mesh is None, "fused serving path is single-chip"
+            from ..policy.fused_infer import make_fused_infer_action
 
-        self._infer = jax.jit(infer)
+            self._infer = make_fused_infer_action(model)
+        else:
+            def infer(params, input_ids, pixel_values, text_mask, proprios,
+                      noise):
+                return model.apply(
+                    params, input_ids, pixel_values, text_mask, proprios,
+                    noise, method=model.infer_action,
+                )
+
+            self._infer = jax.jit(infer)
 
     def reset(self, instruction: str):
         self.adapter.reset()
