@@ -1,0 +1,80 @@
+"""Fused ViT stack kernel (kernels/fused_vit.py) vs the flax
+InternVisionModel on the same weights (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlaser_tpu.core.config import VisionConfig
+from vlaser_tpu.kernels.fused_vit import fused_vit_stack, pack_vit_stack
+from vlaser_tpu.models.internvit import InternVisionModel
+
+
+def _tiny_vision():
+    return VisionConfig(
+        hidden_size=128, intermediate_size=256, num_layers=3, num_heads=2,
+        image_size=32, patch_size=8, qkv_bias=True, qk_normalization=True,
+        norm_type="layer_norm",
+    )
+
+
+def test_fused_vit_stack_matches_flax():
+    cfg = _tiny_vision()
+    model = InternVisionModel(cfg, param_dtype=jnp.bfloat16,
+                              compute_dtype=jnp.bfloat16,
+                              attn_impl="reference")
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(
+        rng.standard_normal((1, cfg.image_size, cfg.image_size, 3))
+        .astype(np.float32)
+    )
+    variables = jax.tree_util.tree_map(
+        lambda s: (jax.random.normal(jax.random.PRNGKey(1), s.shape,
+                                     jnp.float32) * 0.05).astype(s.dtype),
+        jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), px)),
+    )
+    want = model.apply(variables, px)  # [1, S, H]
+
+    emb = model.apply(variables, px, method=model.embed)  # [1, S, H]
+    stack = pack_vit_stack(variables)
+    got = fused_vit_stack(
+        emb[0].astype(jnp.bfloat16), **stack,
+        num_heads=cfg.num_heads, eps=cfg.layer_norm_eps, qk_norm=cfg.qk_normalization, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want[0], np.float32),
+        rtol=0.05, atol=0.05,
+    )
+
+
+def test_fused_vit_stack_no_qk_norm():
+    """300M flavor: qk_normalization=False (no q_norm/k_norm params)."""
+    cfg = _tiny_vision().replace(qk_normalization=False) \
+        if hasattr(_tiny_vision(), "replace") else None
+    from dataclasses import replace
+
+    cfg = replace(_tiny_vision(), qk_normalization=False)
+    model = InternVisionModel(cfg, param_dtype=jnp.bfloat16,
+                              compute_dtype=jnp.bfloat16,
+                              attn_impl="reference")
+    rng = np.random.default_rng(1)
+    px = jnp.asarray(
+        rng.standard_normal((1, cfg.image_size, cfg.image_size, 3))
+        .astype(np.float32)
+    )
+    variables = jax.tree_util.tree_map(
+        lambda s: (jax.random.normal(jax.random.PRNGKey(2), s.shape,
+                                     jnp.float32) * 0.05).astype(s.dtype),
+        jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), px)),
+    )
+    want = model.apply(variables, px)
+    emb = model.apply(variables, px, method=model.embed)
+    got = fused_vit_stack(
+        emb[0].astype(jnp.bfloat16), **pack_vit_stack(variables),
+        num_heads=cfg.num_heads, eps=cfg.layer_norm_eps,
+        qk_norm=False, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want[0], np.float32),
+        rtol=0.05, atol=0.05,
+    )

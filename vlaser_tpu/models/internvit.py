@@ -163,11 +163,21 @@ class InternVisionModel(nn.Module):
     remat: bool = False
     attn_impl: str = "auto"
 
+    def setup(self):
+        self.embeddings = InternVisionEmbeddings(
+            self.cfg, self.param_dtype, self.compute_dtype,
+        )
+
+    def embed(self, pixel_values: jax.Array) -> jax.Array:
+        """Patch conv + CLS + (interpolated) pos-emb only — the input of
+        layer 0. Exposed so the fused serving stack (kernels/fused_vit.py)
+        can take over from here."""
+        return self.embeddings(pixel_values)
+
     @nn.compact
     def __call__(self, pixel_values: jax.Array, select_layer: int = -1) -> jax.Array:
         cfg = self.cfg
-        x = InternVisionEmbeddings(cfg, self.param_dtype, self.compute_dtype,
-                                   name="embeddings")(pixel_values)
+        x = self.embeddings(pixel_values)
         layer_cls = InternVisionLayer
         if self.remat:
             layer_cls = nn.remat(InternVisionLayer, prevent_cse=False)

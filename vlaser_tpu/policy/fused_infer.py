@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from ..kernels import ops
 from ..kernels.fused_decode import NEG_INF, fused_int8_stack
+from ..kernels.fused_vit import fused_vit_stack, pack_vit_stack
 from ..inference.fused_runner import _pick_tile
 from .pizero import sinusoidal_pos_emb
 
@@ -130,11 +131,34 @@ def make_fused_infer_action(model, *, interpret: bool | None = None):
 
         # 1) vlm half of the prefix alone (level-0 tokens never attend
         # proprio, so this equals the vlm rows of prefix_forward's cache —
-        # and drops 28 layers of interleaved 1-token expert GEMVs)
-        k_vlm, v_vlm = model.apply(
-            variables, input_ids, pixel_values, text_mask,
-            method=model.prefix_vlm_forward,
-        )
+        # and drops 28 layers of interleaved 1-token expert GEMVs).
+        # The ViT encoder runs through the fused single-kernel stack when
+        # the serving config allows (select_layer=-1, one 448px tile):
+        # measured 5.49 vs 6.69 ms for the XLA encoder (kernels/fused_vit).
+        vcfg = cfg.vlm.vision
+        if cfg.vlm.select_layer in (-1, vcfg.num_layers) \
+                and pixel_values.shape[0] == 1:
+            emb = model.apply(variables, pixel_values,
+                              method=model.vit_embed)  # [1, 1+S_vit, C]
+            hidden = fused_vit_stack(
+                emb[0].astype(jnp.bfloat16),
+                **pack_vit_stack(variables),
+                num_heads=vcfg.num_heads, eps=vcfg.layer_norm_eps,
+                qk_norm=vcfg.qk_normalization, interpret=itp,
+            )
+            embeds = model.apply(
+                variables, input_ids, hidden[None].astype(emb.dtype),
+                method=model.fuse_vit_features,
+            )
+            k_vlm, v_vlm = model.apply(
+                variables, embeds, text_mask,
+                method=model.vlm_prefix_from_embeds,
+            )
+        else:
+            k_vlm, v_vlm = model.apply(
+                variables, input_ids, pixel_values, text_mask,
+                method=model.prefix_vlm_forward,
+            )
         k_vlm = k_vlm[:, 0].astype(jnp.bfloat16)  # [L, Sv, KVH, D]
         v_vlm = v_vlm[:, 0].astype(jnp.bfloat16)
         vlm_mask = jnp.where(text_mask[0] > 0, 0.0, NEG_INF)[None, :]

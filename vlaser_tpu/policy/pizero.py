@@ -135,31 +135,43 @@ class PiZeroVLA(nn.Module):
         """[B,S] ids + [T,H,W,3] tiles -> fused [B,S,llm_hidden]
         (pizero_internvl.py:718-796 / pizero.py:400-430 for paligemma)."""
         cfg = self.cfg.vlm
-        tok = self.embed_tokens(input_ids)
         if self.cfg.backbone == "paligemma":
+            tok = self.embed_tokens(input_ids)
             vit = self.vision_model(pixel_values)  # [T, 256, siglip_hidden]
             vit = self.multi_modal_projector(vit)
             # PaliGemma: image features scaled by hidden^-0.5 (pizero.py:413);
             # the later sqrt(hidden) mixture scaling restores them to unit
             vit = vit / jnp.asarray(cfg.llm.hidden_size**0.5, vit.dtype)
-        else:
-            vit = self.vision_model(pixel_values, select_layer=cfg.select_layer)
-            vit = vit[:, 1:, :]
-            t, s, c = vit.shape
-            side = int(s**0.5)
-            vit = vit.reshape(t, side, side, c)
-            vit = ops.pixel_shuffle(vit, cfg.downsample_ratio, cfg.ps_version)
-            vit = self.mlp1(vit.reshape(t, -1, vit.shape[-1]))
+            fused = scatter_image_embeds(input_ids, tok, vit, None,
+                                         cfg.img_context_token_id)
+            # per-mixture sqrt(hidden) scaling (joint_model.py:763-771)
+            return fused * jnp.asarray(cfg.llm.hidden_size**0.5, fused.dtype)
+        vit = self.vision_model(pixel_values, select_layer=cfg.select_layer)
+        return self.fuse_vit_features(input_ids, vit)
+
+    def vit_embed(self, pixel_values):
+        """Patch conv + CLS + pos-emb (layer-0 input) — the hand-off point
+        for the fused serving ViT stack (kernels/fused_vit.py)."""
+        return self.vision_model.embed(pixel_values)
+
+    def fuse_vit_features(self, input_ids, vit_hidden):
+        """[T, 1+S_vit, C] ViT hidden states -> fused [B, S, llm_hidden]:
+        CLS drop, pixel-shuffle, mlp1, IMG_CONTEXT scatter
+        (pizero_internvl.py:718-796)."""
+        cfg = self.cfg.vlm
+        tok = self.embed_tokens(input_ids)
+        vit = vit_hidden[:, 1:, :]
+        t, s, c = vit.shape
+        side = int(s**0.5)
+        vit = vit.reshape(t, side, side, c)
+        vit = ops.pixel_shuffle(vit, cfg.downsample_ratio, cfg.ps_version)
+        vit = self.mlp1(vit.reshape(t, -1, vit.shape[-1]))
         if self.cfg.vision_in_expert:
             # VLM-side image features are frozen in the imgfeat ablation
             # (pizero_internvl.py:773 .detach())
             vit = jax.lax.stop_gradient(vit)
-        fused = scatter_image_embeds(input_ids, tok, vit, None,
-                                     cfg.img_context_token_id)
-        if self.cfg.backbone == "paligemma":
-            # per-mixture sqrt(hidden) scaling (joint_model.py:763-771)
-            fused = fused * jnp.asarray(cfg.llm.hidden_size**0.5, fused.dtype)
-        return fused
+        return scatter_image_embeds(input_ids, tok, vit, None,
+                                    cfg.img_context_token_id)
 
     def _expert_image_feats(self, pixel_values):
         """[T,H,W,3] -> [T, num_image_token, expert_hidden] via the second
@@ -329,9 +341,15 @@ class PiZeroVLA(nn.Module):
         vlm stream is independent of the expert (joint.py 'vlm_prefix').
         The serving path (policy/fused_infer.py) then runs proprio through
         the fused expert-stack kernel against this cache."""
-        cfg = self.cfg
         embeds_vlm = self._image_text_embeds(input_ids, pixel_values)
-        vlm_pos, _, _ = self._positions(input_ids.shape[0])
+        return self.vlm_prefix_from_embeds(embeds_vlm, text_mask)
+
+    def vlm_prefix_from_embeds(self, embeds_vlm, text_mask):
+        """prefix_vlm_forward's joint half, taking pre-fused embeddings
+        (the fused-ViT serving path computes those via vit_embed +
+        kernels/fused_vit + fuse_vit_features)."""
+        cfg = self.cfg
+        vlm_pos, _, _ = self._positions(embeds_vlm.shape[0])
         cos_v, sin_v = self._rope(vlm_pos, cfg.vlm.llm.rope_theta)
         return self.joint(
             "vlm_prefix", embeds_vlm, cos_v, sin_v,
