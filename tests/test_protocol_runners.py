@@ -141,3 +141,17 @@ def test_run_caption(tmp_path):
     assert out["Bleu_4"] > 0.9
     assert out["CIDEr"] > 1.0
     assert "one-sentence caption" in chat.prompts[0]
+
+
+def test_run_mc_benchmark_multi_image(tmp_path):
+    _write_img(tmp_path / "a.jpg")
+    _write_img(tmp_path / "b.jpg")
+    data = tmp_path / "mi.jsonl"
+    _write_jsonl(data, [
+        {"images": ["a.jpg", "b.jpg"], "question": "Which changed?",
+         "choices": ["left", "right"], "answer": "A"},
+    ])
+    chat = FakeChat([("Which changed?", "A")])
+    out = run_mc_benchmark(chat, str(data), str(tmp_path))
+    assert out["accuracy"] == 1.0
+    assert chat.prompts[0].startswith("Image-1: <image>\nImage-2: <image>\n")

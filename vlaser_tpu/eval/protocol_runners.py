@@ -87,7 +87,17 @@ def run_mc_benchmark(
         q, options = build_mc_question(
             r["question"], r.get("choices") or r.get("options") or [], prompt
         )
-        if r.get("image"):
+        if r.get("images"):
+            # multi-image MC (mmiu / mirb / mantis style): one <image> tag
+            # per frame, Image-N labels like the reference multi-image
+            # preprocessors
+            imgs = [_open_image(p, image_root) for p in r["images"]]
+            tags = "\n".join(
+                f"Image-{i + 1}: <image>" for i in range(len(imgs))
+            )
+            q = tags + "\n" + q
+            images.append(imgs)
+        elif r.get("image"):
             q = "<image>\n" + q
             images.append(_open_image(r["image"], image_root))
         else:
