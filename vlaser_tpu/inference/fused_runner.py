@@ -183,8 +183,30 @@ def make_fused_generate_fn(
             llm.head_dim, dtype=jnp.bfloat16,
         )
         lengths = jnp.sum((seg_ids != 0).astype(jnp.int32), axis=1)
+        # single-tile prompts run the ViT through the fused encoder-stack
+        # kernel (kernels/fused_vit.py; 5.49 vs 6.69 ms XLA) — multi-tile
+        # batches stay on the XLA encoder where batching amortizes better
+        # than re-streaming the 600MB bf16 stack per tile
+        vcfg = model.cfg.vision
+        visual_features = None
+        if (pixel_values is not None and pixel_values.shape[0] == 1
+                and model.cfg.select_layer in (-1, vcfg.num_layers)):
+            from ..kernels.fused_vit import fused_vit_stack, pack_vit_stack
+
+            emb = model.apply(params, pixel_values, method=model.vit_embed)
+            hidden = fused_vit_stack(
+                emb[0].astype(jnp.bfloat16), **pack_vit_stack(params),
+                num_heads=vcfg.num_heads, eps=vcfg.layer_norm_eps,
+                qk_norm=vcfg.qk_normalization,
+                interpret=jax.default_backend() != "tpu",
+            )
+            visual_features = model.apply(
+                params, hidden[None].astype(emb.dtype),
+                method=model.project_features,
+            )
         logits, _, cache = model.apply(
             params, input_ids, pixel_values, seg_ids, cache,
+            visual_features=visual_features,
             method=model.prefill,
         )
         last = jnp.take_along_axis(

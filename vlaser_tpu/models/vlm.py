@@ -94,9 +94,21 @@ class InternVLChatModel(nn.Module):
 
     def extract_feature(self, pixel_values: jax.Array) -> jax.Array:
         """[T, H, W, 3] -> [T, num_image_token, llm_hidden]."""
+        vit = self.vision_model(
+            pixel_values, select_layer=self.cfg.select_layer
+        )
+        return self.project_features(vit)
+
+    def vit_embed(self, pixel_values: jax.Array) -> jax.Array:
+        """Patch conv + CLS + pos-emb (layer-0 input) — the fused serving
+        ViT stack (kernels/fused_vit.py) takes over from here."""
+        return self.vision_model.embed(pixel_values)
+
+    def project_features(self, vit_hidden: jax.Array) -> jax.Array:
+        """extract_feature's tail: CLS drop, pixel-shuffle x0.5, mlp1
+        (modeling_internvl_chat.py:273-291)."""
         cfg = self.cfg
-        vit = self.vision_model(pixel_values, select_layer=cfg.select_layer)
-        vit = vit[:, 1:, :]  # drop CLS
+        vit = vit_hidden[:, 1:, :]  # drop CLS
         t, s, c = vit.shape
         side = int(s**0.5)
         vit = vit.reshape(t, side, side, c)
