@@ -112,8 +112,11 @@ def _bench_sft_train():
     from vlaser_tpu.utils.benchmark import measure_rtt
 
     cfg = vlaser_2b()
+    # remat off: the int8 base is frozen (grads only flow through the LoRA
+    # adapters), so activations at 2048 tokens fit HBM without recompute —
+    # measured 11.3k vs 10.9k tok/s with remat
     model = InternVLChatModel(cfg, param_dtype=jnp.bfloat16,
-                              compute_dtype=jnp.bfloat16, remat=True)
+                              compute_dtype=jnp.bfloat16, remat=False)
     B, N = 1, 2048
     img = cfg.vision.image_size
     rng = np.random.default_rng(0)
