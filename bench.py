@@ -112,11 +112,11 @@ def _bench_sft_train():
     from vlaser_tpu.utils.benchmark import measure_rtt
 
     cfg = vlaser_2b()
-    # remat off: the int8 base is frozen (grads only flow through the LoRA
-    # adapters), so activations at 2048 tokens fit HBM without recompute —
-    # measured 11.3k vs 10.9k tok/s with remat
+    # remat stays ON here: standalone, remat=False measures 11.3k vs 10.9k
+    # tok/s, but inside the full bench process (policy + decode params
+    # still resident) the no-remat activation peak OOMs the 16G chip
     model = InternVLChatModel(cfg, param_dtype=jnp.bfloat16,
-                              compute_dtype=jnp.bfloat16, remat=False)
+                              compute_dtype=jnp.bfloat16, remat=True)
     B, N = 1, 2048
     img = cfg.vision.image_size
     rng = np.random.default_rng(0)
@@ -244,7 +244,12 @@ def main():
     actions_per_sec = cfg.horizon_steps / sec_per_step
 
     # multi-robot serving throughput (batch 8 shares the denoise weight
-    # streaming across streams)
+    # streaming across streams); the ViT runs through the batched fused
+    # encoder stack (44.2 vs 79 ms for the XLA encoder at batch 8 — the
+    # XLA pass is elementwise-HBM-bound and attention-dispatch-bound)
+    from vlaser_tpu.policy.fused_infer import make_batched_infer_action
+
+    batched_infer = make_batched_infer_action(model)
     B8 = 8
     ids8 = jnp.broadcast_to(ids, (B8, S))
     mask8 = jnp.broadcast_to(text_mask, (B8, S))
@@ -254,9 +259,7 @@ def main():
         feed = jnp.mean(carry) * 1e-6
         pixels = jnp.full((B8, img, img, 3), 0.5, jnp.float32) + feed
         noise = jnp.zeros((B8, cfg.num_action_tokens, cfg.action_dim)) + feed
-        out = model.apply(
-            params, ids8, pixels, mask8, pr8, noise, method=model.infer_action,
-        )
+        out = batched_infer(params, ids8, pixels, mask8, pr8, noise)
         return out.astype(jnp.float32)
 
     carry8 = jnp.zeros((B8, cfg.horizon_steps, cfg.action_dim), jnp.float32)

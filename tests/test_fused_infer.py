@@ -64,3 +64,39 @@ def test_fused_infer_respects_prefix_padding():
     ids2[:, -3:] = 123  # padded tail
     b = fused(qvars, jnp.asarray(ids2), *args[1:], noise)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_batched_infer_matches_xla_infer_action():
+    """make_batched_infer_action (fused ViT + XLA prefix/denoise) at B=3
+    must match infer_action."""
+    from vlaser_tpu.policy.fused_infer import make_batched_infer_action
+
+    cfg = tiny_vla(max_image_text_tokens=16)
+    model = PiZeroVLA(cfg, compute_dtype=jnp.float32, attn_impl="reference")
+    B, S = 3, cfg.max_image_text_tokens
+    img = cfg.vlm.vision.image_size
+    rng = np.random.default_rng(7)
+    ids = rng.integers(1, 400, (B, S)).astype(np.int32)
+    ids[:, 2] = cfg.vlm.img_context_token_id
+    args = (
+        jnp.asarray(ids),
+        jnp.asarray(rng.standard_normal((B, img, img, 3)).astype(np.float32)),
+        jnp.ones((B, S), jnp.int32),
+        jnp.asarray(rng.standard_normal(
+            (B, cfg.cond_steps, cfg.proprio_dim)).astype(np.float32)),
+    )
+    noise = jnp.asarray(rng.standard_normal(
+        (B, cfg.num_action_tokens, cfg.action_dim)).astype(np.float32))
+    variables = model.init(
+        jax.random.PRNGKey(0), args[0][:1], args[1][:1], args[2][:1],
+        args[3][:1],
+        jnp.zeros((1, cfg.num_action_tokens, cfg.action_dim)),
+        jnp.zeros((1,)), noise[:1],
+    )
+    qvars = quantize_variables(variables, POLICY_PATTERNS)
+    want = model.apply(qvars, *args, noise, method=model.infer_action)
+    fused = make_batched_infer_action(model, interpret=True)
+    got = fused(qvars, *args, noise)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=0.05, atol=0.05
+    )

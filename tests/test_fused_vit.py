@@ -78,3 +78,34 @@ def test_fused_vit_stack_no_qk_norm():
         np.asarray(got, np.float32), np.asarray(want[0], np.float32),
         rtol=0.05, atol=0.05,
     )
+
+
+def test_fused_vit_stack_batched():
+    """B=3 batched rows with sublane padding + key masking must match the
+    flax encoder per sample."""
+    cfg = _tiny_vision()
+    model = InternVisionModel(cfg, param_dtype=jnp.bfloat16,
+                              compute_dtype=jnp.bfloat16,
+                              attn_impl="reference")
+    rng = np.random.default_rng(3)
+    px = jnp.asarray(
+        rng.standard_normal((3, cfg.image_size, cfg.image_size, 3))
+        .astype(np.float32)
+    )
+    variables = jax.tree_util.tree_map(
+        lambda s: (jax.random.normal(jax.random.PRNGKey(4), s.shape,
+                                     jnp.float32) * 0.05).astype(s.dtype),
+        jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), px[:1])),
+    )
+    want = model.apply(variables, px)  # [3, S, H]
+    emb = model.apply(variables, px, method=model.embed)
+    got = fused_vit_stack(
+        emb.astype(jnp.bfloat16), **pack_vit_stack(variables),
+        num_heads=cfg.num_heads, eps=cfg.layer_norm_eps,
+        qk_norm=cfg.qk_normalization, interpret=True,
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=0.05, atol=0.05,
+    )

@@ -1,23 +1,31 @@
 """Fused ViT encoder stack: the whole InternViT layer loop in ONE
-pallas_call (batch-1 serving prefill).
+pallas_call (serving prefill, batch 1-8).
 
-Why: at batch 1 the 24-layer InternViT-300M pass measures ~6.7 ms on v5e
-vs a ~3.5 ms MXU roofline — the gap is XLA's separate elementwise/reduce
-fusions between the matmuls (profiled: ~80 us/layer of LayerNorm stats,
-residual+layerscale adds, and layout copies; docs/STATUS.md). This kernel
-keeps the activations VMEM-resident across the whole stack, computes the
-norms/residuals in-register between MXU ops, and double-buffers each
-layer's bf16 weights (~25 MB) against the previous layer's compute.
+Why: the 24-layer InternViT-300M pass is far off its MXU roofline under
+XLA — at batch 1 ~6.7 ms vs ~3.5 (separate elementwise/reduce fusions
+between the matmuls), and at batch 8 ~79 ms vs ~24 (the same elementwise
+now HBM-bound at 20 ms/pass, plus 26 ms of head_dim-64 attention
+dispatches; profiled in docs/STATUS.md). This kernel keeps activations
+VMEM-resident across the whole stack, computes norms/residuals/softmax
+in-register between MXU ops, and double-buffers each layer's bf16 weights
+(~25 MB) against the previous layer's compute.
+
+Layout: samples are concatenated on the sublane axis — x is [B*Sp, hidden]
+with each sample padded to Sp rows (16-aligned); attention runs per sample
+over static row slices with padded keys masked. All per-sample
+intermediates stay <= ~17 MB so B=8 fits VMEM alongside the weight
+buffers.
 
 Semantics match models/internvit.InternVisionLayer exactly (parity-tested):
-pre-LN blocks with layer-scale, fused-QKV projection, full-hidden
-QK-RMSNorm (modeling_intern_vit.py:216-219), non-causal 16-head attention,
-exact-erf GELU MLP. LayerNorm statistics and softmax run in fp32; matmuls
-accumulate fp32 and round to bf16 like models/layers.Dense.
+pre-LN blocks with layer-scale, fused-QKV projection, optional full-hidden
+QK-RMSNorm (modeling_intern_vit.py:216-219), non-causal multi-head
+attention, exact-erf GELU (in-kernel Abramowitz-Stegun erf — Mosaic has no
+erf primitive; |err| <= 1.5e-7). LayerNorm statistics and softmax run in
+fp32; matmuls accumulate fp32 and round to bf16 like models/layers.Dense.
 
-Scope: one fixed sequence (448px tile -> 1025 tokens), select_layer=-1
-(the Vlaser-2B serving config); training and other select_layers stay on
-the XLA path.
+Scope: fixed sequence per tile (448px -> 1025 tokens), select_layer=-1
+(the Vlaser serving config); training and other select_layers stay on the
+XLA path.
 """
 
 from __future__ import annotations
@@ -29,8 +37,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# DMA semaphores: qkv, proj, fc1, fc2 x 2 slots
-SEM_N = 8
+NEG_INF = -1e30
+
+# DMA semaphores: qkv, proj, fc1, fc2 x 2 slots + activation in/out
+SEM_N = 9
 
 
 def _layer_norm(x, w, b, eps):
@@ -48,9 +58,9 @@ def _rms(x, w, eps):
 
 
 def _erf(x):
-    """erf for the exact-GELU: Mosaic has no erf primitive, so use the
-    Abramowitz & Stegun 7.1.26 rational approximation (|error| <= 1.5e-7 —
-    far inside bf16 activation noise; parity-tested vs jax.lax.erf)."""
+    """erf for the exact-GELU: Abramowitz & Stegun 7.1.26 rational
+    approximation (|error| <= 1.5e-7 — far inside bf16 activation noise;
+    parity-tested vs jax.lax.erf)."""
     a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
     a4, a5, p = -1.453152027, 1.061405429, 0.3275911
     s = jnp.sign(x)
@@ -60,24 +70,30 @@ def _erf(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _make_kernel(*, L, S, hidden, inter, heads, head_dim, eps, qk_norm):
+def _make_kernel(*, L, B, Sp, hidden, inter, heads, head_dim, eps, qk_norm):
     assert heads * head_dim == hidden
 
     def kernel(
-        x_ref,
+        x_ref,          # [B*Sp, hidden] bf16 (HBM; DMA'd into x_s)
+        kmask_ref,      # [1, Sp] f32 additive key mask (0 valid / NEG_INF pad)
         ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref, ls1_ref, ls2_ref,
         qnw_ref, knw_ref,
         qkvb_ref, projb_ref, fc1b_ref, fc2b_ref,
         qkvw_ref, projw_ref, fc1w_ref, fc2w_ref,  # HBM [L, ...] bf16
         xo_ref,
-        x_s,       # [S, hidden] bf16 residual stream
+        x_s,       # [B*Sp, hidden] bf16 residual stream
+        qkv_s,     # [Sp, 3*hidden] bf16 staging ([q*scale | k | v])
+        attn_s,    # [Sp, hidden] bf16 per-sample attention output
         w_qkv,     # [2, hidden, 3*hidden] bf16
         w_proj,    # [2, hidden, hidden]
         w_fc1,     # [2, hidden, inter]
         w_fc2,     # [2, inter, hidden]
         sem,
     ):
-        x_s[...] = x_ref[...]
+        # activations ride HBM<->VMEM DMAs so the in/out buffers don't
+        # triple-count the [B*Sp, hidden] stream against the VMEM budget
+        cp_in = pltpu.make_async_copy(x_ref, x_s, sem.at[SEM_N - 1])
+        cp_in.start()
 
         def copies(l, slot):
             return (
@@ -93,12 +109,15 @@ def _make_kernel(*, L, S, hidden, inter, heads, head_dim, eps, qk_norm):
 
         for c in copies(0, 0):
             c.start()
+        cp_in.wait()
 
         def dot(a, w):
             return jax.lax.dot_general(
                 a.astype(jnp.bfloat16), w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+
+        kmask = kmask_ref[0]  # [Sp]
 
         def layer_body(l, _):
             slot = jax.lax.rem(l, 2)
@@ -110,66 +129,150 @@ def _make_kernel(*, L, S, hidden, inter, heads, head_dim, eps, qk_norm):
                 for c in copies(l + 1, 1 - slot):
                     c.start()
 
-            x = x_s[...]
-            h = _layer_norm(x, ln1w_ref[l], ln1b_ref[l], eps)
-            qkv = dot(h, w_qkv[slot]) + qkvb_ref[l].astype(jnp.float32)
-            q, k = qkv[:, :hidden], qkv[:, hidden : 2 * hidden]
-            if qk_norm:
-                # full-flattened-dim QK-RMSNorm (the 6B variant;
-                # modeling_intern_vit.py:216-219). 300M: off.
-                q = _rms(q, qnw_ref[l], eps)
-                k = _rms(k, knw_ref[l], eps)
-            v = qkv[:, 2 * hidden :].astype(jnp.bfloat16)
+            # per-sample pipeline (rolled: a python loop over B explodes
+            # Mosaic compile time at B=8): every intermediate stays
+            # [Sp, ...] so the f32 working set is bounded regardless of B.
+            # Sp is 16-aligned so the dynamic sublane starts are legal.
+            def sample_body(b, _):
+                rows = pl.ds(b * Sp, Sp)
+                x = x_s[rows, :]
+                h = _layer_norm(x, ln1w_ref[l], ln1b_ref[l], eps)
+                qkv = dot(h, w_qkv[slot]) + qkvb_ref[l].astype(jnp.float32)
+                q, k = qkv[:, :hidden], qkv[:, hidden : 2 * hidden]
+                if qk_norm:
+                    # full-flattened-dim QK-RMSNorm (the 6B variant;
+                    # modeling_intern_vit.py:216-219). 300M: off.
+                    q = _rms(q, qnw_ref[l], eps)
+                    k = _rms(k, knw_ref[l], eps)
+                scale = head_dim**-0.5
 
-            scale = head_dim**-0.5
-            outs = []
-            for hd in range(heads):
-                sl = slice(hd * head_dim, (hd + 1) * head_dim)
-                qh = (q[:, sl] * scale).astype(jnp.bfloat16)
-                kh = k[:, sl].astype(jnp.bfloat16)
-                s_ = jax.lax.dot_general(
-                    qh, kh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [S, S]
-                p = jax.nn.softmax(s_, axis=-1).astype(jnp.bfloat16)
-                outs.append(
-                    jax.lax.dot_general(
-                        p, v[:, sl], (((1,), (0,)), ((), ())),
+                def one_head(qh, kh, vh):
+                    s_ = jax.lax.dot_general(
+                        qh, kh, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [Sp, Sp]
+                    p = jax.nn.softmax(
+                        s_ + kmask[None, :], axis=-1
+                    ).astype(jnp.bfloat16)
+                    return jax.lax.dot_general(
+                        p, vh, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     ).astype(jnp.bfloat16)
-                )
-            attn = jnp.concatenate(outs, axis=1)
 
-            o = dot(attn, w_proj[slot]) + projb_ref[l].astype(jnp.float32)
-            x = (
-                x.astype(jnp.float32)
-                + o.astype(jnp.bfloat16).astype(jnp.float32)
-                * ls1_ref[l].astype(jnp.float32)
-            ).astype(jnp.bfloat16)
+                if B == 1:
+                    # single stream: static VALUE slices per head, no VMEM
+                    # staging — fastest (5.5 ms) and the program is small
+                    # enough for Mosaic to compile quickly unrolled
+                    qs = (q * scale).astype(jnp.bfloat16)
+                    ks = k.astype(jnp.bfloat16)
+                    vs = qkv[:, 2 * hidden :].astype(jnp.bfloat16)
+                    outs = []
+                    for hd in range(heads):
+                        sl = slice(hd * head_dim, (hd + 1) * head_dim)
+                        outs.append(one_head(qs[:, sl], ks[:, sl],
+                                             vs[:, sl]))
+                    attn = jnp.concatenate(outs, axis=1)
+                else:
+                    # batched: stage [q*scale | k | v] so a ROLLED head
+                    # loop (python-unrolled per-sample bodies explode
+                    # Mosaic compile time at B=8) can take lane-dynamic
+                    # REF slices — dynamic lane starts must be multiples
+                    # of 128 and value-level dynamic_slice is not lowered
+                    qkv_s[:, : 2 * hidden] = jnp.concatenate(
+                        [q * scale, k], axis=1
+                    ).astype(jnp.bfloat16)
+                    qkv_s[:, 2 * hidden :] = qkv[:, 2 * hidden :].astype(
+                        jnp.bfloat16
+                    )
+                    if head_dim % 128 == 0:
+                        group = head_dim
+                    elif (2 * head_dim) % 128 == 0:
+                        group = 2 * head_dim  # head_dim 64: 128-lane pairs
+                    else:
+                        # tiny test configs (hidden < 128): one group
+                        # spanning all heads — offset 0 trivially aligned
+                        group = hidden
+                    assert hidden % group == 0
+                    per_group = group // head_dim
 
-            h2 = _layer_norm(x, ln2w_ref[l], ln2b_ref[l], eps)
-            m = dot(h2, w_fc1[slot]) + fc1b_ref[l].astype(jnp.float32)
-            # exact-erf GELU (reference nn.GELU; parity with the XLA path)
-            m = 0.5 * m * (1.0 + _erf(m * (2.0**-0.5)))
-            m2 = dot(m.astype(jnp.bfloat16), w_fc2[slot]) \
-                + fc2b_ref[l].astype(jnp.float32)
-            x_s[...] = (
-                x.astype(jnp.float32)
-                + m2.astype(jnp.bfloat16).astype(jnp.float32)
-                * ls2_ref[l].astype(jnp.float32)
-            ).astype(jnp.bfloat16)
+                    def group_body(j, _):
+                        off = j * group
+                        qg = qkv_s[:, pl.ds(off, group)]
+                        kg = qkv_s[:, pl.ds(hidden + off, group)]
+                        vg = qkv_s[:, pl.ds(2 * hidden + off, group)]
+                        outs = []
+                        for u in range(per_group):
+                            sl = slice(u * head_dim, (u + 1) * head_dim)
+                            outs.append(one_head(qg[:, sl], kg[:, sl],
+                                                 vg[:, sl]))
+                        attn_s[:, pl.ds(off, group)] = (
+                            outs[0] if per_group == 1
+                            else jnp.concatenate(outs, axis=1)
+                        )
+                        return 0
+
+                    jax.lax.fori_loop(0, hidden // group, group_body, 0)
+                    attn = attn_s[...]
+
+                o = dot(attn, w_proj[slot]) \
+                    + projb_ref[l].astype(jnp.float32)
+                x = (
+                    x.astype(jnp.float32)
+                    + o.astype(jnp.bfloat16).astype(jnp.float32)
+                    * ls1_ref[l].astype(jnp.float32)
+                ).astype(jnp.bfloat16)
+
+                h2 = _layer_norm(x, ln2w_ref[l], ln2b_ref[l], eps)
+                h2b = h2.astype(jnp.bfloat16)
+                # batched: MLP in two inter-dim chunks — halves the peak
+                # f32 working set (a full [Sp, inter] f32 value pushes
+                # B=8 past VMEM); B=1 has headroom, keep it single-chunk
+                n_chunks = 1 if B == 1 else 2
+                half = inter // n_chunks
+                m2 = fc2b_ref[l].astype(jnp.float32)
+                for c in range(n_chunks):
+                    ch = slice(c * half, (c + 1) * half)
+                    m = jax.lax.dot_general(
+                        h2b, w_fc1[slot][:, ch], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) + fc1b_ref[l][ch].astype(jnp.float32)
+                    # exact-erf GELU (reference nn.GELU; parity w/ XLA)
+                    m = 0.5 * m * (1.0 + _erf(m * (2.0**-0.5)))
+                    m2 = m2 + jax.lax.dot_general(
+                        m.astype(jnp.bfloat16), w_fc2[slot][ch, :],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                x_s[rows, :] = (
+                    x.astype(jnp.float32)
+                    + m2.astype(jnp.bfloat16).astype(jnp.float32)
+                    * ls2_ref[l].astype(jnp.float32)
+                ).astype(jnp.bfloat16)
+                return 0
+
+            if B == 1:
+                sample_body(0, 0)
+            else:
+                jax.lax.fori_loop(0, B, sample_body, 0)
             return 0
 
         jax.lax.fori_loop(0, L, layer_body, 0, unroll=False)
-        xo_ref[...] = x_s[...]
+        cp_out = pltpu.make_async_copy(x_s, xo_ref, sem.at[SEM_N - 1])
+        cp_out.start()
+        cp_out.wait()
 
     return kernel
+
+
+def _pad_rows(s: int) -> int:
+    """bf16 sublane tile is 16 rows."""
+    return ((s + 15) // 16) * 16
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "eps", "qk_norm",
                                               "interpret"))
 def fused_vit_stack(
-    x,  # [S, hidden] bf16 (embeddings + pos, CLS included)
+    x,  # [B, S, hidden] or [S, hidden] bf16 (embeddings + pos, CLS incl.)
     ln1w, ln1b, ln2w, ln2b, ls1, ls2, qnw, knw,
     qkvb, projb, fc1b, fc2b,
     qkvw, projw, fc1w, fc2w,  # [L, ...] bf16
@@ -178,26 +281,37 @@ def fused_vit_stack(
     qk_norm: bool = False,
     interpret: bool = False,
 ):
-    """-> x_out [S, hidden] bf16 after the full L-layer stack."""
-    S, hidden = x.shape
+    """-> x_out (same leading shape as x) after the full L-layer stack."""
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    B, S, hidden = x.shape
+    # B=1 needs no row padding (the only sublane slice starts at 0);
+    # batched samples pad to 16-aligned rows for the dynamic sample slices
+    Sp = S if B == 1 else _pad_rows(S)
     L = qkvw.shape[0]
     inter = fc1w.shape[-1]
     heads = num_heads
     head_dim = hidden // heads
 
+    xp = jnp.pad(x, ((0, 0), (0, Sp - S), (0, 0))).reshape(B * Sp, hidden)
+    kmask = jnp.where(jnp.arange(Sp) < S, 0.0, NEG_INF)[None, :]
+
     kernel = _make_kernel(
-        L=L, S=S, hidden=hidden, inter=inter, heads=heads,
+        L=L, B=B, Sp=Sp, hidden=hidden, inter=inter, heads=heads,
         head_dim=head_dim, eps=eps, qk_norm=qk_norm,
     )
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = lambda: pl.BlockSpec(memory_space=pltpu.ANY)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        in_specs=[vmem()] * 13 + [hbm()] * 4,
-        out_specs=vmem(),
-        out_shape=jax.ShapeDtypeStruct((S, hidden), jnp.bfloat16),
+        in_specs=[hbm()] + [vmem()] * 13 + [hbm()] * 4,
+        out_specs=hbm(),
+        out_shape=jax.ShapeDtypeStruct((B * Sp, hidden), jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((S, hidden), jnp.bfloat16),
+            pltpu.VMEM((B * Sp, hidden), jnp.bfloat16),
+            pltpu.VMEM((Sp, 3 * hidden), jnp.bfloat16),
+            pltpu.VMEM((Sp, hidden), jnp.bfloat16),
             pltpu.VMEM((2, hidden, 3 * hidden), jnp.bfloat16),
             pltpu.VMEM((2, hidden, hidden), jnp.bfloat16),
             pltpu.VMEM((2, hidden, inter), jnp.bfloat16),
@@ -209,9 +323,11 @@ def fused_vit_stack(
         ),
         interpret=interpret,
     )(
-        x, ln1w, ln1b, ln2w, ln2b, ls1, ls2, qnw, knw,
+        xp, kmask, ln1w, ln1b, ln2w, ln2b, ls1, ls2, qnw, knw,
         qkvb, projb, fc1b, fc2b, qkvw, projw, fc1w, fc2w,
     )
+    out = out.reshape(B, Sp, hidden)[:, :S]
+    return out[0] if squeeze else out
 
 
 def pack_vit_stack(variables, dtype=jnp.bfloat16):

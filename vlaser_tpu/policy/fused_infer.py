@@ -231,3 +231,36 @@ def make_fused_infer_action(model, *, interpret: bool | None = None):
         return action[:, -cfg.horizon_steps:]
 
     return infer
+
+
+def make_batched_infer_action(model, *, interpret: bool | None = None):
+    """Multi-stream serving (one tile per sample, any batch): the ViT runs
+    through the batched fused encoder stack (kernels/fused_vit.py — at
+    batch 8 the XLA encoder is elementwise-HBM-bound and attention-dispatch
+    bound, measured 79ms vs the kernel's in-VMEM pass), then the joint
+    prefix + denoise scan stay on the XLA path, which is MXU-bound at
+    batch 8. Semantics match PiZeroVLA.infer_action exactly."""
+    cfg = model.cfg
+    vcfg = cfg.vlm.vision
+    assert cfg.backbone != "paligemma" and not cfg.vision_in_expert
+
+    @jax.jit
+    def infer(variables, input_ids, pixel_values, text_mask, proprios, noise):
+        itp = (jax.default_backend() != "tpu") if interpret is None \
+            else interpret
+        emb = model.apply(variables, pixel_values, method=model.vit_embed)
+        hidden = fused_vit_stack(
+            emb.astype(jnp.bfloat16), **pack_vit_stack(variables),
+            num_heads=vcfg.num_heads, eps=vcfg.layer_norm_eps,
+            qk_norm=vcfg.qk_normalization, interpret=itp,
+        )
+        embeds = model.apply(
+            variables, input_ids, hidden.astype(emb.dtype),
+            method=model.fuse_vit_features,
+        )
+        return model.apply(
+            variables, embeds, pixel_values, text_mask, proprios, noise,
+            method=model.infer_action_from_embeds,
+        )
+
+    return infer

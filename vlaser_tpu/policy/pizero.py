@@ -317,9 +317,18 @@ class PiZeroVLA(nn.Module):
 
     def prefix_forward(self, input_ids, pixel_values, text_mask, proprios):
         """One vlm+proprio pass -> per-layer K/V [L, B, S_it+1, KVH, D]."""
-        cfg = self.cfg
-        b = input_ids.shape[0]
         embeds_vlm = self._image_text_embeds(input_ids, pixel_values)
+        return self.prefix_forward_from_embeds(
+            embeds_vlm, pixel_values, text_mask, proprios
+        )
+
+    def prefix_forward_from_embeds(self, embeds_vlm, pixel_values, text_mask,
+                                   proprios):
+        """prefix_forward taking pre-fused vlm embeddings (the batched fused
+        serving path computes those through kernels/fused_vit).
+        pixel_values is only consulted by the vision_in_expert ablation."""
+        cfg = self.cfg
+        b = embeds_vlm.shape[0]
         proprio_embeds = self.proprio_encoder(
             proprios.reshape(b, cfg.num_proprio_tokens, -1).astype(self.compute_dtype)
         )
@@ -385,9 +394,20 @@ class PiZeroVLA(nn.Module):
         noise: jax.Array,  # [B, num_action_tokens, action_dim] ~ N(0, I)
     ) -> jax.Array:
         """Prefix once, then num_inference_steps Euler steps as one lax.scan."""
+        embeds_vlm = self._image_text_embeds(input_ids, pixel_values)
+        return self.infer_action_from_embeds(
+            embeds_vlm, pixel_values, text_mask, proprios, noise
+        )
+
+    def infer_action_from_embeds(
+        self, embeds_vlm, pixel_values, text_mask, proprios, noise
+    ) -> jax.Array:
+        """infer_action taking pre-fused vlm embeddings (batched fused-ViT
+        serving path; pixel_values only feeds the vision_in_expert
+        ablation's second tower)."""
         cfg = self.cfg
-        k_pre, v_pre, seg_pre, lev_pre = self.prefix_forward(
-            input_ids, pixel_values, text_mask, proprios
+        k_pre, v_pre, seg_pre, lev_pre = self.prefix_forward_from_embeds(
+            embeds_vlm, pixel_values, text_mask, proprios
         )
         delta_t = 1.0 / cfg.num_inference_steps
         action0 = noise.astype(jnp.float32)
