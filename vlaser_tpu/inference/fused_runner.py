@@ -183,25 +183,25 @@ def make_fused_generate_fn(
             llm.head_dim, dtype=jnp.bfloat16,
         )
         lengths = jnp.sum((seg_ids != 0).astype(jnp.int32), axis=1)
-        # single-tile prompts run the ViT through the fused encoder-stack
-        # kernel (kernels/fused_vit.py; 5.49 vs 6.69 ms XLA) — multi-tile
-        # batches stay on the XLA encoder where batching amortizes better
-        # than re-streaming the 600MB bf16 stack per tile
+        # prompts up to the 13-tile dynamic-preprocess cap run the ViT
+        # through the fused encoder-stack kernel (kernels/fused_vit.py —
+        # batch 1: 5.5 vs 6.7 ms XLA; batch 8: 44 vs 79 ms; the XLA
+        # encoder is elementwise-HBM-bound at multi-tile shapes)
         vcfg = model.cfg.vision
         visual_features = None
-        if (pixel_values is not None and pixel_values.shape[0] == 1
+        if (pixel_values is not None and pixel_values.shape[0] <= 13
                 and model.cfg.select_layer in (-1, vcfg.num_layers)):
             from ..kernels.fused_vit import fused_vit_stack, pack_vit_stack
 
             emb = model.apply(params, pixel_values, method=model.vit_embed)
             hidden = fused_vit_stack(
-                emb[0].astype(jnp.bfloat16), **pack_vit_stack(params),
+                emb.astype(jnp.bfloat16), **pack_vit_stack(params),
                 num_heads=vcfg.num_heads, eps=vcfg.layer_norm_eps,
                 qk_norm=vcfg.qk_normalization,
                 interpret=jax.default_backend() != "tpu",
             )
             visual_features = model.apply(
-                params, hidden[None].astype(emb.dtype),
+                params, hidden.astype(emb.dtype),
                 method=model.project_features,
             )
         logits, _, cache = model.apply(
