@@ -155,3 +155,27 @@ def test_run_mc_benchmark_multi_image(tmp_path):
     out = run_mc_benchmark(chat, str(data), str(tmp_path))
     assert out["accuracy"] == 1.0
     assert chat.prompts[0].startswith("Image-1: <image>\nImage-2: <image>\n")
+
+
+def test_run_mmvp_pair_accuracy(tmp_path):
+    from vlaser_tpu.eval.protocol_runners import run_mmvp
+
+    _write_img(tmp_path / "a.jpg")
+    _write_img(tmp_path / "b.jpg")
+    data = tmp_path / "mmvp.jsonl"
+    # pair 1: both right; pair 2: one wrong -> pair accuracy 0.5
+    _write_jsonl(data, [
+        {"image": "a.jpg", "question": "Q1", "choices": ["x", "y"],
+         "answer": "A"},
+        {"image": "b.jpg", "question": "Q2", "choices": ["x", "y"],
+         "answer": "B"},
+        {"image": "a.jpg", "question": "Q3", "choices": ["x", "y"],
+         "answer": "A"},
+        {"image": "b.jpg", "question": "Q4", "choices": ["x", "y"],
+         "answer": "B"},
+    ])
+    chat = FakeChat([("Q1", "A"), ("Q2", "B"), ("Q3", "A"), ("Q4", "A")])
+    out = run_mmvp(chat, str(data), str(tmp_path))
+    assert out["pair_accuracy"] == 0.5
+    assert out["question_accuracy"] == 0.75
+    assert out["num_pairs"] == 2

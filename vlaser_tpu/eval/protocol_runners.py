@@ -113,6 +113,32 @@ def run_mc_benchmark(
             "num_evaluated": len(rows)}
 
 
+def run_mmvp(chat, data_path: str, image_root: str = "", **kw) -> Dict:
+    """MMVP pair accuracy (evaluate_mmvp.py:207-228): questions come in
+    consecutive pairs over near-duplicate images; a pair scores only when
+    BOTH answers are right. Rows: {image, question, choices, answer}."""
+    rows = _read_jsonl(data_path)
+    questions, images, options_list = [], [], []
+    for r in rows:
+        q, options = build_mc_question(
+            r["question"], r.get("choices") or r.get("options") or []
+        )
+        questions.append("<image>\n" + q)
+        images.append(_open_image(r["image"], image_root))
+        options_list.append(options)
+    preds = _chat_batches(chat, questions, images, **kw)
+    ok = [
+        mc_post_process(p, o) == str(r["answer"]).strip()
+        for p, o, r in zip(preds, options_list, rows)
+    ]
+    pairs = [ok[i] and ok[i + 1] for i in range(0, len(ok) - 1, 2)]
+    return {
+        "pair_accuracy": sum(pairs) / max(len(pairs), 1),
+        "question_accuracy": sum(ok) / max(len(ok), 1),
+        "num_pairs": len(pairs),
+    }
+
+
 def run_mme(chat, data_path: str, image_root: str = "", **kw) -> Dict:
     """MME: jsonl rows {task, image, question, answer(yes|no)} — two rows
     per image per task. Scores per mc_protocols.mme_suite_scores."""
@@ -257,7 +283,7 @@ RUNNERS = {
     "mmmu": run_mc_benchmark,
     "scienceqa": run_mc_benchmark,
     "seed": run_mc_benchmark,
-    "mmvp": run_mc_benchmark,
+    "mmvp": run_mmvp,
     "mme": run_mme,
     "mvbench": run_mvbench,
     "vqa": run_vqa,
