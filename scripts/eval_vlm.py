@@ -41,7 +41,9 @@ def main():
     ap.add_argument("--benchmark", required=True)
     ap.add_argument("--data", required=True)
     ap.add_argument("--image_root", default="")
-    ap.add_argument("--max_tiles", type=int, default=12)
+    ap.add_argument("--max_tiles", type=int, default=None,
+                    help="dynamic-tiling cap; default = each protocol's "
+                         "reference value (12 generic, 6 refcoco, 1 video)")
     ap.add_argument("--max_new_tokens", type=int, default=100)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--int8", action="store_true", default=True,
@@ -81,7 +83,7 @@ def main():
         from vlaser_tpu.eval.embodied_benchmarks import run_benchmark
 
         out = run_benchmark(key, chat, args.data, args.image_root,
-                            max_tiles=args.max_tiles)
+                            max_tiles=args.max_tiles or 12)
     elif key == "mmbench":
         from vlaser_tpu.eval.vlm_benchmarks import (
             evaluate_benchmark, load_mmbench_tsv,
@@ -90,18 +92,20 @@ def main():
         items = load_mmbench_tsv(args.data)
         out = evaluate_benchmark(chat, items, mode="multiple_choice",
                                  batch_size=args.batch,
-                                 max_tiles=args.max_tiles)
+                                 max_tiles=args.max_tiles or 12)
     elif key == "pope":
         from vlaser_tpu.eval.vlm_benchmarks import evaluate_pope, load_pope
 
         items = load_pope(args.data, args.image_root)
         out = evaluate_pope(chat, items, batch_size=args.batch,
-                            max_tiles=args.max_tiles)
+                            max_tiles=args.max_tiles or 12)
     elif key in ("mmmu", "scienceqa", "seed", "mmvp", "mme", "mvbench",
                  "refcoco", "caption", "mathvista") or key.startswith("vqa"):
         from vlaser_tpu.eval.protocol_runners import RUNNERS
 
-        kw = dict(batch_size=args.batch, max_tiles=args.max_tiles)
+        kw = dict(batch_size=args.batch)
+        if args.max_tiles is not None:
+            kw["max_tiles"] = args.max_tiles
         if key.startswith("vqa"):
             # 'vqa:<dataset>' routes the metric via METRIC_BY_DATASET
             ds = key.split(":", 1)[1] if ":" in key else None
@@ -117,7 +121,7 @@ def main():
         items = load_jsonl_benchmark(args.data, args.image_root)
         out = evaluate_benchmark(chat, items, mode="multiple_choice",
                                  batch_size=args.batch,
-                                 max_tiles=args.max_tiles)
+                                 max_tiles=args.max_tiles or 12)
 
     printable = {k: v for k, v in out.items() if k != "responses"}
     print(json.dumps({"benchmark": key, **printable}, indent=2))

@@ -179,3 +179,38 @@ def test_run_mmvp_pair_accuracy(tmp_path):
     assert out["pair_accuracy"] == 0.5
     assert out["question_accuracy"] == 0.75
     assert out["num_pairs"] == 2
+
+
+def test_chat_batches_passes_per_frame_counts(tmp_path):
+    """Multi-image items must reach batch_chat as per-frame count LISTS so
+    every <image> tag expands (build_chat_query replaces one tag per
+    entry)."""
+    from vlaser_tpu.eval.protocol_runners import _chat_batches
+
+    _write_img(tmp_path / "a.jpg")
+    _write_img(tmp_path / "b.jpg")
+
+    class RecChat(FakeChat):
+        def batch_chat(self, questions, pixel_values, num_patches_list=None):
+            self.last_npl = num_patches_list
+            return [""] * len(questions)
+
+    chat = RecChat([])
+    imgs = [Image.open(tmp_path / "a.jpg"), Image.open(tmp_path / "b.jpg")]
+    _chat_batches(chat, ["Image-1: <image>\nImage-2: <image>\nQ"],
+                  [imgs], max_tiles=1)
+    assert isinstance(chat.last_npl[0], list)
+    assert len(chat.last_npl[0]) == 2
+
+
+def test_batch_chat_expands_every_image_tag():
+    """VlaserChat.batch_chat with a per-image list entry must emit one
+    IMG_START block per <image> tag (the MVBench/multi-image protocols)."""
+    from vlaser_tpu.tokenizer.conversation import (IMG_START_TOKEN,
+                                                   build_chat_query)
+
+    q = build_chat_query(
+        "internvl2_5", "Frame1: <image>\nFrame2: <image>\nQ?", [2, 3], 4,
+    )
+    assert q.count(IMG_START_TOKEN) == 2
+    assert "<image>" not in q

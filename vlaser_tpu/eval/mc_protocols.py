@@ -173,7 +173,12 @@ def mvbench_frame_indices(
 ) -> List[int]:
     """Uniform segment-center sampling (evaluate_mvbench.py:116-128):
     indices = start + seg/2 + i*seg over num_segments segments of
-    [max(round(start*fps), first_idx), min(round(end*fps), max_frame)]."""
+    [max(round(start*fps), first_idx), min(round(end*fps), max_frame)].
+
+    Distinct from utils/tools.video_frame_indices (extract_video_frames.py's
+    unbounded sampler with short-clip padding) — the two reference scripts
+    use different rounding/bound conventions and are kept protocol-exact
+    separately."""
     if bound:
         start, end = bound[0], bound[1]
     else:

@@ -45,15 +45,23 @@ def _chat_batches(
         qs = list(questions[i : i + batch_size])
         tiles_list, num_patches = [], []
         for img in images[i : i + batch_size]:
-            frames = [] if img is None else (
-                img if isinstance(img, list) else [img]
-            )
-            n = 0
-            for fr in frames:
-                tiles = load_image_tiles(fr, image_size, max_num=max_tiles)
+            if img is None:
+                num_patches.append(0)
+                continue
+            if isinstance(img, list):
+                # multi-image/video: one per-frame tile count per <image>
+                # tag so batch_chat expands every placeholder
+                per_img = []
+                for fr in img:
+                    tiles = load_image_tiles(fr, image_size,
+                                             max_num=max_tiles)
+                    tiles_list.append(tiles)
+                    per_img.append(len(tiles))
+                num_patches.append(per_img)
+            else:
+                tiles = load_image_tiles(img, image_size, max_num=max_tiles)
                 tiles_list.append(tiles)
-                n += len(tiles)
-            num_patches.append(n)
+                num_patches.append(len(tiles))
         pixel_values = (
             np.concatenate(tiles_list, axis=0) if tiles_list else None
         )
@@ -155,7 +163,22 @@ def run_mme(chat, data_path: str, image_root: str = "", **kw) -> Dict:
         t: [pair for pair in imgs.values() if len(pair) == 2]
         for t, imgs in by_task.items()
     }
-    return mme_suite_scores(task_pairs)
+    dropped = sum(
+        len(pair) for imgs in by_task.values()
+        for pair in imgs.values() if len(pair) != 2
+    )
+    out = mme_suite_scores(task_pairs)
+    if dropped:
+        # MME requires exactly two questions per image (calculation.py
+        # asserts it); malformed groups are excluded, never silently folded
+        import warnings
+
+        warnings.warn(
+            f"run_mme: {dropped} rows dropped — their image did not group "
+            "into exactly 2 questions per task"
+        )
+        out["dropped_rows"] = dropped
+    return out
 
 
 def run_mvbench(

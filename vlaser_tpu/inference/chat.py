@@ -109,20 +109,29 @@ class VlaserChat:
         self,
         questions: Sequence[str],
         pixel_values: Optional[np.ndarray] = None,  # concat tiles across batch
-        num_patches_list: Optional[List[int]] = None,
+        num_patches_list: Optional[List] = None,
     ) -> List[str]:
+        """num_patches_list: one entry per question — an int (tile count of
+        that sample's single image) or a list of ints (per-image tile counts
+        for multi-image/video prompts, one per <image> tag; the reference
+        expresses this through chat()'s num_patches_list,
+        modeling_internvl_chat.py:343-376)."""
         if num_patches_list is None:
             num_patches_list = (
                 [pixel_values.shape[0]] if pixel_values is not None else [0] * 0
             )
         queries = []
         for i, q in enumerate(questions):
-            n = num_patches_list[i] if i < len(num_patches_list) else 0
-            if n and "<image>" not in q:
+            entry = num_patches_list[i] if i < len(num_patches_list) else 0
+            if isinstance(entry, (list, tuple)):
+                per_img = [n for n in entry if n]
+            else:
+                per_img = [entry] if entry else []
+            if per_img and "<image>" not in q:
                 q = "<image>\n" + q
             queries.append(
                 build_chat_query(
-                    self.cfg.template, q, [n] if n else [],
+                    self.cfg.template, q, per_img,
                     self.cfg.num_image_token, system_message=self.system_message,
                 )
             )

@@ -189,9 +189,12 @@ def make_fused_generate_fn(
         # encoder is elementwise-HBM-bound at multi-tile shapes)
         vcfg = model.cfg.vision
         visual_features = None
+        from ..kernels.fused_vit import (fused_vit_stack, pack_vit_stack,
+                                         supports_fused_vit)
+
         if (pixel_values is not None and pixel_values.shape[0] <= 13
-                and model.cfg.select_layer in (-1, vcfg.num_layers)):
-            from ..kernels.fused_vit import fused_vit_stack, pack_vit_stack
+                and model.cfg.select_layer in (-1, vcfg.num_layers)
+                and supports_fused_vit(vcfg)):
 
             emb = model.apply(params, pixel_values, method=model.vit_embed)
             hidden = fused_vit_stack(

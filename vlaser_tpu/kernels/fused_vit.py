@@ -330,6 +330,15 @@ def fused_vit_stack(
     return out[0] if squeeze else out
 
 
+def supports_fused_vit(vision_cfg) -> bool:
+    """Dispatch guard shared by every fused-ViT call site: the kernel
+    implements LayerNorm-with-bias blocks and a biased fused-QKV (the
+    300M/6B-448 InternViT layouts); rms_norm-block or bias-free variants
+    stay on the XLA encoder."""
+    return (getattr(vision_cfg, "norm_type", "layer_norm") == "layer_norm"
+            and getattr(vision_cfg, "qkv_bias", True))
+
+
 def pack_vit_stack(variables, dtype=jnp.bfloat16):
     """InternVisionModel scanned params -> fused kernel layout. The nn.scan
     layout already stacks every per-layer tensor on [L]; this is dict

@@ -136,7 +136,10 @@ def make_fused_infer_action(model, *, interpret: bool | None = None):
         # the serving config allows (select_layer=-1, one 448px tile):
         # measured 5.49 vs 6.69 ms for the XLA encoder (kernels/fused_vit).
         vcfg = cfg.vlm.vision
+        from ..kernels.fused_vit import supports_fused_vit
+
         if cfg.vlm.select_layer in (-1, vcfg.num_layers) \
+                and supports_fused_vit(vcfg) \
                 and pixel_values.shape[0] == 1:
             emb = model.apply(variables, pixel_values,
                               method=model.vit_embed)  # [1, 1+S_vit, C]
@@ -243,6 +246,20 @@ def make_batched_infer_action(model, *, interpret: bool | None = None):
     cfg = model.cfg
     vcfg = cfg.vlm.vision
     assert cfg.backbone != "paligemma" and not cfg.vision_in_expert
+    from ..kernels.fused_vit import supports_fused_vit
+
+    if (cfg.vlm.select_layer not in (-1, vcfg.num_layers)
+            or not supports_fused_vit(vcfg)):
+        # the kernel runs the FULL stack with LayerNorm blocks: configs that
+        # read an earlier hidden state (select_layer=-2, the RoboTwin
+        # family) or use rms_norm/bias-free ViTs stay on the XLA path
+        return jax.jit(
+            lambda variables, input_ids, pixel_values, text_mask, proprios,
+            noise: model.apply(
+                variables, input_ids, pixel_values, text_mask, proprios,
+                noise, method=model.infer_action,
+            )
+        )
 
     @jax.jit
     def infer(variables, input_ids, pixel_values, text_mask, proprios, noise):

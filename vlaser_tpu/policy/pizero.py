@@ -142,6 +142,10 @@ class PiZeroVLA(nn.Module):
             # PaliGemma: image features scaled by hidden^-0.5 (pizero.py:413);
             # the later sqrt(hidden) mixture scaling restores them to unit
             vit = vit / jnp.asarray(cfg.llm.hidden_size**0.5, vit.dtype)
+            if self.cfg.vision_in_expert:
+                # imgfeat ablation freezes the VLM-side image features
+                # (pizero_internvl.py:773 .detach())
+                vit = jax.lax.stop_gradient(vit)
             fused = scatter_image_embeds(input_ids, tok, vit, None,
                                          cfg.img_context_token_id)
             # per-mixture sqrt(hidden) scaling (joint_model.py:763-771)
