@@ -283,3 +283,39 @@ def test_run_fractal_protocol_with_mock_env():
     assert all(len(e.resets) == 60 for e in envs)
     assert envs[0].resets[0] is not None
     assert "robot_init_options" in envs[0].resets[0]
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_policy_server_fused_path_matches_xla():
+    """PolicyServer(fused=True): the fused serving step (policy/fused_infer,
+    interpret on CPU) returns the same action chunk as the XLA path for the
+    same deterministic noise key."""
+    from vlaser_tpu.core.quant import POLICY_PATTERNS, quantize_variables
+
+    cfg = tiny_vla(max_image_text_tokens=32)
+    model = PiZeroVLA(cfg, compute_dtype=jnp.float32, attn_impl="reference")
+    img = cfg.vlm.vision.image_size
+    proc = InternVLAProcessor(TinyTok(),
+                              num_image_tokens=cfg.vlm.num_image_token,
+                              max_seq_len=32, pad_token_id=0)
+    dummy = proc(["x"], np.zeros((1, 1, img, img, 3), np.uint8))
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(dummy["input_ids"]),
+        jnp.zeros((1, img, img, 3)), jnp.asarray(dummy["attention_mask"]),
+        jnp.zeros((1, cfg.cond_steps, cfg.proprio_dim)),
+        jnp.zeros((1, cfg.num_action_tokens, cfg.action_dim)),
+        jnp.zeros((1,)), jnp.zeros((1, cfg.num_action_tokens, cfg.action_dim)),
+    )
+    qparams = quantize_variables(params, POLICY_PATTERNS)
+    obs = {"agent": {"eef_pos": np.zeros((8,), np.float32)}}
+    frame = np.zeros((64, 48, 3), np.uint8)
+
+    outs = []
+    for fused in (False, True):
+        adapter = BridgeSimplerAdapter(dataset_statistics=STATS,
+                                       image_size=(img, img))
+        server = PolicyServer(model, qparams, adapter, proc, act_steps=4,
+                              seed=0, fused=fused)
+        server.reset("pick the cube")
+        outs.append(server.step(obs, frame))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=0.05, atol=0.05)
