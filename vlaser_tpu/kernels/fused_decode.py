@@ -311,10 +311,14 @@ def fused_int8_stack(
 ):
     """-> (x_out [R, hidden] bf16, k_self [L, R, KVH, D], v_self [...]).
 
-    Weight layouts: w* int8 [L, K, N]; s* f32 [L, 1, N]; sd [L, 1, hidden].
-    k_ext/v_ext bf16 [L, ext_len, kv_heads, head_dim]. Masks are additive
-    f32 (0 = attend, NEG_INF = blocked); self rows always see themselves.
+    Weight layouts: w* [L, K, N] int8 (weight-only-quant serving; the
+    dequant rides the dot) OR bf16 (compute-bound R: the int8->bf16 VPU
+    convert costs more than the halved stream buys — pass unit scales);
+    s* f32 [L, 1, N]; sd [L, 1, hidden]. k_ext/v_ext bf16
+    [L, ext_len, kv_heads, head_dim]. Masks are additive f32 (0 = attend,
+    NEG_INF = blocked); self rows always see themselves.
     """
+    wdt = wq.dtype
     R, hidden = x.shape
     L, _, q_dim = wq.shape
     kv_dim = wk.shape[-1]
@@ -347,11 +351,11 @@ def fused_int8_stack(
         ),
         scratch_shapes=[
             pltpu.VMEM((R, hidden), jnp.bfloat16),
-            pltpu.VMEM((hidden, q_dim + 2 * kv_dim), jnp.int8),
-            pltpu.VMEM((q_dim, hidden), jnp.int8),
+            pltpu.VMEM((hidden, q_dim + 2 * kv_dim), wdt),
+            pltpu.VMEM((q_dim, hidden), wdt),
             pltpu.VMEM((2 if inter == mlp_tile else 4, hidden, mlp_tile),
-                       jnp.int8),
-            pltpu.VMEM((2, mlp_tile, hidden), jnp.int8),
+                       wdt),
+            pltpu.VMEM((2, mlp_tile, hidden), wdt),
             pltpu.VMEM((R, inter), jnp.float32),
             pltpu.VMEM((2, ext_len, kv_heads, head_dim), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((12,)),
