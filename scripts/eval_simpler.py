@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--visual_matching", action="store_true")
     ap.add_argument("--video_dir", default=None)
     ap.add_argument("--results", default=None)
+    ap.add_argument("--fused", action="store_true", default=True,
+                    help="int8-quantize the policy and serve through the "
+                         "fused denoise/ViT kernels (batch-1, ~180 act/s "
+                         "on v5e vs ~145 XLA); --no-fused for the XLA path")
+    ap.add_argument("--no-fused", dest="fused", action="store_false")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -64,7 +69,12 @@ def main():
         tokenizer, num_image_tokens=cfg.vlm.num_image_token,
         max_seq_len=cfg.max_image_text_tokens,
     )
-    server = PolicyServer(model, params, adapter, processor, args.act_steps)
+    if args.fused:
+        from vlaser_tpu.core.quant import POLICY_PATTERNS, quantize_variables
+
+        params = quantize_variables(params, POLICY_PATTERNS)
+    server = PolicyServer(model, params, adapter, processor, args.act_steps,
+                          fused=args.fused)
     ecfg = EvalConfig(task=args.task, n_eval_episode=args.episodes,
                       act_steps=args.act_steps, record_video_dir=args.video_dir,
                       results_path=args.results)
