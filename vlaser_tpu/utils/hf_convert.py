@@ -249,6 +249,89 @@ def convert_internvl_chat(sd: Mapping, vision_layers: int, llm_layers: int) -> D
     return params
 
 
+def _linear(sd: Mapping, key: str) -> Dict:
+    out = {"kernel": _np(sd[f"{key}.weight"]).T}
+    if f"{key}.bias" in sd:
+        out["bias"] = _np(sd[f"{key}.bias"])
+    return out
+
+
+def _mixture_layers(sd: Mapping, prefix: str, num_layers: int) -> Dict:
+    """One joint-model mixture's Qwen2 decoder layers -> stacked flax tree.
+
+    Reference layout: src/model/vla/pizero_internvl.py:252-262 assigns
+    internvl_model.language_model.model.layers (vlm) and
+    action_expert.model.layers (proprio/action, shared) into
+    joint_model.mixtures.<name>.layers.
+    """
+    p = prefix
+    lay: Dict = {"mlp": {}}
+    for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+        entry = {
+            "kernel": _stack(sd, f"{p}{{}}.self_attn.{proj}.weight", num_layers, True)
+        }
+        if f"{p}0.self_attn.{proj}.bias" in sd:
+            entry["bias"] = _stack(sd, f"{p}{{}}.self_attn.{proj}.bias", num_layers)
+        lay[proj] = entry
+    for proj in ("gate_proj", "up_proj", "down_proj"):
+        lay["mlp"][proj] = {
+            "kernel": _stack(sd, f"{p}{{}}.mlp.{proj}.weight", num_layers, True)
+        }
+    for norm in ("input_layernorm", "post_attention_layernorm"):
+        lay[norm] = {"weight": _stack(sd, f"{p}{{}}.{norm}.weight", num_layers)}
+    return lay
+
+
+def convert_pizero_internvl(
+    sd: Mapping, vit_layers: int, joint_layers: int
+) -> Dict:
+    """Reference PiZero (InternVL backbone) state_dict -> PiZeroVLA flax params.
+
+    Source model: src/model/vla/pizero_internvl.py:154-337 — vision tower =
+    internvl vision_model, multi_modal_projector = internvl mlp1, vlm mixture
+    layers = internvl language_model layers, proprio/action mixtures = the
+    768-wide action expert (shared weights), plus proprio/action/time encoders
+    and the action decoder.
+    """
+    params: Dict = {
+        "vision_model": convert_internvit(
+            sd, vit_layers, "vision_tower.vision_model."
+        ),
+        "embed_tokens": {"embedding": _np(sd["embed_tokens.weight"])},
+        "mlp1": {
+            "norm": {
+                "weight": _np(sd["multi_modal_projector.0.weight"]),
+                "bias": _np(sd["multi_modal_projector.0.bias"]),
+            },
+            "fc1": _linear(sd, "multi_modal_projector.1"),
+            "fc2": _linear(sd, "multi_modal_projector.3"),
+        },
+        "joint": {
+            "layers": {
+                "vlm": _mixture_layers(
+                    sd, "joint_model.mixtures.vlm.layers.", joint_layers
+                ),
+                "expert": _mixture_layers(
+                    sd, "joint_model.mixtures.action.layers.", joint_layers
+                ),
+            },
+            "vlm_norm": {"weight": _np(sd["joint_model.mixtures.vlm.norm.weight"])},
+            "expert_norm": {
+                "weight": _np(sd["joint_model.mixtures.action.norm.weight"])
+            },
+        },
+        "proprio_encoder": _linear(sd, "proprio_encoder"),
+        "action_encoder": {
+            name: _linear(sd, f"action_encoder.{name}")
+            for name in ("linear_1", "linear_2", "linear_3")
+        },
+        "action_decoder": _linear(sd, "action_decoder"),
+    }
+    if "lm_head.weight" in sd:
+        params["lm_head"] = {"kernel": _np(sd["lm_head.weight"]).T}
+    return params
+
+
 def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
     """Load all *.safetensors shards in a directory into one flat dict."""
     import glob
