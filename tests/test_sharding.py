@@ -128,3 +128,31 @@ def test_grad_accumulation_matches_large_batch():
     qf = s_full.params["params"]["joint"]["layers"]["expert"]["q_proj"]["kernel"]
     qa = s_acc.params["params"]["joint"]["layers"]["expert"]["q_proj"]["kernel"]
     np.testing.assert_allclose(np.asarray(qf), np.asarray(qa), rtol=1e-4, atol=1e-6)
+
+
+def test_no_involuntary_rematerialization_in_8dev_train_step(capfd):
+    """Regression for the round-1 MULTICHIP gate warning: GSPMD must not
+    fall back to replicate-then-repartition ("Involuntary full
+    rematerialization") anywhere in the 2x2x2 flow-matching train step —
+    the vit->mlp1 boundary used to trigger it (core/mesh.py mlp1 rule)."""
+    cfg = tiny_vla(max_image_text_tokens=16)
+    model = PiZeroVLA(cfg, compute_dtype=jnp.float32, attn_impl="reference")
+    rng = np.random.default_rng(0)
+    batch = _batch(cfg, 8, rng)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        batch["input_ids"][:1], batch["pixel_values"][:1],
+        batch["text_mask"][:1], batch["proprios"][:1], batch["actions"][:1],
+        jnp.zeros((1,)), jnp.zeros((1, cfg.num_action_tokens, cfg.action_dim)),
+    )
+    mesh = mesh_lib.make_mesh(dp=2, fsdp=2, tp=2)
+    tx = make_optimizer(1e-4, frozen_patterns=(r"vision_model/",), params=params)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    state, _ = shard_train_state(state, mesh)
+    sbatch = jax.device_put(batch, mesh_lib.shard_batch(batch, mesh))
+    step = make_train_step(make_flow_loss(model), tx, donate=False)
+    capfd.readouterr()  # drop anything buffered before the compile
+    state, metrics = step(state, sbatch, jax.random.PRNGKey(1))
+    jax.block_until_ready(metrics["loss"])
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err, err[-2000:]

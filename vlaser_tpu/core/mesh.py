@@ -120,8 +120,14 @@ def default_param_rules(fsdp_only: bool = False) -> Sequence[Rule]:
         # embeddings / heads
         (r"embed_tokens/embedding", P(t, f)),
         (r"lm_head/kernel", P(f, t)),
-        # projector
-        (r"mlp1/.*kernel", P(f, t)),
+        # projector: tensor-parallel columns only. No fsdp on the contracting
+        # dim — the ViT output feeding mlp1 is batch-sharded over (data, fsdp),
+        # and an fsdp-sharded contracting dim forces GSPMD into an involuntary
+        # full rematerialization (replicate-then-repartition) at the
+        # vit->mlp1 boundary of the train step (round-1 MULTICHIP gate
+        # warning). The projector is ~9M params, so replicating its
+        # grads/moments over fsdp is noise next to the 2B stack.
+        (r"mlp1/.*kernel", P(None, t)),
         # everything else (biases, norms, small encoders) replicated
     ]
 

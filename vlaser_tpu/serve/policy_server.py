@@ -52,8 +52,22 @@ class PolicyServer:
         self._instruction: Optional[str] = None
         self._cached_inputs: Optional[Dict[str, np.ndarray]] = None
 
+        # Mesh-aware dispatch: the fused denoise path is one pallas_call per
+        # step and does not partition under GSPMD, so on a >1-device mesh we
+        # fall back to the XLA infer_action (which GSPMD TP-shards via the
+        # params' NamedShardings). Explicit, logged, and tested
+        # (tests/test_tp_serving.py) rather than a silent wrong-result path.
+        if fused and mesh is not None and mesh.size > 1:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "fused serving path is single-chip; mesh has %d devices -> "
+                "falling back to the GSPMD (XLA) infer_action path",
+                mesh.size,
+            )
+            fused = False
+        self.serving_path = "fused" if fused else "xla"
         if fused:
-            assert mesh is None, "fused serving path is single-chip"
             from ..policy.fused_infer import make_fused_infer_action
 
             self._infer = make_fused_infer_action(model)
