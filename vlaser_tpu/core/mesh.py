@@ -112,11 +112,14 @@ def default_param_rules(fsdp_only: bool = False) -> Sequence[Rule]:
         (r"layers/.*(o_proj|down_proj)/kernel", P(None, t, f)),
         (r"layers/.*bias", P()),
         (r"layers/.*(norm|layernorm|scale)", P()),
-        # ViT scanned layers: qkv fused [L, in, 3*out]
-        (r"vit_layers/.*qkv/kernel", P(None, f, t)),
-        (r"vit_layers/.*proj/kernel", P(None, t, f)),
-        (r"vit_layers/.*(fc1)/kernel", P(None, f, t)),
-        (r"vit_layers/.*(fc2)/kernel", P(None, t, f)),
+        # ViT scanned layers (InternViT/SigLIP 'encoder' module): qkv fused
+        # [L, in, 3*out]. (Round-1 wrote these as 'vit_layers/', which matched
+        # nothing — the 0.3B ViT was silently replicated; caught by the
+        # memory-budget arithmetic in utils/memory_budget.py.)
+        (r"encoder/.*qkv/kernel", P(None, f, t)),
+        (r"encoder/.*attn/proj/kernel", P(None, t, f)),
+        (r"encoder/.*fc1/kernel", P(None, f, t)),
+        (r"encoder/.*fc2/kernel", P(None, t, f)),
         # embeddings / heads
         (r"embed_tokens/embedding", P(t, f)),
         (r"lm_head/kernel", P(f, t)),
