@@ -195,11 +195,13 @@ def test_fullshape_vla_flow_loss_and_infer_action():
 
     orig = pz_mod.get_internvl3
     pz_mod.get_internvl3 = real_internvl
+    os.environ["IMAGE_448"] = "1"  # 32x32 patch grid (pizero_internvl.py:180,739-742)
     try:
         torch.manual_seed(2)
         ref = pz_mod.PiZero(cfg_node).eval().float()
     finally:
         pz_mod.get_internvl3 = orig
+        del os.environ["IMAGE_448"]
 
     import dataclasses
 

@@ -439,3 +439,109 @@ def test_infer_text_prefill_golden(vla_pair):
         )
     )
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_openloop_episode_parity(vla_pair):
+    """Synthetic open-loop episode parity (SURVEY §7 step 5's closest
+    available proxy without checkpoints/sims): a 3-step episode of raw
+    uint8 frames + evolving proprio runs through the FULL serving chain —
+    adapter preprocess (envs/adapters.py, the simpler.py:65-177 semantics)
+    -> processor -> policy infer_action -> adapter postprocess — with the
+    reference torch PiZero and our PiZeroVLA as the policy, same noise.
+    The env-space action trajectories must match."""
+    d = vla_pair
+    torch, ref, ours, params = d["torch"], d["ref"], d["ours"], d["params"]
+
+    from test_eval import STATS
+
+    from vlaser_tpu.envs.adapters import BridgeSimplerAdapter
+    from vlaser_tpu.image.tiling import normalize_uint8
+    from vlaser_tpu.policy.processing import InternVLAProcessor
+
+    class Tok:
+        """Toy tokenizer emitting the golden pair's img id; merges the fixed
+        chat scaffold into single tokens (as a trained BPE would) so the
+        64-image-token prompt fits the fixture's 80-token budget."""
+
+        pad_token_id = PAD_ID
+        SPECIALS = [
+            ("<|im_start|>system\nNone<|im_end|>\n<|im_start|>user\n", 10),
+            ("<|im_end|>\n<|im_start|>assistant\n", 11),
+            ("<IMG_CONTEXT>", IMG_TOKEN_ID),
+            ("<img>", 12),
+            ("</img>", 13),
+        ]
+
+        def __call__(self, text, add_special_tokens=False, **kw):
+            ids, i = [], 0
+            while i < len(text):
+                for pat, tid in self.SPECIALS:
+                    if text.startswith(pat, i):
+                        ids.append(tid)
+                        i += len(pat)
+                        break
+                else:
+                    tok = 20 + ord(text[i]) % 270
+                    ids.append(tok + 1 if tok == IMG_TOKEN_ID else tok)
+                    i += 1
+            return {"input_ids": ids}
+
+    rng = np.random.default_rng(5)
+    proc = InternVLAProcessor(Tok(), num_image_tokens=N_IMG_TOK,
+                              max_seq_len=S_TEXT, pad_token_id=PAD_ID)
+    pout = proc(["stack cube"], np.zeros((1, 1, 224, 224, 3), np.uint8))
+    assert int((np.asarray(pout["input_ids"]) == IMG_TOKEN_ID).sum()) == N_IMG_TOK
+    ids_np = np.asarray(pout["input_ids"])
+    mask_np = np.asarray(pout["attention_mask"])
+
+    adapters = [
+        BridgeSimplerAdapter(dataset_statistics=STATS, image_size=(224, 224))
+        for _ in range(2)
+    ]
+    trajs = [[], []]
+    eef = np.array([0.1, 0.0, 0.2, 0.0, 0.0, 0.0, 1.0, 0.6], np.float32)
+    for step in range(3):
+        frame = rng.integers(0, 255, (64, 48, 3), np.uint8)
+        obs = {"agent": {"eef_pos": eef + 0.01 * step}}
+        noise = rng.standard_normal((1, 4, 7)).astype(np.float32)
+
+        for side in (0, 1):
+            pre = adapters[side].preprocess(obs, frame)
+            pixels = normalize_uint8(pre["image"][None]).astype(np.float32)
+            proprios = pre["proprio"][None, None].astype(np.float32)
+            if side == 0:  # ours
+                chunk = np.asarray(
+                    ours.apply(
+                        {"params": params}, jnp.asarray(ids_np),
+                        jnp.asarray(pixels), jnp.asarray(mask_np),
+                        jnp.asarray(proprios), jnp.asarray(noise),
+                        method=ours.infer_action,
+                    )
+                )[0]
+            else:  # reference torch
+                tmask = torch.from_numpy(mask_np.astype(np.int64))
+                cm, vp, pp, ap = ref.build_causal_mask_and_position_ids(
+                    tmask, torch.float32
+                )
+                itp, am = ref.split_full_mask_into_submasks(cm)
+
+                class _FixedNoise:
+                    def __enter__(self):
+                        self._orig = torch.randn
+                        torch.randn = lambda *a, **k: torch.from_numpy(noise)
+                        return self
+
+                    def __exit__(self, *a):
+                        torch.randn = self._orig
+
+                with torch.no_grad(), _FixedNoise():
+                    chunk = ref.infer_action(
+                        torch.from_numpy(ids_np.astype(np.int64)),
+                        torch.from_numpy(pixels.transpose(0, 3, 1, 2)),
+                        itp, am, vp, pp, ap,
+                        torch.from_numpy(proprios),
+                    )[0].numpy()
+            trajs[side].append(adapters[side].postprocess(chunk))
+
+    for a, b in zip(trajs[0], trajs[1]):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)

@@ -223,3 +223,43 @@ def test_pos_emb_interpolation_golden(ref_pkg):
     # ops.bicubic_resize_2d reproduces torch's a=-0.75 kernel exactly, so
     # this holds at fp32 tolerance
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_generate_repetition_penalty_golden(ref_pkg):
+    """Greedy decode with repetition_penalty vs HF generate on the matched
+    tiny Qwen2 (the reference surfaces generation_config through
+    modeling_internvl_chat.py:400-438). Text-only prompt, no padding."""
+    torch = ref_pkg["torch"]
+    ref, ours, params, ours_cfg = _tiny_chat_pair(ref_pkg)
+    B, N, NEW = 2, 10, 12
+    g = torch.Generator().manual_seed(9)
+    ids = torch.randint(5, 200, (B, N), generator=g)
+    eos_id = 511  # unused in the prompt and unlikely under random logits
+
+    with torch.no_grad():
+        hf_out = ref.language_model.generate(
+            input_ids=ids, attention_mask=torch.ones(B, N, dtype=torch.long),
+            max_new_tokens=NEW, do_sample=False, repetition_penalty=1.3,
+            pad_token_id=0, eos_token_id=eos_id, use_cache=True,
+        )
+    want = hf_out[:, N:].numpy()
+
+    from vlaser_tpu.inference.sampling import make_generate_fn
+
+    gen = make_generate_fn(
+        ours, max_new_tokens=NEW, eos_token_ids=[eos_id], pad_token_id=0,
+        repetition_penalty=1.3, cache_dtype=jnp.float32,
+    )
+    tokens, num = gen({"params": params}, jnp.asarray(ids.numpy()),
+                      jnp.ones((B, N), jnp.int32), None, jax.random.PRNGKey(0))
+    got = np.asarray(tokens)
+    np.testing.assert_array_equal(got, want)
+
+    # and the penalty actually changes the continuation vs plain greedy
+    gen0 = make_generate_fn(
+        ours, max_new_tokens=NEW, eos_token_ids=[eos_id], pad_token_id=0,
+        cache_dtype=jnp.float32,
+    )
+    base, _ = gen0({"params": params}, jnp.asarray(ids.numpy()),
+                   jnp.ones((B, N), jnp.int32), None, jax.random.PRNGKey(0))
+    assert not np.array_equal(np.asarray(base), got)

@@ -341,3 +341,74 @@ def test_cached_decode_levels_preserved():
     np.testing.assert_allclose(np.asarray(out_hi),
                                np.asarray(full_hi[:, S1:]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_sliding_window_forward_and_grad_parity():
+    """Sliding-window mask (qwen2_packed_training_patch.py:70-96 semantics:
+    causal + k >= q - window, composing with packed segment ids) — Pallas vs
+    an explicit-mask numpy oracle, values and grads."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vlaser_tpu.kernels.flash_attention import attention
+
+    key = jax.random.PRNGKey(11)
+    B, S, H, KVH, D = 1, 64, 2, 1, 16
+    W = 10
+    ks = jax.random.split(key, 3)
+    rand = lambda k, s: jax.random.normal(k, s, jnp.float32) * 0.5
+    q = rand(ks[0], (B, S, H, D))
+    k = rand(ks[1], (B, S, KVH, D))
+    v = rand(ks[2], (B, S, KVH, D))
+    # two packed documents + padding tail
+    seg = np.ones((B, S), np.int32)
+    seg[:, 30:58] = 2
+    seg[:, 58:] = 0
+    seg = jnp.asarray(seg)
+
+    # numpy oracle with the explicit [S, S] mask
+    qn, kn, vn = (np.asarray(x, np.float64) for x in (q, k, v))
+    kr = np.repeat(kn, H // KVH, axis=2)
+    vr = np.repeat(vn, H // KVH, axis=2)
+    logits = np.einsum("bqhd,bkhd->bhqk", qn, kr) / np.sqrt(D)
+    pos = np.arange(S)
+    segn = np.asarray(seg)
+    mask = (pos[:, None] >= pos[None, :])  # causal
+    mask &= (pos[:, None] - pos[None, :]) <= W  # window
+    mask = mask[None, None] & (segn[:, None, :, None] == segn[:, None, None, :])
+    mask &= (segn != 0)[:, None, None, :]
+    logits = np.where(mask, logits, -1e30)
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    want = np.einsum("bhqk,bkhd->bqhd", p, vr)
+
+    for impl in ("reference", "pallas"):
+        got = attention(q, k, v, q_segment_ids=seg, kv_segment_ids=seg,
+                        causal=True, window=W, impl=impl, interpret=True)
+        valid = (segn != 0)[:, :, None, None]
+        np.testing.assert_allclose(
+            np.asarray(got) * valid, want * valid, rtol=2e-4, atol=2e-4,
+            err_msg=impl,
+        )
+
+    def loss(q, k, v, impl):
+        out = attention(q, k, v, q_segment_ids=seg, kv_segment_ids=seg,
+                        causal=True, window=W, impl=impl, interpret=True)
+        w = jnp.arange(out.size, dtype=jnp.float32).reshape(out.shape) / out.size
+        return jnp.sum(out * w * (seg != 0)[:, :, None, None])
+
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, "reference")
+    g_pal = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, "pallas")
+    for a, b, name in zip(g_pal, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"d{name} mismatch")
+
+    # windowed != unwindowed (the mask actually bites at S >> W)
+    full = attention(q, k, v, q_segment_ids=seg, kv_segment_ids=seg,
+                     causal=True, impl="reference", interpret=True)
+    assert float(jnp.abs(full - attention(
+        q, k, v, q_segment_ids=seg, kv_segment_ids=seg, causal=True,
+        window=W, impl="reference", interpret=True,
+    )).max()) > 1e-3

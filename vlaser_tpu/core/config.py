@@ -81,6 +81,13 @@ class LLMConfig:
     rms_plus_one: bool = False  # Gemma RMSNorm scales by (1 + weight)
     embed_scale: bool = False  # Gemma multiplies embeddings by sqrt(hidden)
     attn_softcap: Optional[float] = None  # tanh soft-clamp on logits (50.0)
+    # sliding-window attention (qwen2_packed_training_patch.py:70-96 passes
+    # window_size=(config.sliding_window,)*2 to flash_attn_varlen_func when
+    # the recipe enables it; Qwen2.5-2B ships with it disabled). Applied
+    # uniformly to all layers when set (the scanned stack is homogeneous;
+    # the reference's max_window_layers gating is a per-layer variant of the
+    # same mask).
+    sliding_window: Optional[int] = None
     query_pre_attn_scalar: Optional[float] = None  # Gemma scale override
     # Phi3 su/longrope scaling (modeling_phi3.py:139-178): per-frequency
     # extension factors, hashable tuples (head_dim/2 entries each)

@@ -18,6 +18,15 @@ import jax.numpy as jnp
 from .kv_cache import KVCache
 
 
+def _apply_repetition_penalty(logits, seen, penalty: float):
+    """HF RepetitionPenaltyLogitsProcessor: for every token already in the
+    sequence (prompt + generated), divide positive logits by `penalty`,
+    multiply negative ones (modeling_internvl_chat.py:400-438 reaches this
+    through generation_config.repetition_penalty)."""
+    pen = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, pen, logits)
+
+
 def _sample(logits, rng, temperature: float, top_k: int,
             top_p: float = 1.0):
     if temperature == 0.0:
@@ -49,6 +58,7 @@ def make_generate_fn(
     temperature: float = 0.0,
     top_k: int = 0,
     top_p: float = 1.0,
+    repetition_penalty: float = 1.0,
     cache_dtype=jnp.bfloat16,
 ):
     """Build a jitted fn(params, input_ids, seg_ids, pixel_values, rng) ->
@@ -56,9 +66,12 @@ def make_generate_fn(
 
     `model` is InternVLChatModel (or anything exposing .prefill/.decode_step
     via flax method apply). pixel_values may be None (text-only trace).
+    repetition_penalty follows HF semantics over prompt+generated tokens,
+    tracked as a [B, vocab] seen-mask inside the scan.
     """
     eos = jnp.asarray(list(eos_token_ids), jnp.int32)
     llm = model.cfg.llm
+    use_penalty = repetition_penalty != 1.0
 
     @functools.partial(jax.jit, static_argnames=())
     def generate(params, input_ids, seg_ids, pixel_values, rng):
@@ -75,28 +88,41 @@ def make_generate_fn(
         last = jnp.take_along_axis(
             logits, (lengths - 1)[:, None, None], axis=1
         )[:, 0]  # [B, V]
+        if use_penalty:
+            seen = jnp.zeros((b, llm.vocab_size), bool)
+            seen = seen.at[jnp.arange(b)[:, None], input_ids].max(seg_ids != 0)
+            last = _apply_repetition_penalty(last, seen, repetition_penalty)
+        else:
+            seen = jnp.zeros((b, 1), bool)  # unused carry placeholder
         rng, sub = jax.random.split(rng)
         token = _sample(last, sub, temperature, top_k, top_p)
         done = jnp.any(token[:, None] == eos[None, :], axis=-1)
+        if use_penalty:
+            seen = seen.at[jnp.arange(b), token].max(~done)
 
         def step(carry, t):
-            cache, token, done, lengths, rng = carry
+            cache, token, done, lengths, seen, rng = carry
             out_token = jnp.where(done, pad_token_id, token)
             positions = (lengths + t)[:, None]
             logits, _, cache = model.apply(
                 params, token[:, None], cache, positions,
                 method=model.decode_step,
             )
+            lg = logits[:, 0]
+            if use_penalty:
+                lg = _apply_repetition_penalty(lg, seen, repetition_penalty)
             rng, sub = jax.random.split(rng)
-            nxt = _sample(logits[:, 0], sub, temperature, top_k, top_p)
+            nxt = _sample(lg, sub, temperature, top_k, top_p)
             nxt_done = jnp.logical_or(
                 done, jnp.any(nxt[:, None] == eos[None, :], axis=-1)
             )
-            return (cache, nxt, nxt_done, lengths, rng), out_token
+            if use_penalty:
+                seen = seen.at[jnp.arange(b), nxt].max(~nxt_done)
+            return (cache, nxt, nxt_done, lengths, seen, rng), out_token
 
-        (cache, token, done, _, _), tokens = jax.lax.scan(
+        (cache, token, done, _, _, _), tokens = jax.lax.scan(
             step,
-            (cache, token, done, lengths, rng),
+            (cache, token, done, lengths, seen, rng),
             jnp.arange(max_new_tokens - 1),
         )
         last_token = jnp.where(done, pad_token_id, token)

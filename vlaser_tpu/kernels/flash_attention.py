@@ -65,6 +65,7 @@ def _flash_fwd_kernel(
     num_k_blocks: int,
     scale: float,
     softcap: Optional[float] = None,
+    window: Optional[int] = None,
 ):
     ik = pl.program_id(3)
 
@@ -82,6 +83,9 @@ def _flash_fwd_kernel(
     if causal:
         # skip blocks entirely above the diagonal
         run = k_start <= q_start + block_q - 1
+    if window is not None:
+        # sliding window: skip blocks entirely left of q_start - window
+        run = jnp.logical_and(run, k_start + block_k - 1 >= q_start - window)
 
     @pl.when(run)
     def _compute():
@@ -102,10 +106,14 @@ def _flash_fwd_kernel(
         k_lev = (km & LEVEL_MASK)[None, :]
         allowed = jnp.logical_and(q_seg == k_seg, k_seg != 0)
         allowed = jnp.logical_and(allowed, k_lev <= q_lev)
-        if causal:
+        if causal or window is not None:
             rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-            allowed = jnp.logical_and(allowed, rows >= cols)
+            if causal:
+                allowed = jnp.logical_and(allowed, rows >= cols)
+            if window is not None:
+                # flash-attn left-window semantics: k >= q - window
+                allowed = jnp.logical_and(allowed, rows - cols <= window)
         s = jnp.where(allowed, s, NEG_INF)
 
         m_prev = m_scr[:]  # [bq, 1]
@@ -146,7 +154,7 @@ def _pad_to(x: jax.Array, axis: int, multiple: int, value=0):
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_k", "interpret",
-                     "softcap"),
+                     "softcap", "window"),
 )
 def flash_attention_fwd(
     q: jax.Array,  # [B, Sq, H, D]
@@ -161,6 +169,7 @@ def flash_attention_fwd(
     block_k: int = 256,
     interpret: bool = False,
     softcap: Optional[float] = None,
+    window: Optional[int] = None,
 ):
     b, sq, h, d = q.shape
     skv, kvh = k.shape[1], k.shape[2]
@@ -192,6 +201,7 @@ def flash_attention_fwd(
         num_k_blocks=nk,
         scale=scale,
         softcap=softcap,
+        window=window,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -242,21 +252,25 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _bwd_mask(qm, km, q_start, k_start, block_q, block_k, causal):
+def _bwd_mask(qm, km, q_start, k_start, block_q, block_k, causal, window=None):
     q_seg = (qm >> LEVEL_BITS)[:, None]
     k_seg = (km >> LEVEL_BITS)[None, :]
     q_lev = (qm & LEVEL_MASK)[:, None]
     k_lev = (km & LEVEL_MASK)[None, :]
     allowed = jnp.logical_and(q_seg == k_seg, k_seg != 0)
     allowed = jnp.logical_and(allowed, k_lev <= q_lev)
-    if causal:
+    if causal or window is not None:
         rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
         cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        allowed = jnp.logical_and(allowed, rows >= cols)
+        if causal:
+            allowed = jnp.logical_and(allowed, rows >= cols)
+        if window is not None:
+            allowed = jnp.logical_and(allowed, rows - cols <= window)
     return allowed
 
 
-def _bwd_mask_t(qm, km, q_start, k_start, block_q, block_k, causal):
+def _bwd_mask_t(qm, km, q_start, k_start, block_q, block_k, causal,
+                window=None):
     """[bk, bq] mask built directly — Mosaic cannot legalize transposing an
     i1 vector (tpu.transpose on vector<...xi1>), so the dkv kernel gets the
     transposed layout natively instead of `allowed.T`."""
@@ -266,10 +280,13 @@ def _bwd_mask_t(qm, km, q_start, k_start, block_q, block_k, causal):
     k_lev = (km & LEVEL_MASK)[:, None]
     allowed = jnp.logical_and(q_seg == k_seg, k_seg != 0)
     allowed = jnp.logical_and(allowed, k_lev <= q_lev)
-    if causal:
+    if causal or window is not None:
         cols_q = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_k, block_q), 1)
         rows_k = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_k, block_q), 0)
-        allowed = jnp.logical_and(allowed, cols_q >= rows_k)
+        if causal:
+            allowed = jnp.logical_and(allowed, cols_q >= rows_k)
+        if window is not None:
+            allowed = jnp.logical_and(allowed, cols_q - rows_k <= window)
     return allowed
 
 
@@ -279,6 +296,7 @@ def _flash_bwd_dq_kernel(
     dq_ref,
     dq_scr,
     *, causal, block_q, block_k, num_k_blocks, scale, softcap=None,
+    window=None,
 ):
     ik = pl.program_id(3)
     iq = pl.program_id(2)
@@ -292,6 +310,8 @@ def _flash_bwd_dq_kernel(
     run = True
     if causal:
         run = k_start <= q_start + block_q - 1
+    if window is not None:
+        run = jnp.logical_and(run, k_start + block_k - 1 >= q_start - window)
 
     @pl.when(run)
     def _compute():
@@ -304,7 +324,7 @@ def _flash_bwd_dq_kernel(
             t_cap = jnp.tanh(s / softcap)
             s = softcap * t_cap
         allowed = _bwd_mask(qm_ref[0, 0], km_ref[0, 0], q_start, k_start,
-                            block_q, block_k, causal)
+                            block_q, block_k, causal, window)
         lse = lse_ref[0, 0]  # [bq, 1]
         p = jnp.where(allowed, jnp.exp(s - lse), 0.0)
         do = do_ref[0, 0].astype(jnp.float32)
@@ -331,6 +351,7 @@ def _flash_bwd_dkv_kernel(
     dk_ref, dv_ref,
     dk_scr, dv_scr,
     *, causal, block_q, block_k, num_q_blocks, num_inner, scale, softcap=None,
+    window=None,
 ):
     t = pl.program_id(3)
     ik = pl.program_id(2)
@@ -346,6 +367,8 @@ def _flash_bwd_dkv_kernel(
     run = True
     if causal:
         run = k_start <= q_start + block_q - 1
+    if window is not None:
+        run = jnp.logical_and(run, k_start + block_k - 1 >= q_start - window)
 
     @pl.when(run)
     def _compute():
@@ -359,7 +382,7 @@ def _flash_bwd_dkv_kernel(
             t_cap = jnp.tanh(st / softcap)
             st = softcap * t_cap
         allowed_t = _bwd_mask_t(qm_ref[0, 0], km_ref[0, 0], q_start, k_start,
-                                block_q, block_k, causal)
+                                block_q, block_k, causal, window)
         lse = lse_ref[0, 0][:, 0]  # [bq]
         pt = jnp.where(allowed_t, jnp.exp(st - lse[None, :]), 0.0)  # [bk, bq]
         do = do_ref[0, 0].astype(jnp.float32)  # [bq, D]
@@ -388,7 +411,7 @@ def _flash_bwd_dkv_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_k", "interpret",
-                     "softcap"),
+                     "softcap", "window"),
 )
 def flash_attention_bwd(
     q, k, v, q_meta, kv_meta, q_offset, out, lse, dout,
@@ -398,6 +421,7 @@ def flash_attention_bwd(
     block_k: int = 256,
     interpret: bool = False,
     softcap: Optional[float] = None,
+    window: Optional[int] = None,
 ):
     b, sq, h, d = q.shape
     skv, kvh = k.shape[1], k.shape[2]
@@ -426,6 +450,7 @@ def flash_attention_bwd(
         functools.partial(
             _flash_bwd_dq_kernel, causal=causal, block_q=block_q,
             block_k=block_k, num_k_blocks=nk, scale=scale, softcap=softcap,
+            window=window,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -464,7 +489,7 @@ def flash_attention_bwd(
         functools.partial(
             _flash_bwd_dkv_kernel, causal=causal, block_q=block_q,
             block_k=block_k, num_q_blocks=nq, num_inner=num_inner, scale=scale,
-            softcap=softcap,
+            softcap=softcap, window=window,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -508,7 +533,7 @@ def flash_attention_bwd(
 
 
 def _ref_attention(q, k, v, q_meta, kv_meta, q_offset, causal, scale,
-                   softcap=None):
+                   softcap=None, window=None):
     b, sq = q.shape[0], q.shape[1]
     skv = k.shape[1]
     mask = ops.make_attention_mask(
@@ -521,48 +546,52 @@ def _ref_attention(q, k, v, q_meta, kv_meta, q_offset, causal, scale,
         kv_segment_ids=kv_meta >> LEVEL_BITS,
         q_levels=q_meta & LEVEL_MASK,
         kv_levels=kv_meta & LEVEL_MASK,
+        window=window,
     )
     return ops.attention_reference(q, k, v, mask=mask, scale=scale,
                                    softcap=softcap)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def _attention(q, k, v, q_meta, kv_meta, q_offset, causal, scale, use_pallas,
-               interpret=False, softcap=None):
+               interpret=False, softcap=None, window=None):
     if use_pallas:
         out, _ = flash_attention_fwd(
             q, k, v, q_meta, kv_meta, q_offset, causal=causal, scale=scale,
-            interpret=interpret, softcap=softcap,
+            interpret=interpret, softcap=softcap, window=window,
         )
         return out
     return _ref_attention(q, k, v, q_meta, kv_meta, q_offset, causal, scale,
-                          softcap)
+                          softcap, window)
 
 
 def _attention_fwd(q, k, v, q_meta, kv_meta, q_offset, causal, scale,
-                   use_pallas, interpret=False, softcap=None):
+                   use_pallas, interpret=False, softcap=None, window=None):
     if use_pallas:
         out, lse = flash_attention_fwd(
             q, k, v, q_meta, kv_meta, q_offset, causal=causal, scale=scale,
-            interpret=interpret, softcap=softcap,
+            interpret=interpret, softcap=softcap, window=window,
         )
         return out, (q, k, v, q_meta, kv_meta, q_offset, out, lse)
     out = _ref_attention(q, k, v, q_meta, kv_meta, q_offset, causal, scale,
-                         softcap)
+                         softcap, window)
     return out, (q, k, v, q_meta, kv_meta, q_offset, None, None)
 
 
-def _attention_bwd(causal, scale, use_pallas, interpret, softcap, res, g):
+def _attention_bwd(causal, scale, use_pallas, interpret, softcap, window,
+                   res, g):
     q, k, v, q_meta, kv_meta, q_offset, out, lse = res
     if use_pallas:
         dq, dk, dv = flash_attention_bwd(
             q, k, v, q_meta, kv_meta, q_offset, out, lse, g,
             causal=causal, scale=scale, interpret=interpret, softcap=softcap,
+            window=window,
         )
     else:
         _, vjp = jax.vjp(
             lambda q_, k_, v_: _ref_attention(
-                q_, k_, v_, q_meta, kv_meta, q_offset, causal, scale, softcap
+                q_, k_, v_, q_meta, kv_meta, q_offset, causal, scale, softcap,
+                window,
             ),
             q, k, v,
         )
@@ -588,11 +617,18 @@ def attention(
     impl: str = "auto",  # auto | pallas | reference
     interpret: bool = False,
     softcap: Optional[float] = None,
+    window: Optional[int] = None,
 ) -> jax.Array:
     """Unified attention entry. q [B,Sq,H,D]; k/v [B,Skv,KVH,D] (GQA).
 
     Segment id 0 marks padding keys. Levels implement the VLA block rule.
+    window: sliding-window size in flash-attn left-window semantics
+    (k allowed iff q_pos - k_pos <= window), composing with causal + segment
+    ids — the packed-patch capability of qwen2_packed_training_patch.py:70-96
+    (`window_size=(config.sliding_window,)*2` + causal).
     """
+    if window is not None:
+        assert causal, "sliding window is defined for the causal LLM path"
     b, sq = q.shape[0], q.shape[1]
     skv = k.shape[1]
     if q_segment_ids is None:
@@ -618,5 +654,5 @@ def attention(
     use_pallas = impl == "pallas"
     return _attention(
         q, k, v, q_meta, kv_meta, jnp.asarray(q_offset, jnp.int32),
-        causal, scale, use_pallas, interpret, softcap,
+        causal, scale, use_pallas, interpret, softcap, window,
     )

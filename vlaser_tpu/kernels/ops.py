@@ -140,6 +140,7 @@ def make_attention_mask(
     q_levels: Optional[jax.Array] = None,
     kv_levels: Optional[jax.Array] = None,
     kv_valid: Optional[jax.Array] = None,
+    window: Optional[int] = None,
 ) -> Optional[jax.Array]:
     """Boolean [B, Sq, Skv] mask (True = attend) from composable rules.
 
@@ -154,10 +155,14 @@ def make_attention_mask(
     def _and(a, b):
         return b if a is None else jnp.logical_and(a, b)
 
-    if causal:
+    if causal or window is not None:
         qpos = q_offset + jnp.arange(q_len)[:, None]
         kpos = jnp.arange(kv_len)[None, :]
-        allowed = _and(allowed, (qpos >= kpos)[None])
+        if causal:
+            allowed = _and(allowed, (qpos >= kpos)[None])
+        if window is not None:
+            # flash-attn left-window: k allowed iff q_pos - k_pos <= window
+            allowed = _and(allowed, (qpos - kpos <= window)[None])
     if q_segment_ids is not None or kv_segment_ids is not None:
         assert q_segment_ids is not None and kv_segment_ids is not None
         same = q_segment_ids[:, :, None] == kv_segment_ids[:, None, :]

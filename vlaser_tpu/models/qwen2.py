@@ -81,6 +81,7 @@ class Qwen2Attention(nn.Module):
                 q_levels=levels, kv_levels=kv_levels,
                 q_offset=q_offset, causal=causal, impl=attn_impl,
                 scale=scale, softcap=cfg.attn_softcap,
+                window=cfg.sliding_window if causal else None,
             )
         else:
             out = attention(
@@ -89,6 +90,7 @@ class Qwen2Attention(nn.Module):
                 q_levels=levels, kv_levels=levels,
                 causal=causal, impl=attn_impl,
                 scale=scale, softcap=cfg.attn_softcap,
+                window=cfg.sliding_window if causal else None,
             )
         out = out.reshape(b, s, cfg.q_dim)
         out = dense(cfg.hidden_size, False, "o_proj")(out)
