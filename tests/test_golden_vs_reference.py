@@ -263,3 +263,54 @@ def test_generate_repetition_penalty_golden(ref_pkg):
     base, _ = gen0({"params": params}, jnp.asarray(ids.numpy()),
                    jnp.ones((B, N), jnp.int32), None, jax.random.PRNGKey(0))
     assert not np.array_equal(np.asarray(base), got)
+
+
+def test_beam_search_golden(ref_pkg):
+    """num_beams=2 vs HF generate on the matched tiny Qwen2
+    (generation_config.num_beams through modeling_internvl_chat.py:400-438).
+    Case 1: EOS unreachable (pure beam-scoring path). Case 2: EOS chosen so
+    finished-hypothesis bookkeeping engages on both sides."""
+    torch = ref_pkg["torch"]
+    ref, ours, params, _ = _tiny_chat_pair(ref_pkg)
+    from vlaser_tpu.inference.beam_search import make_beam_generate_fn
+
+    B, N, NEW = 2, 9, 10
+    g = torch.Generator().manual_seed(21)
+    ids = torch.randint(5, 200, (B, N), generator=g)
+    mask = torch.ones(B, N, dtype=torch.long)
+
+    def hf_beams(eos_id):
+        with torch.no_grad():
+            out = ref.language_model.generate(
+                input_ids=ids, attention_mask=mask, max_new_tokens=NEW,
+                do_sample=False, num_beams=2, pad_token_id=0,
+                eos_token_id=eos_id, use_cache=True, early_stopping=False,
+            )
+        return out[:, N:].numpy()
+
+    def our_beams(eos_id):
+        gen = make_beam_generate_fn(
+            ours, max_new_tokens=NEW, num_beams=2, eos_token_ids=[eos_id],
+            pad_token_id=0, cache_dtype=jnp.float32,
+        )
+        toks, _ = gen({"params": params}, jnp.asarray(ids.numpy()),
+                      jnp.ones((B, N), jnp.int32), None)
+        return np.asarray(toks)
+
+    # case 1: unreachable EOS
+    np.testing.assert_array_equal(our_beams(511), hf_beams(511))
+
+    # case 2: make EOS a token the model actually produces mid-beam
+    probe = hf_beams(511)
+    eos_id = int(probe[0, NEW // 2])
+    got, want = our_beams(eos_id), hf_beams(eos_id)
+    # compare through the first EOS: transformers' vectorized beam search
+    # pads finished rows with EOS, ours with pad_token_id — same hypothesis
+    for r in range(B):
+        w, o = list(want[r]), list(got[r])
+        end_w = w.index(eos_id) + 1 if eos_id in w else len(w)
+        end_o = o.index(eos_id) + 1 if eos_id in o else len(o)
+        assert end_w == end_o, (w, o)
+        np.testing.assert_array_equal(o[:end_o], w[:end_w])
+    # at least one row actually finished early via EOS
+    assert any(eos_id in list(want[r]) for r in range(B))
