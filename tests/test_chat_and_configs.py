@@ -196,3 +196,28 @@ def test_top_p_sampling():
         for k in keys[:300]
     ])
     assert set(draws) == {0, 1, 2, 3}
+
+
+def test_chat_beams_and_penalty_paths():
+    """VlaserChat exposes the HF generation_config surface: num_beams>1
+    routes through the jitted beam searcher, repetition_penalty through the
+    penalized greedy scan — both end-to-end over the chat template."""
+    cfg = tiny_vlm()
+    model = InternVLChatModel(cfg, compute_dtype=jnp.float32,
+                              attn_impl="reference")
+    rng = np.random.default_rng(3)
+    ids = rng.integers(1, 400, (1, 8))
+    pixels = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                        jnp.asarray(pixels), None)
+    beam_chat = VlaserChat(model, params, ToyTok(), max_new_tokens=6,
+                           bucket=32, num_beams=2, cache_dtype=jnp.float32)
+    resp = beam_chat.chat("describe", pixels)
+    assert isinstance(resp, str)
+    pen_chat = VlaserChat(model, params, ToyTok(), max_new_tokens=6,
+                          bucket=32, repetition_penalty=1.3,
+                          cache_dtype=jnp.float32)
+    resp2 = pen_chat.chat("describe", pixels)
+    assert isinstance(resp2, str)

@@ -30,10 +30,15 @@ class VlaserChat:
         max_new_tokens: int = 256,
         temperature: float = 0.0,
         top_k: int = 0,
+        repetition_penalty: float = 1.0,
+        num_beams: int = 1,
         bucket: int = 256,
         system_message: Optional[str] = None,
         cache_dtype=jnp.bfloat16,
     ):
+        """num_beams > 1 selects the jitted beam searcher (greedy beams);
+        repetition_penalty follows HF semantics — the generation_config
+        surface of modeling_internvl_chat.py:400-438."""
         self.model = model
         self.params = params
         self.tokenizer = tokenizer
@@ -44,15 +49,32 @@ class VlaserChat:
         sep = template.sep.strip()
         self.eos_token_id = tokenizer.convert_tokens_to_ids(sep)
         self.sep = sep
-        self._gen = make_generate_fn(
-            model,
-            max_new_tokens=max_new_tokens,
-            eos_token_ids=[self.eos_token_id],
-            pad_token_id=self.cfg.pad_token_id,
-            temperature=temperature,
-            top_k=top_k,
-            cache_dtype=cache_dtype,
-        )
+        if num_beams > 1:
+            from .beam_search import make_beam_generate_fn
+
+            assert temperature == 0.0, "beam search is greedy (do_sample=False)"
+            beam_gen = make_beam_generate_fn(
+                model,
+                max_new_tokens=max_new_tokens,
+                num_beams=num_beams,
+                eos_token_ids=[self.eos_token_id],
+                pad_token_id=self.cfg.pad_token_id,
+                cache_dtype=cache_dtype,
+            )
+            self._gen = lambda params, ids, seg, pix, rng: beam_gen(
+                params, ids, seg, pix
+            )
+        else:
+            self._gen = make_generate_fn(
+                model,
+                max_new_tokens=max_new_tokens,
+                eos_token_ids=[self.eos_token_id],
+                pad_token_id=self.cfg.pad_token_id,
+                temperature=temperature,
+                top_k=top_k,
+                repetition_penalty=repetition_penalty,
+                cache_dtype=cache_dtype,
+            )
         self._rng = jax.random.PRNGKey(0)
 
     def _encode(self, queries: Sequence[str]) -> Tuple[jnp.ndarray, jnp.ndarray]:
