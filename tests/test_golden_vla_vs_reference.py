@@ -545,3 +545,114 @@ def test_openloop_episode_parity(vla_pair):
 
     for a, b in zip(trajs[0], trajs[1]):
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+
+
+def test_qwen3_vla_golden():
+    """InternVL3.5-style VLA: Qwen3 mixtures (per-head q/k RMSNorm) through
+    the reference's own 'Qwen3' joint-model branch (joint_model.py:449-452,
+    573-576, 657-669) vs our qk_norm joint — flow loss + cached
+    infer_action at fp32."""
+    if not os.path.isdir(SIMPLER) or not os.path.isdir(INTERNVL_CHAT):
+        pytest.skip("reference tree not available")
+    torch = pytest.importorskip("torch")
+    from conftest import install_reference_stubs
+
+    install_reference_stubs()
+    _install_stub_modules(torch)
+    os.environ["INTERNVL"] = "1"
+    for path in (INTERNVL_CHAT, SIMPLER):
+        if path not in sys.path:
+            sys.path.insert(0, path)
+    pz_mod = importlib.import_module("src.model.vla.pizero_internvl")
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    def qwen3_internvl(*a, **k):
+        vlm = _tiny_ref_internvl(torch)  # vision + mlp1 from the chat model
+        q3 = Qwen3Config(
+            vocab_size=VOCAB, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=2,
+            num_key_value_heads=1, head_dim=128, rope_theta=1_000_000.0,
+            tie_word_embeddings=False, attention_bias=False,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(17)
+        vlm.language_model = Qwen3ForCausalLM(q3).eval().float()
+        expert_cfg = copy.deepcopy(q3)
+        expert_cfg.hidden_size = 48
+        expert_cfg.intermediate_size = 96
+        vlm.action_expert = Qwen3ForCausalLM(expert_cfg).eval().float()
+        vlm.action_expert.model.embed_tokens = None
+        return vlm
+
+    orig = pz_mod.get_internvl3
+    pz_mod.get_internvl3 = qwen3_internvl
+    try:
+        torch.manual_seed(18)
+        ref = pz_mod.PiZero(_ref_cfg()).eval().float()
+    finally:
+        pz_mod.get_internvl3 = orig
+
+    import dataclasses
+
+    import jax
+
+    from vlaser_tpu.policy.pizero import PiZeroVLA
+
+    base = _our_cfg()
+    cfg = dataclasses.replace(
+        base,
+        vlm=dataclasses.replace(
+            base.vlm,
+            llm=dataclasses.replace(base.vlm.llm, qk_norm=True,
+                                    attention_bias=False),
+        ),
+        expert=dataclasses.replace(base.expert, qk_norm=True,
+                                   attention_bias=False),
+    )
+    ours = PiZeroVLA(cfg, param_dtype=jnp.float32, compute_dtype=jnp.float32,
+                     attn_impl="reference")
+    params = hf_convert.convert_pizero_internvl(ref.state_dict(), 2, 2)
+    params = jax.tree.map(jnp.asarray, params)
+
+    B = 2
+    g = torch.Generator().manual_seed(19)
+    ids = torch.randint(5, VOCAB - 10, (B, S_TEXT), generator=g)
+    ids[:, 2 : 2 + N_IMG_TOK] = IMG_TOKEN_ID
+    text_mask = torch.ones(B, S_TEXT, dtype=torch.long)
+    text_mask[0, -5:] = 0
+    ids = ids * text_mask
+    ids[:, 2 : 2 + N_IMG_TOK] = IMG_TOKEN_ID
+    px = torch.randn(B, 3, 224, 224, generator=g)
+    proprios = torch.randn(B, 1, 7, generator=g)
+    actions = torch.randn(B, 4, 7, generator=g)
+    t = torch.tensor([0.25, 0.7])
+
+    causal_mask, vlm_pos, prop_pos, act_pos = (
+        ref.build_causal_mask_and_position_ids(text_mask, torch.float32)
+    )
+    torch.manual_seed(20)
+    x0 = torch.randn(B, 4, 7)
+    torch.manual_seed(20)
+    with torch.no_grad():
+        loss_want = ref(ids, px, causal_mask, vlm_pos, prop_pos, act_pos,
+                        proprios, actions, t).item()
+    to = lambda x: jnp.asarray(x.numpy())
+    jargs = (to(ids), jnp.asarray(px.numpy().transpose(0, 2, 3, 1)),
+             to(text_mask).astype(jnp.int32), to(proprios))
+    loss_got = float(
+        ours.apply({"params": params}, *jargs, to(actions), to(t), to(x0))
+    )
+    np.testing.assert_allclose(loss_got, loss_want, rtol=2e-4)
+
+    itp_mask, act_mask = ref.split_full_mask_into_submasks(causal_mask)
+    torch.manual_seed(22)
+    noise = torch.randn(B, 4, 7)
+    torch.manual_seed(22)
+    with torch.no_grad():
+        want = ref.infer_action(ids, px, itp_mask, act_mask, vlm_pos,
+                                prop_pos, act_pos, proprios).numpy()
+    got = np.asarray(
+        ours.apply({"params": params}, *jargs, to(noise),
+                   method=ours.infer_action)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=3e-4)

@@ -285,3 +285,41 @@ def test_internlm2_conversion_matches_reference():
     got, _, _ = model.apply(params, input_ids=jnp.asarray(ids),
                             attn_impl="reference")
     np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-4)
+
+
+def test_qwen3_backend_matches_hf():
+    """LLMConfig(qk_norm=True, attention_bias=False) == HF Qwen3 — the
+    InternVL3.5 language backbone (per-head q/k RMSNorm before rope;
+    pizero_internvl.py:63-65, joint_model.py:449-452)."""
+    import torch
+    from transformers import Qwen3Config
+    from transformers.models.qwen3.modeling_qwen3 import (
+        Qwen3ForCausalLM as HFQwen3,
+    )
+
+    cfg = LLMConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=2, num_kv_heads=1, head_dim=32, rope_theta=1_000_000.0,
+        attention_bias=False, qk_norm=True, tie_word_embeddings=False,
+    )
+    hf_cfg = Qwen3Config(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        num_key_value_heads=cfg.num_kv_heads, head_dim=cfg.head_dim,
+        rope_theta=cfg.rope_theta, rms_norm_eps=cfg.rms_norm_eps,
+        tie_word_embeddings=False, attention_bias=False,
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(5)
+    hf = HFQwen3(hf_cfg).eval().to(torch.float32)
+    params = {"params": convert_qwen2(hf.state_dict(), cfg.num_layers)}
+    model = Qwen2ForCausalLM(cfg, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, cfg.vocab_size, (2, 9))
+    with torch.no_grad():
+        want = hf(torch.tensor(ids)).logits.numpy()
+    got, _, _ = model.apply(params, input_ids=jnp.asarray(ids),
+                            attn_impl="reference")
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)

@@ -74,6 +74,10 @@ class LLMConfig:
     max_position_embeddings: int = 32768
     tie_word_embeddings: bool = False
     attention_bias: bool = True  # Qwen2: q/k/v bias, no o bias
+    # Qwen3 (InternVL3.5 backbone): per-head RMSNorm on q/k before rope,
+    # no qkv bias (pizero_internvl.py:63-65 'InternVL3_5' branch,
+    # joint_model.py:449-452)
+    qk_norm: bool = False
     has_embed: bool = True  # action expert has no token embedding
     has_lm_head: bool = True
     # Gemma-family options (PaliGemma VLA variant; src/model/paligemma/)
@@ -246,6 +250,30 @@ def qwen2_5_1_5b(vocab_size: int = 151936) -> LLMConfig:
         head_dim=128,
         rope_theta=1_000_000.0,
     )
+
+
+def qwen3_1_7b(vocab_size: int = 151936) -> LLMConfig:
+    """Qwen3-1.7B — the InternVL3.5-2B language backbone
+    (pizero_internvl.py:63-65)."""
+    return LLMConfig(
+        vocab_size=vocab_size,
+        hidden_size=2048,
+        intermediate_size=6144,
+        num_layers=28,
+        num_heads=16,
+        num_kv_heads=8,
+        head_dim=128,
+        rope_theta=1_000_000.0,
+        attention_bias=False,
+        qk_norm=True,
+        tie_word_embeddings=True,
+    )
+
+
+def internvl3_5_2b(vocab_size: int = 151936) -> VLMConfig:
+    """InternVL3.5-2B: InternViT-300M + Qwen3-1.7B (the reference's
+    alternate pretrained_model_path in get_internvl3)."""
+    return VLMConfig(vision=internvit_300m(), llm=qwen3_1_7b(vocab_size))
 
 
 def qwen2_5_7b(vocab_size: int = 151936) -> LLMConfig:

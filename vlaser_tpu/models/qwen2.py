@@ -62,6 +62,14 @@ class Qwen2Attention(nn.Module):
         q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
         k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        if cfg.qk_norm:
+            # Qwen3: per-head RMSNorm over head_dim before rope
+            # (modeling_qwen3.py Qwen3Attention.q_norm/k_norm; the reference
+            # VLA reaches it via joint_model.py:449-452,573-576)
+            q = RMSNorm(cfg.head_dim, cfg.rms_norm_eps, self.param_dtype,
+                        name="q_norm")(q)
+            k = RMSNorm(cfg.head_dim, cfg.rms_norm_eps, self.param_dtype,
+                        name="k_norm")(k)
         q = ops.apply_rope(q, cos, sin)
         k = ops.apply_rope(k, cos, sin)
         scale = (

@@ -94,6 +94,13 @@ class MixtureBlock(nn.Module):
         self.k_proj = mk(cfg.kv_dim, cfg.attention_bias)
         self.v_proj = mk(cfg.kv_dim, cfg.attention_bias)
         self.o_proj = mk(cfg.hidden_size, False)
+        if cfg.qk_norm:
+            # Qwen3 mixtures (InternVL3.5 backbone): per-head q/k RMSNorm
+            # before rope (joint_model.py:449-452,573-576)
+            self.q_norm = RMSNorm(cfg.head_dim, cfg.rms_norm_eps,
+                                  self.param_dtype)
+            self.k_norm = RMSNorm(cfg.head_dim, cfg.rms_norm_eps,
+                                  self.param_dtype)
         self.mlp = MixtureMLP(cfg, self.param_dtype, self.compute_dtype)
 
     def _norm(self, which: str, x, cond, blend):
@@ -124,6 +131,9 @@ class MixtureBlock(nn.Module):
         q = self.q_proj(h).reshape(b, s, cfg.num_heads, cfg.head_dim)
         k = self.k_proj(h).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         v = self.v_proj(h).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        if cfg.qk_norm:
+            q = self.q_norm(q)
+            k = self.k_norm(k)
         q = ops.apply_rope(q, cos, sin)
         k = ops.apply_rope(k, cos, sin)
         return q, k, v

@@ -49,6 +49,14 @@ def convert_qwen2(sd: Mapping, num_layers: int, prefix: str = "") -> Dict:
                 sd, f"{p}model.layers.{{}}.self_attn.{proj}.bias", num_layers
             )
         layers["self_attn"][proj] = entry
+    for norm in ("q_norm", "k_norm"):  # Qwen3 per-head q/k RMSNorm
+        if f"{p}model.layers.0.self_attn.{norm}.weight" in sd:
+            layers["self_attn"][norm] = {
+                "weight": _stack(
+                    sd, f"{p}model.layers.{{}}.self_attn.{norm}.weight",
+                    num_layers,
+                )
+            }
     for proj in ("gate_proj", "up_proj", "down_proj"):
         layers["mlp"][proj] = {
             "kernel": _stack(
@@ -273,6 +281,13 @@ def _mixture_layers(sd: Mapping, prefix: str, num_layers: int) -> Dict:
         if f"{p}0.self_attn.{proj}.bias" in sd:
             entry["bias"] = _stack(sd, f"{p}{{}}.self_attn.{proj}.bias", num_layers)
         lay[proj] = entry
+    for norm in ("q_norm", "k_norm"):  # Qwen3 mixtures (InternVL3.5)
+        if f"{p}0.self_attn.{norm}.weight" in sd:
+            lay[norm] = {
+                "weight": _stack(
+                    sd, f"{p}{{}}.self_attn.{norm}.weight", num_layers
+                )
+            }
     for proj in ("gate_proj", "up_proj", "down_proj"):
         lay["mlp"][proj] = {
             "kernel": _stack(sd, f"{p}{{}}.mlp.{proj}.weight", num_layers, True)
