@@ -215,6 +215,11 @@ class ChatDatasetConfig:
     max_seq_length: int = 4096
     loss_reduction: str = "token"
     repeat_time: float = 1.0
+    # decode+resize+normalize JPEGs in the C++ worker pool
+    # (data/native_loader.py) instead of PIL — GIL-free, the reference's
+    # DataLoader-worker equivalent. Decoder IDCT may differ from PIL by
+    # ±2/255 per pixel; non-JPEG inputs silently use the PIL path.
+    use_native_loader: bool = False
 
 
 class ConversationDataset:
@@ -252,7 +257,19 @@ class ConversationDataset:
         # multi-image items cap tiles per image (finetune.py:475-523)
         max_num = max(1, cfg.max_dynamic_patch // max(1, len(image_paths)))
         for p in image_paths:
-            img = Image.open(os.path.join(cfg.image_root, p)).convert("RGB")
+            full = os.path.join(cfg.image_root, p)
+            if cfg.use_native_loader:
+                from .native_loader import load_image_tiles_native
+
+                tiles = load_image_tiles_native(
+                    full, cfg.image_size, cfg.min_dynamic_patch, max_num,
+                    use_thumbnail=cfg.use_thumbnail and cfg.dynamic_image_size,
+                    dynamic=cfg.dynamic_image_size,
+                )
+                if tiles is not None:
+                    all_tiles.append(tiles)
+                    continue
+            img = Image.open(full).convert("RGB")
             tiles = load_image_tiles(
                 img, cfg.image_size, cfg.min_dynamic_patch, max_num,
                 use_thumbnail=cfg.use_thumbnail and cfg.dynamic_image_size,
