@@ -141,11 +141,16 @@ def main():
         # length-grouped batching (train_sampler_patch.py:54-125) + threaded
         # item loading (DataLoader-workers equivalent)
         from vlaser_tpu.data.chat_dataset import (
-            estimate_lengths, length_grouped_indices,
+            estimate_lengths, length_grouped_indices, tokenized_lengths,
         )
         from vlaser_tpu.data.prefetch import map_prefetch
 
-        lengths = estimate_lengths(dataset)
+        # reference-exact tokenized lengths (internvl_chat_finetune.py:361-382)
+        # when the dataset exposes a tokenizer; chars/4 heuristic otherwise
+        try:
+            lengths = tokenized_lengths(dataset)
+        except Exception:
+            lengths = estimate_lengths(dataset)
         if lengths:
             order = length_grouped_indices(lengths, args.batch)
         else:  # ConcatDataset: fall back to sequential order

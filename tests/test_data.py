@@ -432,3 +432,69 @@ def test_map_prefetch_matches_sequential(jsonl_dataset):
     seq = [jsonl_dataset[i] for i in (0, 1)]
     np.testing.assert_array_equal(got[0][0]["input_ids"], seq[0]["input_ids"])
     np.testing.assert_array_equal(got[0][1]["input_ids"], seq[1]["input_ids"])
+
+
+def test_buffered_packing_fill_rate():
+    """The buffered best-fit packer must pack substantially tighter than
+    first-overflow-emits greedy on mixed-length samples (the round-1
+    VERDICT's unmeasured fill-rate item)."""
+
+    import random as _random
+
+    class Synth:
+        """Text-only samples with adversarial length mix."""
+
+        def __init__(self):
+            rng = _random.Random(7)
+            self.lens = [rng.choice([60, 120, 200, 300, 450]) for _ in range(80)]
+
+        def __len__(self):
+            return len(self.lens)
+
+        def __getitem__(self, i):
+            n = self.lens[i]
+            return {
+                "input_ids": np.full((n,), 3, np.int32),
+                "labels": np.full((n,), 3, np.int32),
+                "loss_weight": np.ones((n,), np.float32),
+                "pixel_values": np.zeros((0, 4, 4, 3), np.float32),
+                "image_flags": np.zeros((0,), np.int32),
+            }
+
+    L = 512
+    packed = PackedDataset(Synth(), max_packed_tokens=L, pad_token_id=0,
+                           shuffle_seed=None)
+    packs = list(packed)
+    total_tokens = sum(int((p["seg_ids"] != 0).sum()) for p in packs)
+    fill = total_tokens / (len(packs) * L)
+    assert total_tokens == sum(Synth().lens)  # nothing dropped
+    assert fill > 0.88, fill
+
+
+def test_tokenized_lengths_matches_reference_semantics(tmp_path):
+    """tokenized_lengths: precomputed 'length' field wins; otherwise
+    tokenizer length + num_image_token*(max_dynamic_patch+thumbnail)
+    (internvl_chat_finetune.py:361-382)."""
+    from vlaser_tpu.data.chat_dataset import tokenized_lengths
+
+    rows = [
+        {"length": 123, "conversations": [
+            {"from": "human", "value": "ignored"},
+            {"from": "gpt", "value": "x"}]},
+        {"image": "a.jpg", "conversations": [
+            {"from": "human", "value": "<image>\nhello"},
+            {"from": "gpt", "value": "worlds"}]},
+    ]
+    p = tmp_path / "l.jsonl"
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    cfg = ChatDatasetConfig(jsonl_path=str(p), num_image_token=4,
+                            max_dynamic_patch=3, use_thumbnail=True)
+    tok = CharTok()
+    ds = ConversationDataset(cfg, tok)
+    lens = tokenized_lengths(ds)
+    assert lens[0] == 123
+    text = "<image>\nhello\nworlds"
+    want = len(tok(text)["input_ids"]) + 4 * (3 + 1)
+    assert lens[1] == want

@@ -512,8 +512,9 @@ def pad_collate(
 
 
 class PackedDataset:
-    """Greedy bin-packing into fixed [max_packed_tokens] buffers with segment
-    ids; resumable via state_dict/load_state_dict (dataset_packed.py:142-152)."""
+    """Buffered best-fit bin-packing into fixed [max_packed_tokens] buffers
+    with segment ids; resumable via state_dict/load_state_dict
+    (dataset_packed.py:142-152; buffer-list packing :210-232)."""
 
     def __init__(
         self,
@@ -526,10 +527,12 @@ class PackedDataset:
         img_end_id: Optional[int] = None,
         num_image_token: int = 256,
         image_size: int = 448,
+        max_buffer_size: int = 16,
     ):
         self.dataset = dataset
         self.max_packed_tokens = max_packed_tokens
         self.max_images_per_pack = max_images_per_pack
+        self.max_buffer_size = max(1, max_buffer_size)
         self.pad_token_id = pad_token_id
         # overlong samples split at non-image boundaries when the image token
         # ids are known (dataset_packed.py:253-295); dropped otherwise
@@ -566,26 +569,50 @@ class PackedDataset:
         )
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        buf: List[Dict[str, np.ndarray]] = []
-        buf_tokens = 0
-        buf_images = 0
+        """Buffered best-fit packing: up to `max_buffer_size` open packs; a
+        piece goes to the fullest pack it fits (tokens AND images), a new
+        pack opens otherwise (evicting the fullest when the buffer is at
+        capacity). Matches the reference's buffered packer in fill-rate
+        intent (dataset_packed.py:210-232 first-fit over a buffer list) —
+        best-fit-by-tokens packs at least as tight."""
+        open_packs: List[List] = []  # [samples, tokens, images]
+
+        def fullest() -> int:
+            return max(range(len(open_packs)), key=lambda i: open_packs[i][1])
+
         while self.cursor < len(self.order):
             sample = self.dataset[self.order[self.cursor]]
             self.cursor += 1
             for s in self._pieces(sample):
                 n = len(s["input_ids"])
                 t = len(s["pixel_values"])
-                if buf and (
-                    buf_tokens + n > self.max_packed_tokens
-                    or buf_images + t > self.max_images_per_pack
-                ):
-                    yield self._emit(buf)
-                    buf, buf_tokens, buf_images = [], 0, 0
-                buf.append(s)
-                buf_tokens += n
-                buf_images += t
-        if buf:
-            yield self._emit(buf)
+                best = -1
+                for i, (_, bt, bi) in enumerate(open_packs):
+                    if (
+                        bt + n <= self.max_packed_tokens
+                        and bi + t <= self.max_images_per_pack
+                        and (best < 0 or bt > open_packs[best][1])
+                    ):
+                        best = i
+                if best >= 0:
+                    pack = open_packs[best]
+                    pack[0].append(s)
+                    pack[1] += n
+                    pack[2] += t
+                    if (
+                        pack[1] >= self.max_packed_tokens
+                        or pack[2] >= self.max_images_per_pack
+                    ):
+                        yield self._emit(pack[0])
+                        open_packs.pop(best)
+                else:
+                    if len(open_packs) >= self.max_buffer_size:
+                        i = fullest()
+                        yield self._emit(open_packs[i][0])
+                        open_packs.pop(i)
+                    open_packs.append([[s], n, t])
+        for pack in open_packs:
+            yield self._emit(pack[0])
 
     def _emit(self, buf: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
         L = self.max_packed_tokens
@@ -615,10 +642,9 @@ class PackedDataset:
 
 
 def estimate_lengths(dataset) -> List[int]:
-    """Cheap per-sample token-length estimates for length grouping
-    (LazySupervisedDataset group-by-length token estimation,
-    internvl_chat_finetune.py:269-330 region): conversation characters / 4 +
-    image-token budget."""
+    """Cheap per-sample token-length estimates for length grouping:
+    conversation characters / 4 + image-token budget. See
+    tokenized_lengths() for the reference-exact variant."""
     out = []
     for raw in getattr(dataset, "lines", []):
         item = json.loads(raw)
@@ -627,6 +653,33 @@ def estimate_lengths(dataset) -> List[int]:
         if item.get("image") or item.get("video"):
             n += getattr(dataset.cfg, "num_image_token", 256) * 4
         out.append(max(n, 1))
+    return out
+
+
+def tokenized_lengths(dataset) -> List[int]:
+    """Reference-exact length computation for group-by-length
+    (internvl_chat_finetune.py:361-382): a precomputed 'length' field wins;
+    otherwise tokenize the joined conversation text (memoized by string
+    length, like the reference's conv2length cache) and add
+    num_image_token * (max_dynamic_patch + use_thumbnail)."""
+    cfg = dataset.cfg
+    tok = dataset.tokenizer
+    img_budget = cfg.num_image_token * (
+        cfg.max_dynamic_patch + int(cfg.use_thumbnail)
+    )
+    conv2length: Dict[int, int] = {}
+    out = []
+    for raw in getattr(dataset, "lines", []):
+        item = json.loads(raw)
+        if "length" in item:
+            out.append(int(item["length"]))
+            continue
+        text = "\n".join(c["value"] for c in item["conversations"])
+        key = len(text)
+        if key not in conv2length:
+            n = len(tok(text, add_special_tokens=False)["input_ids"])
+            conv2length[key] = n + img_budget
+        out.append(conv2length[key])
     return out
 
 
