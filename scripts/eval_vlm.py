@@ -45,6 +45,9 @@ def main():
                     help="dynamic-tiling cap; default = each protocol's "
                          "reference value (12 generic, 6 refcoco, 1 video)")
     ap.add_argument("--max_new_tokens", type=int, default=100)
+    ap.add_argument("--num_beams", type=int, default=1,
+                    help="beam search width (HF generation_config surface)")
+    ap.add_argument("--repetition_penalty", type=float, default=1.0)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--int8", action="store_true", default=True,
                     help="int8 weight-only serving (core/quant.py)")
@@ -76,7 +79,9 @@ def main():
     if args.int8:
         params = quantize_variables(params, DEFAULT_PATTERNS)
     chat = VlaserChat(model, params, tokenizer,
-                      max_new_tokens=args.max_new_tokens)
+                      max_new_tokens=args.max_new_tokens,
+                      num_beams=args.num_beams,
+                      repetition_penalty=args.repetition_penalty)
 
     key = args.benchmark.lower().replace("-", "_")
     if key in EMBODIED:
