@@ -56,3 +56,19 @@ def test_frozen_vit_recipe_is_cheaper():
     assert frozen["grads_gib"] < full["grads_gib"]
     assert frozen["moments_gib"] < full["moments_gib"]
     assert frozen["params_gib"] == full["params_gib"]
+
+
+def test_8b_recipes():
+    """Vlaser-8B-VLA (7.94B params): full-parameter fp32 AdamW needs a
+    v5e-32 (2x16 mesh, ~8.1 GiB/chip); the v5e-8 recipes that fit are
+    bf16-param variants. The reference trains 8B on 4x8 GPUs
+    (slurm/train_internvl.sh:23-42) — same arithmetic."""
+    pod32 = vla_train_budget(dp=2, fsdp=16, tp=1, model_size="8b")
+    assert pod32["n_params"] > 7.5e9
+    assert pod32["total_gib"] < V5E_GIB - HEADROOM_GIB, pod32
+    v5e8_fp32 = vla_train_budget(dp=1, fsdp=8, tp=1, model_size="8b")
+    assert v5e8_fp32["total_gib"] > V5E_GIB - HEADROOM_GIB  # documented no-fit
+    v5e8_bf16 = vla_train_budget(dp=1, fsdp=8, tp=1, model_size="8b",
+                                 param_bytes=2,
+                                 frozen_patterns=(r"vision_model/",))
+    assert v5e8_bf16["total_gib"] < V5E_GIB - 2.0, v5e8_bf16

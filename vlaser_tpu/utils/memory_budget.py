@@ -59,8 +59,9 @@ def vla_train_budget(
     per_device_batch: int = 1,
     param_bytes: int = 4,
     frozen_patterns: Sequence[str] = (),
+    model_size: str = "2b",  # '2b' | '8b'
 ) -> Dict[str, float]:
-    """Full-parameter Vlaser-2B-VLA AdamW budget on a dp x fsdp x tp mesh.
+    """Full-parameter Vlaser-2B/8B-VLA AdamW budget on a dp x fsdp x tp mesh.
 
     Returns GiB per device for params / grads / adam moments / a remat
     activation estimate, plus the total. Train state mirrors
@@ -79,10 +80,13 @@ def vla_train_budget(
 
     import jax.numpy as jnp
 
-    from ..core.config import vlaser_2b_vla
+    from ..core.config import vlaser_2b_vla, vlaser_8b, action_expert_8b, VLAConfig
     from ..policy.pizero import PiZeroVLA
 
-    cfg = vlaser_2b_vla()
+    if model_size == "8b":
+        cfg = VLAConfig(vlm=vlaser_8b(151674 + 256), expert=action_expert_8b())
+    else:
+        cfg = vlaser_2b_vla()
     model = PiZeroVLA(cfg, param_dtype=jnp.float32, compute_dtype=jnp.bfloat16)
     B, S = 1, cfg.max_image_text_tokens
     img = cfg.vlm.vision.image_size
