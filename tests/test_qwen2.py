@@ -323,3 +323,36 @@ def test_qwen3_backend_matches_hf():
     got, _, _ = model.apply(params, input_ids=jnp.asarray(ids),
                             attn_impl="reference")
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_qwen3_cached_decode_matches_full():
+    """Per-head q/k RMSNorm (qk_norm) must compose with the KV-cache decode
+    path: prefill + per-token decode == full uncached forward."""
+    cfg = LLMConfig(
+        vocab_size=256, hidden_size=48, intermediate_size=96, num_layers=2,
+        num_heads=2, num_kv_heads=1, head_dim=24, rope_theta=10_000.0,
+        attention_bias=False, qk_norm=True, tie_word_embeddings=False,
+    )
+    model = Qwen2ForCausalLM(cfg, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    ids = rng.integers(1, cfg.vocab_size, (2, 10))
+    params = model.init(jax.random.PRNGKey(0), input_ids=jnp.asarray(ids))
+    full, _, _ = model.apply(params, input_ids=jnp.asarray(ids),
+                             attn_impl="reference")
+    cache = KVCache.create(cfg.num_layers, 2, 16, cfg.num_kv_heads,
+                           cfg.head_dim, dtype=jnp.float32)
+    pre, _, cache = model.apply(
+        params, input_ids=jnp.asarray(ids[:, :6]), cache=cache,
+        attn_impl="reference",
+    )
+    np.testing.assert_allclose(np.asarray(pre), np.asarray(full)[:, :6],
+                               rtol=2e-4, atol=2e-4)
+    for t in range(6, 10):
+        step, _, cache = model.apply(
+            params, input_ids=jnp.asarray(ids[:, t : t + 1]), cache=cache,
+            attn_impl="reference",
+        )
+        np.testing.assert_allclose(
+            np.asarray(step)[:, 0], np.asarray(full)[:, t], rtol=2e-4,
+            atol=2e-4,
+        )
