@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--freeze_llm", action="store_true",
                     help="projector-only training (pretrain stage 1)")
     ap.add_argument("--checkpoint_dir", default="checkpoints/sft")
+    ap.add_argument("--profile_dir", default=None,
+                    help="capture an XLA device trace over steps 5-7 "
+                         "(view with tensorboard/xprof)")
     args = ap.parse_args()
 
     import dataclasses
@@ -172,7 +175,8 @@ def main():
         TrainConfig(learning_rate=args.lr, total_steps=args.steps,
                     freeze_vision=args.freeze_vision,
                     freeze_llm=args.freeze_llm, mesh_fsdp=args.fsdp,
-                    mesh_tp=args.tp, checkpoint_dir=args.checkpoint_dir),
+                    mesh_tp=args.tp, checkpoint_dir=args.checkpoint_dir,
+                    profile_dir=args.profile_dir),
     )
     trainer.train(batches, data_state_fn=data_state)
 

@@ -53,6 +53,13 @@ class TrainConfig:
     checkpoint_dir: Optional[str] = None
     mesh_fsdp: int = 1
     mesh_tp: int = 1
+    # capture a device trace (XLA/TensorBoard format) over
+    # [profile_start, profile_start+profile_steps) — the reference's
+    # torch.profiler/nsys role (SURVEY §5 profiling); view with
+    # tensorboard --logdir or xprof
+    profile_dir: Optional[str] = None
+    profile_start: int = 5
+    profile_steps: int = 3
 
 
 class SFTTrainer:
@@ -83,14 +90,26 @@ class SFTTrainer:
               data_state_fn: Optional[Callable[[], Dict]] = None):
         cfg = self.cfg
         timer = Timer()
+        profiling = False
         for i, batch in enumerate(batches):
             if i >= cfg.total_steps:
                 break
+            if cfg.profile_dir and i == cfg.profile_start:
+                try:
+                    jax.profiler.start_trace(cfg.profile_dir)
+                    profiling = True
+                except Exception:  # tunnel/backends without profiler support
+                    logger.warning("profiler trace unavailable", exc_info=True)
             # local slice -> global array (multihost-aware; core/distributed)
             batch = put_global_batch(batch, self.mesh)
             self.rng, sub = jax.random.split(self.rng)
             self.state, metrics = self.step_fn(self.state, batch, sub)
             step = i + 1
+            if profiling and i + 1 == cfg.profile_start + cfg.profile_steps:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info("profiler trace written to %s", cfg.profile_dir)
             if step == 1 or step % cfg.log_every == 0 or step == cfg.total_steps:
                 logger.info(
                     "step %d loss %.4f gnorm %.3f (%.2fs/it)",
@@ -104,6 +123,8 @@ class SFTTrainer:
                     cfg.checkpoint_dir, step, self.state,
                     data_state=data_state_fn() if data_state_fn else None,
                 )
+        if profiling:  # loop ended inside the profile window
+            jax.profiler.stop_trace()
         return self.state
 
 
