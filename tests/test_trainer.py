@@ -166,3 +166,23 @@ def test_chunked_ce_matches_full():
         ):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=2e-5, atol=2e-6, err_msg=str(pa))
+
+
+def test_metrics_writer_jsonl(tmp_path):
+    import json as _json
+
+    from vlaser_tpu.utils.monitoring import MetricsWriter
+
+    p = tmp_path / "m" / "metrics.jsonl"
+    w = MetricsWriter(str(p), process_index=0)
+    w.write(1, loss=2.5, grad_norm=0.7)
+    w.write(10, loss=1.25)
+    w.close()
+    rows = [_json.loads(l) for l in open(p)]
+    assert rows[0] == {"step": 1, "loss": 2.5, "grad_norm": 0.7}
+    assert rows[1]["step"] == 10
+    # non-main process writes nothing
+    w2 = MetricsWriter(str(tmp_path / "n.jsonl"), process_index=1)
+    w2.write(1, loss=0.0)
+    w2.close()
+    assert not (tmp_path / "n.jsonl").exists()

@@ -60,6 +60,9 @@ class TrainConfig:
     profile_dir: Optional[str] = None
     profile_start: int = 5
     profile_steps: int = 3
+    # JSONL scalar log (utils/monitoring.MetricsWriter) — the reference's
+    # wandb/tensorboard role
+    metrics_path: Optional[str] = None
 
 
 class SFTTrainer:
@@ -91,6 +94,11 @@ class SFTTrainer:
         cfg = self.cfg
         timer = Timer()
         profiling = False
+        writer = None
+        if cfg.metrics_path:
+            from ..utils.monitoring import MetricsWriter
+
+            writer = MetricsWriter(cfg.metrics_path)
         for i, batch in enumerate(batches):
             if i >= cfg.total_steps:
                 break
@@ -116,6 +124,9 @@ class SFTTrainer:
                     step, float(metrics["loss"]), float(metrics["grad_norm"]),
                     timer() / cfg.log_every,
                 )
+                if writer is not None:
+                    writer.write(step, loss=float(metrics["loss"]),
+                                 grad_norm=float(metrics["grad_norm"]))
             if cfg.checkpoint_dir and step % cfg.save_every == 0:
                 from ..utils.checkpoint import save_checkpoint
 
@@ -125,6 +136,8 @@ class SFTTrainer:
                 )
         if profiling:  # loop ended inside the profile window
             jax.profiler.stop_trace()
+        if writer is not None:
+            writer.close()
         return self.state
 
 

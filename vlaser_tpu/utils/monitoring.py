@@ -85,3 +85,42 @@ def profile_trace(logdir: Optional[str]):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+class MetricsWriter:
+    """Append-only JSONL scalar log — the wandb/tensorboard role of the
+    reference (train.py wandb, internvl3_2b...sh:68 --report_to tensorboard)
+    without external services: one {"step": n, ...scalars} line per call,
+    flushed immediately so crashes lose nothing. Main-process only under
+    multi-host."""
+
+    def __init__(self, path, process_index=None):
+        import os
+
+        if process_index is None:
+            try:
+                import jax
+
+                process_index = jax.process_index()
+            except Exception:
+                process_index = 0
+        self._fh = None
+        if process_index == 0:
+            os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+            self._fh = open(path, "a")
+
+    def write(self, step: int, **scalars):
+        if self._fh is None:
+            return
+        import json
+
+        rec = {"step": int(step)}
+        for k, v in scalars.items():
+            rec[k] = float(v)
+        self._fh.write(json.dumps(rec) + "\n")
+        self._fh.flush()
+
+    def close(self):
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
