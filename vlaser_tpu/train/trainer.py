@@ -160,6 +160,7 @@ class VLATrainConfig:
     checkpoint_dir: Optional[str] = None
     mesh_fsdp: int = 1
     mesh_tp: int = 1
+    metrics_path: Optional[str] = None  # JSONL scalar log (MetricsWriter)
 
 
 def _vla_param_groups(params, train_vlm: bool):
@@ -234,6 +235,11 @@ class VLATrainer:
                     num_steps: int):
         cfg = self.cfg
         timer = Timer()
+        writer = None
+        if cfg.metrics_path:
+            from ..utils.monitoring import MetricsWriter
+
+            writer = MetricsWriter(cfg.metrics_path)
         for i, batch in enumerate(batches):
             if i >= num_steps:
                 break
@@ -249,10 +255,15 @@ class VLATrainer:
                     step, float(metrics["loss"]), float(metrics["grad_norm"]),
                     timer() / cfg.log_every,
                 )
+                if writer is not None:
+                    writer.write(step, loss=float(metrics["loss"]),
+                                 grad_norm=float(metrics["grad_norm"]))
             if cfg.checkpoint_dir and step % cfg.save_every == 0:
                 from ..utils.checkpoint import save_checkpoint
 
                 save_checkpoint(cfg.checkpoint_dir, step, self.state)
+        if writer is not None:
+            writer.close()
         return self.state
 
     def evaluate(self, batch: Dict[str, np.ndarray], rng=None) -> Dict[str, Any]:
