@@ -203,6 +203,13 @@ def load_image_tiles_native(
 _shared: Optional[NativeImageLoader] = None
 
 
+def _close_shared():  # registered at first use; joins the C++ worker pool
+    global _shared
+    if _shared is not None:
+        _shared.close()
+        _shared = None
+
+
 def load_image_batch(
     paths: Sequence[str], size: Tuple[int, int],
     mode: int = MODE_LANCZOS, normalize: bool = True,
@@ -212,7 +219,10 @@ def load_image_batch(
     global _shared
     lib = _load()
     if _shared is None:
+        import atexit
+
         _shared = NativeImageLoader()
+        atexit.register(_close_shared)
     n = len(paths)
     oh, ow = size
     out = np.empty((n, oh, ow, 3), np.float32)
