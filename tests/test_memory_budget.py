@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from vlaser_tpu.core import mesh as mesh_lib
-from vlaser_tpu.utils.memory_budget import vla_train_budget
+from vlaser_tpu.utils.memory_budget import vla_train_budget, vlm_sft_budget
 
 V5E_GIB = 16.0
 HEADROOM_GIB = 4.0  # XLA scratch, collectives buffers, host transfers
@@ -72,3 +72,27 @@ def test_8b_recipes():
                                  param_bytes=2,
                                  frozen_patterns=(r"vision_model/",))
     assert v5e8_bf16["total_gib"] < V5E_GIB - 2.0, v5e8_bf16
+
+
+def test_38b_pipeline_recipes():
+    """internvl3_38b (38.4B params: InternViT-6B + Qwen2.5-32B — the tier
+    the reference serves with zero_stage3_config.json): full-parameter
+    fp32 AdamW fits a v5e-64 both as pure fsdp and as fsdp x stage
+    (train/pipeline.py GPipe schedule), and the 16k-seq recipe fits a
+    v5e-128; a v5e-32 is a documented no-fit even at bf16 params."""
+    pod64_fsdp = vlm_sft_budget(dp=1, fsdp=16, tp=4, pp=1, seq_len=4096)
+    assert pod64_fsdp["n_params"] > 38e9
+    # tighter headroom than the 2B rows: 38B at 64 chips is the dense-fit
+    # frontier (~14.3 GiB + XLA workspace)
+    assert pod64_fsdp["total_gib"] < V5E_GIB - 1.5, pod64_fsdp
+    pod64_pp = vlm_sft_budget(dp=1, fsdp=16, tp=2, pp=2, seq_len=4096)
+    assert pod64_pp["total_gib"] < V5E_GIB - 1.5, pod64_pp
+    # stage axis actually shards the layer stack (params shrink vs pp=1
+    # at the same fsdp x tp)
+    base = vlm_sft_budget(dp=2, fsdp=16, tp=2, pp=1, seq_len=4096)
+    assert pod64_pp["params_gib"] < base["params_gib"]
+    pod128_16k = vlm_sft_budget(dp=1, fsdp=16, tp=4, pp=2, seq_len=16384)
+    assert pod128_16k["total_gib"] < V5E_GIB - 1.0, pod128_16k
+    pod32 = vlm_sft_budget(dp=1, fsdp=8, tp=4, pp=1, seq_len=4096,
+                           param_bytes=2)
+    assert pod32["total_gib"] > V5E_GIB  # documented no-fit

@@ -1,0 +1,164 @@
+"""SPMD pipeline parallelism (train/pipeline.py) parity tests.
+
+SURVEY §2.8 PP row: the reference only has naive inference layer placement
+(eval_example.py:84-108 split_model); training-PP machinery is required
+for the 34B+ tier. Validates the GPipe ring schedule against sequential
+execution on a virtual stage mesh: generic stage_fn, the real Qwen2
+decoder stack, and grads through the pipeline.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from vlaser_tpu.core.config import tiny_llm
+from vlaser_tpu.kernels import ops
+from vlaser_tpu.models.qwen2 import Qwen2ForCausalLM
+from vlaser_tpu.models.layers import RMSNorm, Dense
+from vlaser_tpu.train.pipeline import pipeline_llm_forward, spmd_pipeline
+
+
+def _mesh(n, name="stage"):
+    return Mesh(np.array(jax.devices()[:n]), (name,))
+
+
+def test_generic_pipeline_matches_sequential():
+    L, B, F = 8, 8, 16
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((L, F, F)) * 0.3, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B, F)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal((B, F)), jnp.float32)
+
+    def stage_fn(pw, h, c):
+        def body(h, wl):
+            return jnp.tanh(h @ wl) + c, None
+
+        h, _ = jax.lax.scan(body, h, pw)
+        return h
+
+    # sequential reference = one-stage pipeline semantics
+    def seq(w, x, c):
+        def body(h, wl):
+            return jnp.tanh(h @ wl) + c, None
+
+        return jax.lax.scan(body, x, w)[0]
+
+    ref = seq(w, x, scale)
+    mesh = _mesh(4)
+    run = spmd_pipeline(stage_fn, n_microbatches=4, mesh=mesh)
+    with jax.set_mesh(mesh):
+        out = jax.jit(run)(w, x, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+
+    # grads through the pipeline (bwd = mirrored schedule via autodiff)
+    def loss_seq(w):
+        return jnp.sum(seq(w, x, scale) ** 2)
+
+    def loss_pp(w):
+        return jnp.sum(run(w, x, scale) ** 2)
+
+    g_ref = jax.grad(loss_seq)(w)
+    with jax.set_mesh(mesh):
+        g_pp = jax.jit(jax.grad(loss_pp))(w)
+    np.testing.assert_allclose(np.asarray(g_pp), np.asarray(g_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pipeline_qwen2_stack_matches_model():
+    """Full-model logits: embed -> pipelined layer stack -> norm -> head
+    equals the nn.scan model, including grads wrt the layer params."""
+    cfg = dataclasses.replace(tiny_llm(), num_layers=4)
+    model = Qwen2ForCausalLM(cfg, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    b, s = 8, 16
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (b, s)), jnp.int32)
+    seg = jnp.ones((b, s), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, seg_ids=seg)
+
+    logits_ref, _, _ = model.apply(params, ids, seg_ids=seg,
+                                   attn_impl="reference")
+
+    p = params["params"]
+    positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+    cos, sin = ops.rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    def head_side(hidden):
+        normed = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps,
+                         jnp.float32).apply({"params": p["model"]["norm"]},
+                                            hidden)
+        return Dense(cfg.vocab_size, use_bias=False,
+                     compute_dtype=jnp.float32).apply(
+            {"params": p["lm_head"]}, normed)
+
+    mesh = _mesh(4)
+
+    def pp_logits(layer_params):
+        embeds = p["embed_tokens"]["embedding"][ids]
+        hidden = pipeline_llm_forward(
+            cfg, layer_params, embeds, cos, sin, seg,
+            n_microbatches=4, mesh=mesh, compute_dtype=jnp.float32,
+            remat=False, attn_impl="reference",
+        )
+        return head_side(hidden)
+
+    with jax.set_mesh(mesh):
+        logits_pp = jax.jit(pp_logits)(p["model"]["layers"])
+    np.testing.assert_allclose(np.asarray(logits_pp),
+                               np.asarray(logits_ref),
+                               atol=2e-5, rtol=2e-5)
+
+    # grad parity wrt the pipelined layer params
+    tgt = jnp.asarray(rng.standard_normal(logits_ref.shape), jnp.float32)
+
+    def loss_pp(lp):
+        return jnp.mean(pp_logits(lp) * tgt)
+
+    def loss_ref(lp):
+        p2 = jax.tree_util.tree_map(lambda x: x, params)
+        p2["params"]["model"]["layers"] = lp
+        lg, _, _ = model.apply(p2, ids, seg_ids=seg, attn_impl="reference")
+        return jnp.mean(lg * tgt)
+
+    g_ref = jax.grad(loss_ref)(p["model"]["layers"])
+    with jax.set_mesh(mesh):
+        g_pp = jax.jit(jax.grad(loss_pp))(p["model"]["layers"])
+    for (path, a), c in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves(g_pp),
+    ):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   atol=2e-5, rtol=2e-4, err_msg=str(path))
+
+
+def test_pipeline_remat_runs():
+    """remat=True (per-layer checkpoint inside the stage scan) compiles and
+    matches; the memory knob for 34B-scale stages."""
+    cfg = dataclasses.replace(tiny_llm(), num_layers=4)
+    model = Qwen2ForCausalLM(cfg, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    b, s = 4, 8
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (b, s)), jnp.int32)
+    seg = jnp.ones((b, s), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, seg_ids=seg)
+    p = params["params"]
+    positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+    cos, sin = ops.rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    embeds = p["embed_tokens"]["embedding"][ids]
+    mesh = _mesh(2)
+
+    def f(lp):
+        h = pipeline_llm_forward(
+            cfg, lp, embeds, cos, sin, seg, n_microbatches=2, mesh=mesh,
+            compute_dtype=jnp.float32, remat=True, attn_impl="reference",
+        )
+        return jnp.sum(h * h)
+
+    with jax.set_mesh(mesh):
+        val, grads = jax.jit(jax.value_and_grad(f))(p["model"]["layers"])
+    assert np.isfinite(float(val))
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))

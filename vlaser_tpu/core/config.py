@@ -98,6 +98,11 @@ class LLMConfig:
     rope_short_factor: Optional[Tuple[float, ...]] = None
     rope_long_factor: Optional[Tuple[float, ...]] = None
     original_max_position: Optional[int] = None
+    # context parallelism: shard the training sequence dim over this mesh
+    # axis and run ring attention (kernels/ring_attention.py). A capability
+    # the reference does NOT have (SURVEY.md §5: no ring/CP/Ulysses
+    # anywhere); scales max_seq beyond one chip's activation memory.
+    context_parallel_axis: Optional[str] = None
 
     @property
     def q_dim(self) -> int:
@@ -287,6 +292,29 @@ def qwen2_5_7b(vocab_size: int = 151936) -> LLMConfig:
         head_dim=128,
         rope_theta=1_000_000.0,
     )
+
+
+def qwen2_5_32b(vocab_size: int = 151936) -> LLMConfig:
+    """Qwen2.5-32B — the 34B-tier backbone (InternVL3-38B pairing). The
+    reference ships ZeRO-3 configs for >=34B (zero_stage3_config*.json);
+    here the tier is served by fsdp sharding plus the stage-axis pipeline
+    (train/pipeline.py) per SURVEY §2.8's PP row."""
+    return LLMConfig(
+        vocab_size=vocab_size,
+        hidden_size=5120,
+        intermediate_size=27648,
+        num_layers=64,
+        num_heads=40,
+        num_kv_heads=8,
+        head_dim=128,
+        rope_theta=1_000_000.0,
+    )
+
+
+def internvl3_38b(vocab_size: int = 151674) -> VLMConfig:
+    """InternVL3-38B = InternViT-6B + Qwen2.5-32B (the >=34B tier whose
+    DeepSpeed recipe is zero_stage3_config.json in the reference)."""
+    return VLMConfig(vision=internvit_6b(), llm=qwen2_5_32b(vocab_size))
 
 
 def action_expert_2b() -> LLMConfig:

@@ -25,6 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 FSDP_AXIS = "fsdp"
+CONTEXT_AXIS = "context"
 TENSOR_AXIS = "tensor"
 AXES = (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS)
 
@@ -35,17 +36,25 @@ def make_mesh(
     dp: int = -1,
     fsdp: int = 1,
     tp: int = 1,
+    cp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a (data, fsdp, tensor) mesh. dp=-1 uses all remaining devices."""
+    """Build a (data, fsdp[, context], tensor) mesh; dp=-1 uses all
+    remaining devices. The context axis (ring attention,
+    kernels/ring_attention.py) is only materialized when cp > 1 so the
+    3-axis shape stays the default everywhere else."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp == -1:
-        assert n % (fsdp * tp) == 0, f"{n} devices not divisible by fsdp*tp"
-        dp = n // (fsdp * tp)
-    assert dp * fsdp * tp == n, f"mesh {dp}x{fsdp}x{tp} != {n} devices"
-    arr = np.asarray(devices).reshape(dp, fsdp, tp)
-    return Mesh(arr, AXES)
+        assert n % (fsdp * tp * cp) == 0, \
+            f"{n} devices not divisible by fsdp*tp*cp"
+        dp = n // (fsdp * tp * cp)
+    assert dp * fsdp * tp * cp == n, f"mesh {dp}x{fsdp}x{cp}x{tp} != {n}"
+    if cp == 1:
+        arr = np.asarray(devices).reshape(dp, fsdp, tp)
+        return Mesh(arr, AXES)
+    arr = np.asarray(devices).reshape(dp, fsdp, cp, tp)
+    return Mesh(arr, (DATA_AXIS, FSDP_AXIS, CONTEXT_AXIS, TENSOR_AXIS))
 
 
 # ---------------------------------------------------------------------------
@@ -133,6 +142,24 @@ def default_param_rules(fsdp_only: bool = False) -> Sequence[Rule]:
         (r"mlp1/.*kernel", P(None, t)),
         # everything else (biases, norms, small encoders) replicated
     ]
+
+
+STAGE_AXIS = "stage"
+
+
+def stageify_rules(rules: Sequence[Rule], axis: str = STAGE_AXIS) -> Sequence[Rule]:
+    """Pipeline-parallel variant of a rule set: the leading [L] dim of the
+    scanned LLM layer stacks ('layers/' paths) additionally shards over the
+    stage axis (train/pipeline.py splits those chunks across stages). The
+    ViT ('encoder/') and non-layer params stay on stage 0 semantics —
+    fsdp/tensor rules unchanged."""
+    out = []
+    for pat, spec in rules:
+        t = tuple(spec)
+        if pat.startswith(r"layers/") and t and t[0] is None:
+            spec = P(axis, *t[1:])
+        out.append((pat, spec))
+    return out
 
 
 def batch_spec(extra_dims: int = 1) -> P:

@@ -91,6 +91,21 @@ class Qwen2Attention(nn.Module):
                 scale=scale, softcap=cfg.attn_softcap,
                 window=cfg.sliding_window if causal else None,
             )
+        elif cfg.context_parallel_axis is not None:
+            # ring attention over the context mesh axis (a capability the
+            # reference lacks — SURVEY.md §5); window is incompatible by
+            # construction (the ring chunks are the window granularity)
+            assert cfg.sliding_window is None, (
+                "sliding window + context parallelism is unsupported"
+            )
+            from ..kernels.ring_attention import context_parallel_attention
+
+            out = context_parallel_attention(
+                q, k, v, axis=cfg.context_parallel_axis,
+                q_segment_ids=seg_ids, kv_segment_ids=seg_ids,
+                q_levels=levels, kv_levels=levels,
+                causal=causal, scale=scale, softcap=cfg.attn_softcap,
+            )
         else:
             out = attention(
                 q, k, v,

@@ -164,7 +164,7 @@ def vla_train_budget(
     return out
 
 
-def _abstract_mesh(dp: int, fsdp: int, tp: int):
+def _abstract_mesh(dp: int, fsdp: int, tp: int, pp: int = 1):
     """A mesh-shaped stand-in usable off-device (only .shape is consulted)."""
 
     class _M:
@@ -172,6 +172,108 @@ def _abstract_mesh(dp: int, fsdp: int, tp: int):
             mesh_lib.DATA_AXIS: dp,
             mesh_lib.FSDP_AXIS: fsdp,
             mesh_lib.TENSOR_AXIS: tp,
+            mesh_lib.STAGE_AXIS: pp,
         }
 
     return _M()
+
+
+def vlm_sft_budget(
+    dp: int,
+    fsdp: int,
+    tp: int,
+    pp: int = 1,
+    per_device_batch: int = 1,
+    seq_len: int = 4096,
+    n_microbatches: int = 8,
+    param_bytes: int = 4,
+    frozen_patterns: Sequence[str] = (),
+    model_size: str = "38b",  # '2b' | '8b' | '38b'
+) -> Dict[str, float]:
+    """Full-parameter VLM SFT AdamW budget on a dp x fsdp x (pp) x tp mesh.
+
+    The 34B+ tier (internvl3_38b: InternViT-6B + Qwen2.5-32B — the tier the
+    reference serves with zero_stage3_config.json) adds the stage axis:
+    scanned layer params/grads/moments split over `pp` stages
+    (core/mesh.stageify_rules + train/pipeline.py), composing with fsdp
+    inside each stage. Activation arithmetic assumes the pipeline's GPipe
+    schedule: per-layer remat checkpoints for the local L/pp layers across
+    the whole per-device batch, plus one microbatch's layer internals
+    (flash attention is O(S) — no S^2 probs term here, unlike the
+    deliberately-overcounting VLA estimate above).
+    """
+    import re
+
+    import jax.numpy as jnp
+
+    from ..core.config import internvl3_38b, vlaser_2b, vlaser_8b
+    from ..models.vlm import InternVLChatModel
+
+    cfg = {"2b": vlaser_2b, "8b": vlaser_8b, "38b": internvl3_38b}[model_size]()
+    model = InternVLChatModel(cfg, param_dtype=jnp.float32,
+                              compute_dtype=jnp.bfloat16)
+    npt = cfg.num_image_token
+
+    def init():
+        ids = jnp.zeros((1, max(seq_len // 8, npt + 2)), jnp.int32)
+        img = cfg.vision.image_size
+        return model.init(
+            jax.random.PRNGKey(0), ids,
+            jnp.zeros((1, img, img, 3), jnp.float32),
+            jnp.ones((1,), jnp.int32),
+        )
+
+    shapes = jax.eval_shape(init)
+    mesh = _abstract_mesh(dp, fsdp, tp, pp)
+    rules = mesh_lib.default_param_rules()
+    if pp > 1:
+        rules = mesh_lib.stageify_rules(rules)
+
+    def cast(tree, dtype_bytes):
+        dt = {4: np.float32, 2: jnp.bfloat16}[dtype_bytes]
+        return jax.tree_util.tree_map(
+            lambda l: jax.ShapeDtypeStruct(l.shape, dt), tree
+        )
+
+    def drop_frozen(tree):
+        if not frozen_patterns:
+            return tree
+        flat = jax.tree_util.tree_flatten_with_path(tree)
+        kept = {}
+        for path, leaf in flat[0]:
+            ps = mesh_lib._path_str(path)
+            if not any(re.search(p, ps) for p in frozen_patterns):
+                kept[ps] = leaf
+        return kept
+
+    params_b = sharded_bytes_per_device(cast(shapes, param_bytes), mesh, rules)
+    trainable = drop_frozen(shapes)
+    grads_b = sharded_bytes_per_device(cast(trainable, 4), mesh, rules)
+    moments_b = 2 * grads_b
+
+    b, S = per_device_batch, seq_len
+    llm = cfg.llm
+    L_local = llm.num_layers // pp if pp > 1 else llm.num_layers
+    mb = max(1, b // n_microbatches) if pp > 1 else b
+    ckpt = L_local * b * S * llm.hidden_size * 2
+    layer_live = mb * S * (
+        3 * llm.num_heads * llm.head_dim  # q + attention O(S) live
+        + 2 * llm.num_kv_heads * llm.head_dim
+        + 2 * llm.intermediate_size  # gate/up
+    ) * 2
+    vcfg = cfg.vision
+    S_vit = (vcfg.image_size // vcfg.patch_size) ** 2 + 1
+    vit_live = vcfg.num_layers * b * S_vit * vcfg.hidden_size * 2 * 3
+    acts_b = ckpt + layer_live + vit_live
+
+    GiB = 1024**3
+    out = {
+        "mesh": f"{dp}x{fsdp}x{pp}x{tp}",
+        "n_params": count_params(shapes),
+        "params_gib": params_b / GiB,
+        "grads_gib": grads_b / GiB,
+        "moments_gib": moments_b / GiB,
+        "acts_gib": acts_b / GiB,
+    }
+    out["total_gib"] = sum(v for k, v in out.items() if k.endswith("_gib"))
+    return out
