@@ -180,6 +180,111 @@ def _bench_decode():
     return NEW / sec
 
 
+def _make_random_quantized(shapes, patterns):
+    """Random serving weights built DIRECTLY in quantized form: int8 + scale
+    for every pattern-matched leaf, bf16 for the rest. Needed for the 8B
+    tier on one 16G chip — a bf16 init alone (15.9 GB) would OOM before
+    quantize_variables could run. Mirrors core/quant.quantize_variables'
+    layout exactly (kernel: per-out-channel scale; embedding: per-row)."""
+    import re
+
+    from flax import traverse_util
+
+    regs = [re.compile(p) for p in patterns]
+    params_tree = shapes["params"] if "params" in shapes else shapes
+    flat = traverse_util.flatten_dict(params_tree)
+    pspec, qspec = {}, {}
+    for key, s in flat.items():
+        path = "/".join(str(k) for k in key)
+        leaf = str(key[-1])
+        matched = (
+            leaf in ("kernel", "embedding")
+            and len(s.shape) >= 2
+            and int(np.prod(s.shape)) >= 4096
+            and any(r.search(path) for r in regs)
+        )
+        if not matched:
+            pspec[key] = s
+            continue
+        red = -1 if leaf == "embedding" else -2
+        sshape = list(s.shape)
+        sshape[red] = 1
+        qspec[key[:-1] + (leaf + "_q",)] = jax.ShapeDtypeStruct(
+            s.shape, jnp.int8
+        )
+        qspec[key[:-1] + (leaf + "_scale",)] = jax.ShapeDtypeStruct(
+            tuple(sshape), jnp.float32
+        )
+
+    @jax.jit
+    def mk():
+        key = jax.random.PRNGKey(0)
+
+        def one(s):
+            if s.dtype == jnp.int8:
+                return jax.random.randint(key, s.shape, -127, 128, jnp.int8)
+            if s.dtype == jnp.float32 and s.shape and s.shape[-1] == 1:
+                return jnp.full(s.shape, 2e-4, jnp.float32)
+            return (jax.random.normal(key, s.shape, jnp.float32) * 0.02).astype(
+                s.dtype
+            )
+
+        return (
+            {k: one(v) for k, v in pspec.items()},
+            {k: one(v) for k, v in qspec.items()},
+        )
+
+    p, q = mk()
+    return {
+        "params": traverse_util.unflatten_dict(p),
+        "quant": traverse_util.unflatten_dict(q),
+    }
+
+
+def _bench_decode_8b():
+    """Vlaser-8B greedy decode tok/s on ONE v5e chip: the 7.94B model fits
+    via direct-int8 weights (~7.5 GB streamed stack + bf16 ViT), running
+    the same fused-stack decode path as the 2B bench. The reference serves
+    8B on A100-80G; this demonstrates the 8B family is serveable on a
+    single 16G TPU chip."""
+    import time
+
+    from vlaser_tpu.core.config import vlaser_8b
+    from vlaser_tpu.core.quant import DEFAULT_PATTERNS
+    from vlaser_tpu.inference.fused_runner import make_fused_generate_fn
+    from vlaser_tpu.models.vlm import InternVLChatModel
+    from vlaser_tpu.utils.benchmark import measure_rtt
+
+    cfg = vlaser_8b()
+    model = InternVLChatModel(cfg, param_dtype=jnp.bfloat16,
+                              compute_dtype=jnp.bfloat16)
+    B, N, NEW = 1, 320, 32
+    img = cfg.vision.image_size
+    ids = np.full((B, N), 7, np.int32)
+    ids[:, 1:257] = cfg.img_context_token_id
+    seg = np.ones((B, N), np.int32)
+    pixels = jnp.full((1, img, img, 3), 0.5, jnp.float32)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.asarray(ids), pixels,
+                           None)
+    )
+    params = _make_random_quantized(shapes, DEFAULT_PATTERNS)
+    gen = make_fused_generate_fn(
+        model, max_new_tokens=NEW, eos_token_ids=[2], pad_token_id=0,
+    )
+    args = (params, jnp.asarray(ids), jnp.asarray(seg), pixels,
+            jax.random.PRNGKey(0))
+    np.asarray(gen(*args)[0])  # compile
+    rtt = measure_rtt()
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(gen(*args)[0])
+        ts.append(time.perf_counter() - t0)
+    sec = max(float(np.median(ts)) - rtt, 1e-9)
+    return NEW / sec
+
+
 def _bench_sft_train():
     """Vlaser-2B QLoRA SFT train-step throughput on one chip (tokens/sec):
     int8 base (core/quant.py), LoRA r=64 adapters on the LLM targets
@@ -449,6 +554,10 @@ def main():
         decode_b8_tok_s = _bench_decode_batched(8)
     except Exception:
         decode_b8_tok_s = float("nan")
+    try:
+        decode_8b_tok_s = _bench_decode_8b()
+    except Exception:
+        decode_8b_tok_s = float("nan")
 
     print(
         json.dumps(
@@ -472,6 +581,7 @@ def main():
                     "batch8_step_ms": round(sec8 * 1e3, 3),
                     "vlm_decode_tok_per_sec": round(decode_tok_s, 1),
                     "vlm_decode_b8_tok_per_sec": round(decode_b8_tok_s, 1),
+                    "vlm8b_decode_tok_per_sec": round(decode_8b_tok_s, 1),
                     "sft_train_tok_per_sec": round(sft_tok_s, 1),
                     "sft_step_ms": round(sft_step_s * 1e3, 2),
                     "sft16k_tok_per_sec": round(sft16k_tok_s, 1),
