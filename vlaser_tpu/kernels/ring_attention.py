@@ -288,4 +288,8 @@ def context_parallel_attention(
         axis_names={axis},
         check_vma=False,
     )
-    return fn(q, k, v, q_segment_ids, kv_segment_ids, q_levels, kv_levels)
+    # partial-auto shard_map only canonicalizes correctly under a jit trace
+    # (eagerly, the unmentioned auto axes leak into the out_specs check);
+    # inside an outer jit this inlines, eagerly (e.g. model.init) it compiles
+    return jax.jit(fn)(q, k, v, q_segment_ids, kv_segment_ids, q_levels,
+                       kv_levels)
