@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--packed", action="store_true")
     ap.add_argument("--fsdp", type=int, default=1)
     ap.add_argument("--tp", type=int, default=1)
+    ap.add_argument("--cp", type=int, default=1,
+                    help="context-parallel degree: shard max_seq over a "
+                         "'context' mesh axis via ring attention "
+                         "(kernels/ring_attention.py) — long-context "
+                         "capability the reference lacks")
     ap.add_argument("--freeze_vision", action="store_true", default=True)
     ap.add_argument("--freeze_llm", action="store_true",
                     help="projector-only training (pretrain stage 1)")
@@ -97,17 +102,34 @@ def main():
         img_end_token_id=img_end_id,
         pad_token_id=tokenizer.pad_token_id or cfg.pad_token_id,
     )
+    if args.cp > 1:
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(
+                cfg.llm, context_parallel_axis="context"))
     model = InternVLChatModel(cfg, compute_dtype=jnp.bfloat16, remat=True)
+    import contextlib
+
+    mesh = None
+    if args.cp > 1:
+        from vlaser_tpu.core import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh(fsdp=args.fsdp, tp=args.tp, cp=args.cp)
+
+    def mesh_ctx():
+        # ring attention needs the ambient mesh at trace time
+        return jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
     if args.tiny:
         import jax
         import numpy as _np
 
         img = cfg.vision.image_size
         _ids = _np.full((1, 8), 1, _np.int32)
-        params = model.init(
-            jax.random.PRNGKey(0), jnp.asarray(_ids),
-            jnp.zeros((1, img, img, 3), jnp.float32), jnp.ones((1,), jnp.int32),
-        )
+        with mesh_ctx():
+            params = model.init(
+                jax.random.PRNGKey(0), jnp.asarray(_ids),
+                jnp.zeros((1, img, img, 3), jnp.float32),
+                jnp.ones((1,), jnp.int32),
+            )
     else:
         raw = convert_internvl_chat(
             load_safetensors_dir(args.model_path), cfg.vision.num_layers,
@@ -165,20 +187,26 @@ def main():
 
         batches = map_prefetch(
             dataset, cycle(),
-            collate=lambda xs: pad_collate(xs, cfg.pad_token_id),
+            collate=lambda xs: pad_collate(
+                xs, cfg.pad_token_id,
+                pad_multiple=2 * args.cp if args.cp > 1 else None,
+            ),
             batch_size=args.batch, num_threads=4,
         )
         data_state = None
 
-    trainer = SFTTrainer(
-        model, params,
-        TrainConfig(learning_rate=args.lr, total_steps=args.steps,
-                    freeze_vision=args.freeze_vision,
-                    freeze_llm=args.freeze_llm, mesh_fsdp=args.fsdp,
-                    mesh_tp=args.tp, checkpoint_dir=args.checkpoint_dir,
-                    profile_dir=args.profile_dir),
-    )
-    trainer.train(batches, data_state_fn=data_state)
+    with mesh_ctx():
+        trainer = SFTTrainer(
+            model, params,
+            TrainConfig(learning_rate=args.lr, total_steps=args.steps,
+                        freeze_vision=args.freeze_vision,
+                        freeze_llm=args.freeze_llm, mesh_fsdp=args.fsdp,
+                        mesh_tp=args.tp, mesh_cp=args.cp,
+                        checkpoint_dir=args.checkpoint_dir,
+                        profile_dir=args.profile_dir),
+            mesh=mesh,
+        )
+        trainer.train(batches, data_state_fn=data_state)
 
 
 if __name__ == "__main__":

@@ -202,3 +202,105 @@ def test_context_parallel_llm_stack_parity():
             np.asarray(c), np.asarray(a), atol=1e-5, rtol=1e-4,
             err_msg=str(path),
         )
+
+
+def test_context_parallel_sft_train_step_parity():
+    """Full SFT train step (make_sft_loss + AdamW) on a (data x context)
+    mesh with the VLM's LLM running ring attention — loss matches the
+    plain single-device step (the scripts/train_sft.py --cp path)."""
+    import dataclasses
+
+    from vlaser_tpu.core import mesh as mesh_lib
+    from vlaser_tpu.core.config import tiny_vlm
+    from vlaser_tpu.models.vlm import InternVLChatModel
+    from vlaser_tpu.train.losses import make_sft_loss
+    from vlaser_tpu.train.optim import make_optimizer
+    from vlaser_tpu.train.train_step import (
+        TrainState, make_train_step, shard_train_state,
+    )
+
+    cfg = tiny_vlm()
+    cfg_cp = dataclasses.replace(
+        cfg, llm=dataclasses.replace(cfg.llm,
+                                     context_parallel_axis="context"))
+    model = InternVLChatModel(cfg, compute_dtype=jnp.float32,
+                              attn_impl="reference")
+    model_cp = InternVLChatModel(cfg_cp, compute_dtype=jnp.float32,
+                                 attn_impl="reference")
+    rng = np.random.default_rng(0)
+    B, S = 2, 32
+    ids = rng.integers(1, 400, (B, S))
+    ids[:, 1] = cfg.img_context_token_id
+    labels = ids.copy()
+    labels[:, :4] = -100
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "loss_weight": jnp.asarray((labels != -100).astype(np.float32)),
+        "seg_ids": jnp.ones((B, S), jnp.int32),
+        "pixel_values": jnp.asarray(rng.standard_normal(
+            (B, cfg.vision.image_size, cfg.vision.image_size, 3)
+        ).astype(np.float32)),
+        "image_flags": jnp.ones((B,), jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch["input_ids"][:1],
+                        batch["pixel_values"][:1], batch["image_flags"][:1])
+    tx = make_optimizer(1e-4, frozen_patterns=(r"vision_model/",),
+                        params=params)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+    step = make_train_step(make_sft_loss(model), tx, donate=False)
+    _, m_ref = step(state, batch, jax.random.PRNGKey(1))
+
+    mesh = mesh_lib.make_mesh(dp=-1, fsdp=1, tp=1, cp=4)
+    state2 = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    with jax.set_mesh(mesh):
+        state2, _ = shard_train_state(state2, mesh)
+        sbatch = jax.device_put(batch, mesh_lib.shard_batch(batch, mesh))
+        step_cp = make_train_step(make_sft_loss(model_cp), tx, donate=False)
+        _, m_cp = step_cp(state2, sbatch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m_cp["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+
+
+def test_ring_zigzag_layout_matches_full():
+    """layout='zigzag' (causal load-balanced half-block interleave) is a
+    pure re-permutation: outputs and grads match the contiguous reference
+    exactly."""
+    q, k, v, seg, lev, valid = _inputs(levels=True)
+    gw = jnp.asarray(
+        np.random.default_rng(9).standard_normal(q.shape), jnp.float32
+    ) * valid
+    ref = attention(
+        q, k, v, q_segment_ids=seg, kv_segment_ids=seg,
+        q_levels=lev, kv_levels=lev, causal=True, impl="reference",
+    )
+    mesh = _mesh((8,), ("context",))
+
+    def zz(q, k, v, s):
+        return context_parallel_attention(
+            q, k, v, axis="context", q_segment_ids=s, kv_segment_ids=s,
+            q_levels=lev, kv_levels=lev, causal=True, layout="zigzag",
+        )
+
+    with jax.set_mesh(mesh):
+        out = jax.jit(zz)(q, k, v, seg)
+        g_zz = jax.jit(
+            jax.grad(lambda q, k, v: jnp.sum(zz(q, k, v, seg) * gw),
+                     argnums=(0, 1, 2))
+        )(q, k, v)
+    np.testing.assert_allclose(np.asarray(out * valid),
+                               np.asarray(ref * valid),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss_ref(q, k, v):
+        out = attention(
+            q, k, v, q_segment_ids=seg, kv_segment_ids=seg,
+            q_levels=lev, kv_levels=lev, causal=True, impl="reference",
+        )
+        return jnp.sum(out * gw)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ref, g_zz, "qkv"):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-5, rtol=3e-5, err_msg=f"d{name}")

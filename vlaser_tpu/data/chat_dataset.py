@@ -482,14 +482,21 @@ def split_sample(
 
 
 def pad_collate(
-    samples: List[Dict[str, np.ndarray]], pad_token_id: int, pad_to: Optional[int] = None
+    samples: List[Dict[str, np.ndarray]], pad_token_id: int,
+    pad_to: Optional[int] = None, pad_multiple: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """concat_pad_data_collator equivalent (patch/pad_data_collator.py:57-118):
-    pad ids/labels/weights per-batch, concat pixel_values/image_flags."""
+    pad ids/labels/weights per-batch, concat pixel_values/image_flags.
+
+    pad_multiple rounds the padded length up to a multiple (context
+    parallelism shards the sequence dim over cp devices, so lengths must
+    divide; scripts/train_sft.py --cp passes 2*cp for zigzag headroom)."""
     max_len = max(len(s["input_ids"]) for s in samples)
     if pad_to:
         max_len = min(pad_to, ((max_len + pad_to - 1) // pad_to) * pad_to) \
             if max_len <= pad_to else max_len
+    if pad_multiple:
+        max_len = ((max_len + pad_multiple - 1) // pad_multiple) * pad_multiple
     b = len(samples)
     ids = np.full((b, max_len), pad_token_id, np.int32)
     labels = np.full((b, max_len), IGNORE_TOKEN_ID, np.int32)

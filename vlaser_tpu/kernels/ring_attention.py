@@ -46,12 +46,12 @@ def _pvary(x, axis_name):
     return jax.lax.pvary(x, (axis_name,))
 
 
-def _chunk_mask(q_meta, kv_meta, q_off, kv_off, causal):
-    """[B, Sq, Sk] bool mask between a local q chunk at global position
-    q_off and a visiting kv chunk at global position kv_off. Mirrors
-    ops.make_attention_mask rules (segment-equal, seg 0 = padding,
+def _chunk_mask(q_meta, kv_meta, q_pos, kv_pos, causal):
+    """[B, Sq, Sk] bool mask between a local q chunk and a visiting kv
+    chunk with explicit global positions (q_pos [Sq], kv_pos [Sk] — offsets
+    + arange for contiguous layout, interleaved blocks for zigzag).
+    Mirrors ops.make_attention_mask rules (segment-equal, seg 0 = padding,
     kv_level <= q_level, causal on global positions)."""
-    sq, sk = q_meta.shape[1], kv_meta.shape[1]
     q_seg = q_meta >> LEVEL_BITS
     k_seg = kv_meta >> LEVEL_BITS
     allowed = jnp.logical_and(
@@ -62,10 +62,47 @@ def _chunk_mask(q_meta, kv_meta, q_off, kv_off, causal):
         (kv_meta & LEVEL_MASK)[:, None, :] <= (q_meta & LEVEL_MASK)[:, :, None],
     )
     if causal:
-        qpos = q_off + jnp.arange(sq)[:, None]
-        kpos = kv_off + jnp.arange(sk)[None, :]
-        allowed = jnp.logical_and(allowed, (qpos >= kpos)[None])
+        allowed = jnp.logical_and(
+            allowed, (q_pos[:, None] >= kv_pos[None, :])[None]
+        )
     return allowed
+
+
+def _positions(rank, n, chunk, layout):
+    """Global positions [chunk] of a device's sequence slice.
+
+    'contiguous': slice r holds [r*chunk, (r+1)*chunk).
+    'zigzag': slice r holds half-blocks r and 2n-1-r (RingAttention load
+    balancing for causal masks — every rank then carries an equal share of
+    the lower triangle instead of later ranks owning almost all of it).
+    The wrapper permutes the sequence into this layout outside the ring.
+    """
+    if layout == "contiguous":
+        return rank * chunk + jnp.arange(chunk)
+    return _zig_positions(rank, n, chunk)
+
+
+def _zig_positions(rank, n, chunk):
+    half = chunk // 2
+    first = rank * half + jnp.arange(half)
+    second = (2 * n - 1 - rank) * half + jnp.arange(half)
+    return jnp.concatenate([first, second])
+
+
+def zigzag_indices(n: int, seq_len: int):
+    """Permutation taking a contiguous [S] sequence to the zigzag layout
+    (device r gets half-blocks r and 2n-1-r) and its inverse."""
+    half = seq_len // (2 * n)
+    order = []
+    for r in range(n):
+        order.extend(range(r * half, (r + 1) * half))
+        order.extend(range((2 * n - 1 - r) * half, (2 * n - r) * half))
+    import numpy as _np
+
+    fwd = _np.asarray(order, _np.int32)
+    inv = _np.empty_like(fwd)
+    inv[fwd] = _np.arange(seq_len, dtype=_np.int32)
+    return fwd, inv
 
 
 def _chunk_parts(q, k, v, mask, scale, softcap):
@@ -102,12 +139,12 @@ def _ring_perm(n):
 
 
 def _ring_fwd_impl(q, k, v, q_meta, kv_meta, causal, scale, softcap,
-                   axis_name):
+                   axis_name, layout):
     n = jax.lax.axis_size(axis_name)
     rank = jax.lax.axis_index(axis_name)
     b, sq, h, d = q.shape
     chunk = sq  # local chunk length (uniform shards)
-    q_off = rank * chunk
+    q_pos = _positions(rank, n, chunk, layout)
     perm = _ring_perm(n)
 
     acc = _pvary(jnp.zeros((b, sq, h, d), jnp.float32), axis_name)
@@ -116,8 +153,8 @@ def _ring_fwd_impl(q, k, v, q_meta, kv_meta, causal, scale, softcap,
 
     def body(carry, _):
         (kc, vc, kvm, src), (acc, m_run, l_run) = carry
-        kv_off = src * chunk
-        mask = _chunk_mask(q_meta, kvm, q_off, kv_off, causal)
+        kv_pos = _positions(src, n, chunk, layout)
+        mask = _chunk_mask(q_meta, kvm, q_pos, kv_pos, causal)
         o_un, mc, lc = _chunk_parts(q, kc, vc, mask, scale, softcap)
         m_new = jnp.maximum(m_run, mc)
         alpha = jnp.exp(m_run - m_new)
@@ -135,20 +172,22 @@ def _ring_fwd_impl(q, k, v, q_meta, kv_meta, causal, scale, softcap,
     return out.astype(q.dtype), lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _ring(q, k, v, q_meta, kv_meta, causal, scale, softcap, axis_name):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _ring(q, k, v, q_meta, kv_meta, causal, scale, softcap, axis_name,
+          layout):
     out, _ = _ring_fwd_impl(q, k, v, q_meta, kv_meta, causal, scale,
-                            softcap, axis_name)
+                            softcap, axis_name, layout)
     return out
 
 
-def _ring_fwd(q, k, v, q_meta, kv_meta, causal, scale, softcap, axis_name):
+def _ring_fwd(q, k, v, q_meta, kv_meta, causal, scale, softcap, axis_name,
+              layout):
     out, lse = _ring_fwd_impl(q, k, v, q_meta, kv_meta, causal, scale,
-                              softcap, axis_name)
+                              softcap, axis_name, layout)
     return out, (q, k, v, q_meta, kv_meta, out, lse)
 
 
-def _ring_bwd(causal, scale, softcap, axis_name, res, dout):
+def _ring_bwd(causal, scale, softcap, axis_name, layout, res, dout):
     q, k, v, q_meta, kv_meta, out, lse = res
     n = jax.lax.axis_size(axis_name)
     rank = jax.lax.axis_index(axis_name)
@@ -156,7 +195,7 @@ def _ring_bwd(causal, scale, softcap, axis_name, res, dout):
     kvh = k.shape[2]
     g = h // kvh
     chunk = sq
-    q_off = rank * chunk
+    q_pos = _positions(rank, n, chunk, layout)
     perm = _ring_perm(n)
 
     doutf = dout.astype(jnp.float32)
@@ -173,8 +212,8 @@ def _ring_bwd(causal, scale, softcap, axis_name, res, dout):
 
     def body(carry, _):
         (kc, vc, kvm, src, dkc, dvc), dq = carry
-        kv_off = src * chunk
-        mask = _chunk_mask(q_meta, kvm, q_off, kv_off, causal)
+        kv_pos = _positions(src, n, chunk, layout)
+        mask = _chunk_mask(q_meta, kvm, q_pos, kv_pos, causal)
         kf = kc.astype(jnp.float32)
         vf = vc.astype(jnp.float32)
         raw = jnp.einsum("bqkgd,bskd->bkgqs", qf * scale, kf)
@@ -224,10 +263,13 @@ def ring_attention(
     causal: bool = False,
     scale: Optional[float] = None,
     softcap: Optional[float] = None,
+    layout: str = "contiguous",
 ) -> jax.Array:
     """Per-device ring attention; call inside shard_map with the sequence
-    dim sharded over `axis_name`. Shards must be equal-length and
-    contiguous (chunk i = global positions [i*S_local, (i+1)*S_local))."""
+    dim sharded over `axis_name`. Shards must be equal-length; layout
+    'contiguous' means chunk i = global positions [i*S_local,(i+1)*S_local),
+    'zigzag' means slice i = half-blocks i and 2n-1-i (causal load
+    balancing; permute with zigzag_indices first)."""
     b, s = q.shape[0], q.shape[1]
     d = q.shape[-1]
     scale = scale if scale is not None else d ** -0.5
@@ -237,7 +279,8 @@ def ring_attention(
         kv_segment_ids = q_segment_ids
     q_meta = pack_meta(q_segment_ids, q_levels)
     kv_meta = pack_meta(kv_segment_ids, kv_levels)
-    return _ring(q, k, v, q_meta, kv_meta, causal, scale, softcap, axis_name)
+    return _ring(q, k, v, q_meta, kv_meta, causal, scale, softcap, axis_name,
+                 layout)
 
 
 def context_parallel_attention(
@@ -254,10 +297,16 @@ def context_parallel_attention(
     causal: bool = False,
     scale: Optional[float] = None,
     softcap: Optional[float] = None,
+    layout: str = "contiguous",
 ) -> jax.Array:
     """shard_map wrapper: shards the sequence dim over `axis` (partial-auto
     — every other mesh axis stays under GSPMD), runs ring_attention, and
-    returns the logical result. Drop-in inside a jitted computation."""
+    returns the logical result. Drop-in inside a jitted computation.
+
+    layout='zigzag' permutes the sequence into interleaved half-blocks
+    before the ring and back after — with a causal mask this balances the
+    lower-triangle work evenly across ranks (contiguous chunks leave rank 0
+    ~idle and rank n-1 doing ~2x the mean)."""
     b, s = q.shape[0], q.shape[1]
     if q_segment_ids is None:
         q_segment_ids = jnp.ones((b, s), jnp.int32)
@@ -269,13 +318,28 @@ def context_parallel_attention(
         q_levels = jnp.zeros((b, s), jnp.int32)
         kv_levels = jnp.zeros((b, s), jnp.int32)
 
+    inv = None
+    if layout == "zigzag":
+        if mesh is not None:
+            n = mesh.shape[axis]
+        else:
+            n = jax.sharding.get_abstract_mesh().shape[axis]
+        assert s % (2 * n) == 0, (s, n)
+        fwd_ix, inv_ix = zigzag_indices(n, s)
+        fwd_ix = jnp.asarray(fwd_ix)
+        inv = jnp.asarray(inv_ix)
+        take = lambda a: jnp.take(a, fwd_ix, axis=1)
+        q, k, v = take(q), take(k), take(v)
+        q_segment_ids, kv_segment_ids = take(q_segment_ids), take(kv_segment_ids)
+        q_levels, kv_levels = take(q_levels), take(kv_levels)
+
     def inner(q, k, v, qs, ks, ql, kl):
         return ring_attention(
             q, k, v, axis_name=axis,
             q_segment_ids=qs, kv_segment_ids=ks,
             q_levels=ql if has_lv else None,
             kv_levels=kl if has_lv else None,
-            causal=causal, scale=scale, softcap=softcap,
+            causal=causal, scale=scale, softcap=softcap, layout=layout,
         )
 
     seq4 = P(None, axis, None, None)
@@ -291,5 +355,8 @@ def context_parallel_attention(
     # partial-auto shard_map only canonicalizes correctly under a jit trace
     # (eagerly, the unmentioned auto axes leak into the out_specs check);
     # inside an outer jit this inlines, eagerly (e.g. model.init) it compiles
-    return jax.jit(fn)(q, k, v, q_segment_ids, kv_segment_ids, q_levels,
-                       kv_levels)
+    out = jax.jit(fn)(q, k, v, q_segment_ids, kv_segment_ids, q_levels,
+                      kv_levels)
+    if inv is not None:
+        out = jnp.take(out, inv, axis=1)
+    return out

@@ -53,6 +53,11 @@ class TrainConfig:
     checkpoint_dir: Optional[str] = None
     mesh_fsdp: int = 1
     mesh_tp: int = 1
+    # context parallelism (ring attention): shard the sequence over a
+    # 'context' mesh axis. Requires the model's
+    # LLMConfig.context_parallel_axis="context" (scripts/train_sft.py --cp
+    # wires both). Capability beyond the reference — SURVEY §5.
+    mesh_cp: int = 1
     # capture a device trace (XLA/TensorBoard format) over
     # [profile_start, profile_start+profile_steps) — the reference's
     # torch.profiler/nsys role (SURVEY §5 profiling); view with
@@ -81,13 +86,23 @@ class SFTTrainer:
         )
         state = TrainState(params, self.tx.init(params), jnp.zeros((), jnp.int32))
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(
-            fsdp=cfg.mesh_fsdp, tp=cfg.mesh_tp
+            fsdp=cfg.mesh_fsdp, tp=cfg.mesh_tp, cp=cfg.mesh_cp
         )
         self.state, _ = shard_train_state(state, self.mesh)
         self.step_fn = make_train_step(
             make_sft_loss(model), self.tx, accum_steps=cfg.accum_steps
         )
         self.rng = jax.random.PRNGKey(0)
+
+    def _mesh_ctx(self):
+        # ring attention's shard_map needs the ambient mesh at trace time;
+        # plain GSPMD paths don't, so only enter it when a context axis
+        # exists (3-axis meshes stay exactly as before)
+        import contextlib
+
+        if self.mesh.shape.get(mesh_lib.CONTEXT_AXIS, 1) > 1:
+            return jax.set_mesh(self.mesh)
+        return contextlib.nullcontext()
 
     def train(self, batches: Iterator[Dict[str, np.ndarray]],
               data_state_fn: Optional[Callable[[], Dict]] = None):
@@ -111,7 +126,8 @@ class SFTTrainer:
             # local slice -> global array (multihost-aware; core/distributed)
             batch = put_global_batch(batch, self.mesh)
             self.rng, sub = jax.random.split(self.rng)
-            self.state, metrics = self.step_fn(self.state, batch, sub)
+            with self._mesh_ctx():
+                self.state, metrics = self.step_fn(self.state, batch, sub)
             step = i + 1
             if profiling and i + 1 == cfg.profile_start + cfg.profile_steps:
                 jax.block_until_ready(metrics["loss"])
