@@ -103,6 +103,14 @@ class LLMConfig:
     # the reference does NOT have (SURVEY.md §5: no ring/CP/Ulysses
     # anywhere); scales max_seq beyond one chip's activation memory.
     context_parallel_axis: Optional[str] = None
+    # sparse MoE MLP (Qwen3-MoE / InternVL3.5 MoE tiers; models/moe.py).
+    # num_experts=0 keeps the dense MLP. The reference is dense-only.
+    num_experts: int = 0
+    num_experts_per_tok: int = 8
+    moe_intermediate_size: Optional[int] = None
+    norm_topk_prob: bool = True
+    # None = lossless dispatch (C=T, HF parity); ~1.25 at training scale
+    moe_capacity_factor: Optional[float] = None
 
     @property
     def q_dim(self) -> int:
@@ -279,6 +287,33 @@ def internvl3_5_2b(vocab_size: int = 151936) -> VLMConfig:
     """InternVL3.5-2B: InternViT-300M + Qwen3-1.7B (the reference's
     alternate pretrained_model_path in get_internvl3)."""
     return VLMConfig(vision=internvit_300m(), llm=qwen3_1_7b(vocab_size))
+
+
+def qwen3_moe_30b_a3b(vocab_size: int = 151936) -> LLMConfig:
+    """Qwen3-30B-A3B: the InternVL3.5 MoE language backbone (128 experts,
+    top-8, 768-wide experts; models/moe.py). Dense reference has no MoE."""
+    return LLMConfig(
+        vocab_size=vocab_size,
+        hidden_size=2048,
+        intermediate_size=6144,  # unused on MoE layers
+        num_layers=48,
+        num_heads=32,
+        num_kv_heads=4,
+        head_dim=128,
+        rope_theta=1_000_000.0,
+        attention_bias=False,
+        qk_norm=True,
+        num_experts=128,
+        num_experts_per_tok=8,
+        moe_intermediate_size=768,
+        norm_topk_prob=True,
+        moe_capacity_factor=1.25,
+    )
+
+
+def internvl3_5_30b_a3b(vocab_size: int = 151936) -> VLMConfig:
+    """InternVL3.5-30B-A3B: InternViT-300M + Qwen3-30B-A3B (MoE)."""
+    return VLMConfig(vision=internvit_300m(), llm=qwen3_moe_30b_a3b(vocab_size))
 
 
 def qwen2_5_7b(vocab_size: int = 151936) -> LLMConfig:

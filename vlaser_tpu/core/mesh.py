@@ -119,6 +119,12 @@ def default_param_rules(fsdp_only: bool = False) -> Sequence[Rule]:
         # scanned LLM / expert / joint layers: [L, in, out] kernels
         (r"layers/.*(q_proj|k_proj|v_proj|gate_proj|up_proj)/kernel", P(None, f, t)),
         (r"layers/.*(o_proj|down_proj)/kernel", P(None, t, f)),
+        # sparse MoE (models/moe.py): expert parallelism = the leading [E]
+        # dim over the tensor axis (GSPMD inserts the all_to_all between
+        # the token-sharded dispatch and the expert-sharded buffers);
+        # hidden over fsdp inside each expert. Router stays replicated.
+        (r"layers/.*experts_(gate|up)_proj", P(None, t, f, None)),
+        (r"layers/.*experts_down_proj", P(None, t, None, f)),
         (r"layers/.*bias", P()),
         (r"layers/.*(norm|layernorm|scale)", P()),
         # ViT scanned layers (InternViT/SigLIP 'encoder' module): qkv fused

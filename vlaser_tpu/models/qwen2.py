@@ -165,7 +165,14 @@ class Qwen2Layer(nn.Module):
         x = x + attn_out
         h = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, self.param_dtype,
                     cfg.rms_plus_one, name="post_attention_layernorm")(x)
-        x = x + Qwen2MLP(cfg, self.param_dtype, self.compute_dtype, name="mlp")(h)
+        if cfg.num_experts > 0:
+            from .moe import MoEMLP
+
+            x = x + MoEMLP(cfg, self.param_dtype, self.compute_dtype,
+                           name="mlp")(h)
+        else:
+            x = x + Qwen2MLP(cfg, self.param_dtype, self.compute_dtype,
+                             name="mlp")(h)
         if self.use_cache:
             return x, new_buffers
         return x, (kv_k, kv_v)
@@ -226,7 +233,8 @@ class Qwen2Model(nn.Module):
 
         scan = nn.scan(
             layer_cls,
-            variable_axes={"params": 0, "quant": 0, "lora": 0},
+            variable_axes={"params": 0, "quant": 0, "lora": 0,
+                           "intermediates": 0},
             split_rngs={"params": True},
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast,
                      0, 0, nn.broadcast, nn.broadcast, nn.broadcast),

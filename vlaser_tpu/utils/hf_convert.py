@@ -57,12 +57,32 @@ def convert_qwen2(sd: Mapping, num_layers: int, prefix: str = "") -> Dict:
                     num_layers,
                 )
             }
-    for proj in ("gate_proj", "up_proj", "down_proj"):
-        layers["mlp"][proj] = {
-            "kernel": _stack(
-                sd, f"{p}model.layers.{{}}.mlp.{proj}.weight", num_layers, True
-            )
-        }
+    if f"{p}model.layers.0.mlp.gate.weight" in sd:
+        # Qwen3-MoE sparse block (modeling_qwen3_moe.py): router 'gate' +
+        # per-expert gate/up/down -> models/moe.MoEMLP layout (experts
+        # stacked on a leading [E] dim)
+        E = 0
+        while f"{p}model.layers.0.mlp.experts.{E}.gate_proj.weight" in sd:
+            E += 1
+        layers["mlp"]["gate"] = _stack(
+            sd, f"{p}model.layers.{{}}.mlp.gate.weight", num_layers, True
+        )
+        for proj in ("gate_proj", "up_proj", "down_proj"):
+            per_layer = []
+            for l in range(num_layers):
+                per_layer.append(np.stack([
+                    _np(sd[f"{p}model.layers.{l}.mlp.experts.{e}.{proj}.weight"]).T
+                    for e in range(E)
+                ]))
+            layers["mlp"][f"experts_{proj}"] = np.stack(per_layer)
+    else:
+        for proj in ("gate_proj", "up_proj", "down_proj"):
+            layers["mlp"][proj] = {
+                "kernel": _stack(
+                    sd, f"{p}model.layers.{{}}.mlp.{proj}.weight", num_layers,
+                    True
+                )
+            }
     for norm in ("input_layernorm", "post_attention_layernorm"):
         layers[norm] = {
             "weight": _stack(sd, f"{p}model.layers.{{}}.{norm}.weight", num_layers)
