@@ -56,3 +56,20 @@ def install_reference_stubs():
     sys.modules.update(
         {"timm": timm, "timm.models": models_mod, "timm.models.layers": layers_mod}
     )
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """The full suite compiles ~300 XLA CPU programs in one process; late in
+    the run the CPU client's JIT has segfaulted inside
+    backend_compile_and_load (deterministically around the trainer module,
+    never when the module runs alone). Dropping the executable caches
+    between modules keeps the accumulated JIT state bounded."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()

@@ -96,3 +96,17 @@ def test_38b_pipeline_recipes():
     pod32 = vlm_sft_budget(dp=1, fsdp=8, tp=4, pp=1, seq_len=4096,
                            param_bytes=2)
     assert pod32["total_gib"] > V5E_GIB  # documented no-fit
+
+
+def test_30b_a3b_moe_recipes():
+    """internvl3_5_30b_a3b (30.85B params, 128-expert MoE): full-param
+    fp32 AdamW fits a v5e-64 at ~8.4 GiB/chip (fsdp x stage x tensor,
+    experts sharded over tensor by the EP rules); the v5e-32 row is a
+    documented tight no-fit (15.7 + headroom)."""
+    pod64 = vlm_sft_budget(dp=1, fsdp=16, tp=2, pp=2, seq_len=4096,
+                           model_size="30b-a3b")
+    assert pod64["n_params"] > 30e9
+    assert pod64["total_gib"] < V5E_GIB - 4.0, pod64
+    pod32 = vlm_sft_budget(dp=1, fsdp=8, tp=4, pp=1, seq_len=4096,
+                           model_size="30b-a3b")
+    assert pod32["total_gib"] > V5E_GIB - 1.0  # no-fit with headroom

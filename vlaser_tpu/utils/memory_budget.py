@@ -206,10 +206,13 @@ def vlm_sft_budget(
 
     import jax.numpy as jnp
 
-    from ..core.config import internvl3_38b, vlaser_2b, vlaser_8b
+    from ..core.config import (
+        internvl3_5_30b_a3b, internvl3_38b, vlaser_2b, vlaser_8b,
+    )
     from ..models.vlm import InternVLChatModel
 
-    cfg = {"2b": vlaser_2b, "8b": vlaser_8b, "38b": internvl3_38b}[model_size]()
+    cfg = {"2b": vlaser_2b, "8b": vlaser_8b, "38b": internvl3_38b,
+           "30b-a3b": internvl3_5_30b_a3b}[model_size]()
     model = InternVLChatModel(cfg, param_dtype=jnp.float32,
                               compute_dtype=jnp.bfloat16)
     npt = cfg.num_image_token
@@ -256,10 +259,16 @@ def vlm_sft_budget(
     L_local = llm.num_layers // pp if pp > 1 else llm.num_layers
     mb = max(1, b // n_microbatches) if pp > 1 else b
     ckpt = L_local * b * S * llm.hidden_size * 2
+    # sparse MoE: each token activates k experts of moe_intermediate width
+    mlp_width = (
+        llm.num_experts_per_tok * (llm.moe_intermediate_size
+                                   or llm.intermediate_size)
+        if llm.num_experts > 0 else llm.intermediate_size
+    )
     layer_live = mb * S * (
         3 * llm.num_heads * llm.head_dim  # q + attention O(S) live
         + 2 * llm.num_kv_heads * llm.head_dim
-        + 2 * llm.intermediate_size  # gate/up
+        + 2 * mlp_width  # gate/up
     ) * 2
     vcfg = cfg.vision
     S_vit = (vcfg.image_size // vcfg.patch_size) ** 2 + 1
