@@ -171,3 +171,53 @@ def test_moe_grads_flow():
             touched[name] |= bool(np.abs(np.asarray(leaf)).max() > 0)
         assert np.isfinite(np.asarray(leaf)).all(), path
     assert all(touched.values()), touched
+
+
+def test_moe_sft_aux_loss_wiring():
+    """make_sft_loss(moe_aux_coef>0) adds exactly coef * (HF-semantics
+    router aux) to the CE loss for an MoE-backed VLM."""
+    import dataclasses
+
+    from vlaser_tpu.core.config import tiny_vlm
+    from vlaser_tpu.models.vlm import InternVLChatModel
+    from vlaser_tpu.models.moe import router_aux_loss
+    from vlaser_tpu.train.losses import make_sft_loss
+
+    vcfg = tiny_vlm()
+    vcfg = dataclasses.replace(
+        vcfg, llm=dataclasses.replace(
+            vcfg.llm, num_experts=4, num_experts_per_tok=2,
+            moe_intermediate_size=16,
+        ))
+    model = InternVLChatModel(vcfg, compute_dtype=jnp.float32,
+                              attn_impl="reference")
+    rng = np.random.default_rng(0)
+    B, S = 2, 12
+    ids = rng.integers(1, 400, (B, S))
+    ids[:, 1] = vcfg.img_context_token_id
+    labels = ids.copy()
+    labels[:, :3] = -100
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "loss_weight": jnp.asarray((labels != -100).astype(np.float32)),
+        "seg_ids": jnp.ones((B, S), jnp.int32),
+        "pixel_values": jnp.asarray(rng.standard_normal(
+            (B, vcfg.vision.image_size, vcfg.vision.image_size, 3)
+        ).astype(np.float32)),
+        "image_flags": jnp.ones((B,), jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch["input_ids"][:1],
+                        batch["pixel_values"][:1], batch["image_flags"][:1])
+
+    base = float(make_sft_loss(model)(params, batch, None))
+    withaux = float(make_sft_loss(model, moe_aux_coef=0.1)(params, batch,
+                                                           None))
+    _, state = model.apply(
+        params, batch["input_ids"], batch["pixel_values"],
+        batch["image_flags"], seg_ids=batch["seg_ids"],
+        mutable=["intermediates"],
+    )
+    inter = state["intermediates"]["language_model"]["model"]["layers"]["mlp"]
+    aux = float(router_aux_loss(inter["router_f"][0], inter["router_p"][0]))
+    np.testing.assert_allclose(withaux, base + 0.1 * aux, rtol=1e-5)

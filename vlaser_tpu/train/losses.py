@@ -37,20 +37,49 @@ def weighted_ce_loss(
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)
 
 
-def make_sft_loss(model):
+def make_sft_loss(model, moe_aux_coef: float = 0.0):
     """loss_fn(params, batch, rng) for the VLM SFT train step. Batch keys:
     input_ids, labels, loss_weight, seg_ids, pixel_values, image_flags,
-    optional positions (packing)."""
+    optional positions (packing).
+
+    moe_aux_coef > 0 adds the router load-balancing loss for MoE backbones
+    (models/moe.py sows per-layer f/P vectors; combined with the HF
+    load_balancing_loss_func semantics — the reference has no MoE)."""
 
     def loss_fn(params, batch, rng):
-        logits, _, _ = model.apply(
-            params,
-            batch["input_ids"],
-            batch["pixel_values"],
-            batch.get("image_flags"),
+        apply_kwargs = dict(
             seg_ids=batch.get("seg_ids"),
             positions=batch.get("positions"),
         )
+        args = (
+            batch["input_ids"], batch["pixel_values"],
+            batch.get("image_flags"),
+        )
+        if moe_aux_coef > 0.0:
+            (logits, _, _), state = model.apply(
+                params, *args, **apply_kwargs, mutable=["intermediates"],
+            )
+            from ..models.moe import router_aux_loss
+
+            inter = state["intermediates"]
+            # one sown (router_f, router_p) pair per MoE stack
+            fs, ps = [], []
+
+            def walk(node):
+                if isinstance(node, dict):
+                    if "router_f" in node:
+                        fs.append(node["router_f"][0])
+                        ps.append(node["router_p"][0])
+                    else:
+                        for v in node.values():
+                            walk(v)
+
+            walk(inter)
+            aux = sum(router_aux_loss(f, p) for f, p in zip(fs, ps))
+            ce = weighted_ce_loss(logits, batch["labels"],
+                                  batch.get("loss_weight"))
+            return ce + moe_aux_coef * aux
+        logits, _, _ = model.apply(params, *args, **apply_kwargs)
         return weighted_ce_loss(logits, batch["labels"], batch.get("loss_weight"))
 
     return loss_fn

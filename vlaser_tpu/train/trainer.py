@@ -58,6 +58,9 @@ class TrainConfig:
     # LLMConfig.context_parallel_axis="context" (scripts/train_sft.py --cp
     # wires both). Capability beyond the reference — SURVEY §5.
     mesh_cp: int = 1
+    # router load-balancing coefficient for MoE backbones (models/moe.py;
+    # HF qwen3_moe router_aux_loss_coef is 1e-3)
+    moe_aux_coef: float = 0.0
     # capture a device trace (XLA/TensorBoard format) over
     # [profile_start, profile_start+profile_steps) — the reference's
     # torch.profiler/nsys role (SURVEY §5 profiling); view with
@@ -90,7 +93,8 @@ class SFTTrainer:
         )
         self.state, _ = shard_train_state(state, self.mesh)
         self.step_fn = make_train_step(
-            make_sft_loss(model), self.tx, accum_steps=cfg.accum_steps
+            make_sft_loss(model, moe_aux_coef=cfg.moe_aux_coef), self.tx,
+            accum_steps=cfg.accum_steps,
         )
         self.rng = jax.random.PRNGKey(0)
 
