@@ -422,6 +422,9 @@ def gemma_2b() -> LLMConfig:
         mlp_act="gelu_tanh",
         rms_plus_one=True,
         embed_scale=True,
+        # the Gemma joint path always tanh-softclamps attention logits at 50
+        # (joint_model.py:368-371); the internvl path never does
+        attn_softcap=50.0,
     )
 
 
@@ -493,7 +496,7 @@ def tiny_gemma_llm() -> LLMConfig:
         vocab_size=512, hidden_size=64, intermediate_size=128, num_layers=2,
         num_heads=4, num_kv_heads=1, head_dim=16, rope_theta=10_000.0,
         attention_bias=False, tie_word_embeddings=True, mlp_act="gelu_tanh",
-        rms_plus_one=True, embed_scale=True,
+        rms_plus_one=True, embed_scale=True, attn_softcap=50.0,
     )
 
 

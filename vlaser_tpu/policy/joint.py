@@ -176,6 +176,7 @@ class JointLayer(nn.Module):
             out = attention(
                 qv, kv_, vv, q_segment_ids=seg, kv_segment_ids=seg,
                 causal=False, impl=self.attn_impl,
+                softcap=self.vlm_cfg.attn_softcap,
             )
             x_vlm = vlm.post_attn(x_vlm, out)
             return (x_vlm, cos_v, sin_v, seg), (kv_, vv)
@@ -187,6 +188,7 @@ class JointLayer(nn.Module):
             out = attention(
                 qv, kv_, vv, q_segment_ids=seg, kv_segment_ids=seg,
                 causal=True, impl=self.attn_impl,
+                softcap=self.vlm_cfg.attn_softcap,
             )
             x_vlm = vlm.post_attn(x_vlm, out)
             return (x_vlm, cos_v, sin_v, seg), None
@@ -205,6 +207,7 @@ class JointLayer(nn.Module):
                 qv, k_buf.astype(qv.dtype), v_buf.astype(qv.dtype),
                 q_segment_ids=seg_q, kv_segment_ids=kv_seg,
                 q_offset=offset, causal=True, impl=self.attn_impl,
+                softcap=self.vlm_cfg.attn_softcap,
             )
             x_vlm = vlm.post_attn(x_vlm, out)
             return (x_vlm, cos_v, sin_v, seg_q, kv_seg, offset), (k_buf, v_buf)
@@ -224,6 +227,7 @@ class JointLayer(nn.Module):
             out = attention(
                 q, k, v, q_segment_ids=seg, kv_segment_ids=seg,
                 q_levels=lev, kv_levels=lev, causal=False, impl=self.attn_impl,
+                softcap=self.vlm_cfg.attn_softcap,
             )
             x_vlm = vlm.post_attn(x_vlm, out[:, :sv])
             x_pa = expert.post_attn(x_pa, out[:, sv:], cond, blend)
@@ -241,7 +245,7 @@ class JointLayer(nn.Module):
             out = attention(
                 qa, k, v, q_segment_ids=seg_q, kv_segment_ids=seg_kv,
                 q_levels=lev_q, kv_levels=lev_kv, causal=False,
-                impl=self.attn_impl,
+                impl=self.attn_impl, softcap=self.vlm_cfg.attn_softcap,
             )
             x_act = expert.post_attn(x_act, out, cond)
             return (x_act, cos_a, sin_a, seg_q, seg_kv, lev_q, lev_kv,

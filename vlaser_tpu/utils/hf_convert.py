@@ -367,6 +367,109 @@ def convert_pizero_internvl(
     return params
 
 
+def convert_siglip(sd: Mapping, num_layers: int, prefix: str = "") -> Dict:
+    """Reference SigLIP tower (src/model/paligemma/siglip.py, the HF
+    SiglipVisionModel layout) -> models/siglip.SiglipVisionModel flax params."""
+    p = prefix
+
+    def lnorm(key):
+        return {"weight": _np(sd[f"{key}.weight"]),
+                "bias": _np(sd[f"{key}.bias"])}
+
+    layers: Dict = {"self_attn": {}}
+    for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        layers["self_attn"][proj] = {
+            "kernel": _stack(
+                sd, f"{p}encoder.layers.{{}}.self_attn.{proj}.weight",
+                num_layers, True,
+            ),
+            "bias": _stack(
+                sd, f"{p}encoder.layers.{{}}.self_attn.{proj}.bias",
+                num_layers,
+            ),
+        }
+    for fc in ("fc1", "fc2"):
+        layers[fc] = {
+            "kernel": _stack(sd, f"{p}encoder.layers.{{}}.mlp.{fc}.weight",
+                             num_layers, True),
+            "bias": _stack(sd, f"{p}encoder.layers.{{}}.mlp.{fc}.bias",
+                           num_layers),
+        }
+    for ln in ("layer_norm1", "layer_norm2"):
+        layers[ln] = {
+            "weight": _stack(sd, f"{p}encoder.layers.{{}}.{ln}.weight",
+                             num_layers),
+            "bias": _stack(sd, f"{p}encoder.layers.{{}}.{ln}.bias",
+                           num_layers),
+        }
+    conv_w = _np(sd[f"{p}embeddings.patch_embedding.weight"])
+    return {
+        "patch_embedding": {
+            # torch conv [out, in, kh, kw] -> flax [kh, kw, in, out]
+            "kernel": conv_w.transpose(2, 3, 1, 0),
+            "bias": _np(sd[f"{p}embeddings.patch_embedding.bias"]),
+        },
+        "position_embedding": _np(
+            sd[f"{p}embeddings.position_embedding.weight"]
+        )[None],
+        "encoder": layers,
+        "post_layernorm": lnorm(f"{p}post_layernorm"),
+    }
+
+
+def convert_pizero_paligemma(sd: Mapping, vit_layers: int,
+                             joint_layers: int) -> Dict:
+    """Reference PiZero (PaliGemma backbone, src/model/vla/pizero.py:41-153)
+    state_dict -> PiZeroVLA(backbone='paligemma') flax params: SigLIP tower,
+    single-linear projector, Gemma vlm + action mixtures (proprio tied to
+    action), encoders/decoder, tied lm_head."""
+    params: Dict = {
+        "vision_model": convert_siglip(sd, vit_layers,
+                                       "vision_tower.vision_model."),
+        "embed_tokens": {"embedding": _np(sd["embed_tokens.weight"])},
+        "multi_modal_projector": _linear(sd, "multi_modal_projector.linear"),
+        "joint": {
+            "layers": {
+                "vlm": _mixture_layers(
+                    sd, "joint_model.mixtures.vlm.layers.", joint_layers
+                ),
+                "expert": _mixture_layers(
+                    sd, "joint_model.mixtures.action.layers.", joint_layers
+                ),
+            },
+            # Gemma final norms are GemmaRMSNorm ((1+w) scaling, created only
+            # when use_final_norm — the vlm mixture has none in the paligemma
+            # recipe); our JointModel final norms are plain RMSNorm, so fold
+            # the +1 and default the missing vlm norm to identity.
+            "vlm_norm": {
+                "weight": (
+                    1.0 + _np(sd["joint_model.mixtures.vlm.norm.weight"])
+                    if "joint_model.mixtures.vlm.norm.weight" in sd
+                    else np.ones(
+                        _np(sd["embed_tokens.weight"]).shape[1], np.float32
+                    )
+                )
+            },
+            "expert_norm": {
+                "weight": 1.0
+                + _np(sd["joint_model.mixtures.action.norm.weight"])
+            },
+        },
+        "proprio_encoder": _linear(sd, "proprio_encoder"),
+        "action_encoder": {
+            name: _linear(sd, f"action_encoder.{name}")
+            for name in ("linear_1", "linear_2", "linear_3")
+        },
+        "action_decoder": _linear(sd, "action_decoder"),
+    }
+    if "lm_head.weight" in sd:
+        params["lm_head"] = {"kernel": _np(sd["lm_head.weight"]).T}
+    elif "embed_tokens.weight" in sd:
+        # reference ties lm_head.weight = embed_tokens.weight (pizero.py:122)
+        params["lm_head"] = {"kernel": _np(sd["embed_tokens.weight"]).T}
+    return params
+
+
 def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
     """Load all *.safetensors shards in a directory into one flat dict."""
     import glob
