@@ -41,19 +41,33 @@ def test_l1_action_head_golden():
     from conftest import install_reference_stubs
 
     install_reference_stubs()
-    if ROBOTWIN_POLICY not in sys.path:
-        sys.path.insert(0, ROBOTWIN_POLICY)
+
+    # RoboTwin's vendored `internvl` package shadows Vlaser_VLM's — import
+    # what we need, then purge both the path entry and the cached modules
+    # so the sibling golden tests resolve the right package.
+    def _purge_robotwin_internvl():
+        while ROBOTWIN_POLICY in sys.path:
+            sys.path.remove(ROBOTWIN_POLICY)
+        for name in [m for m in sys.modules
+                     if m == "internvl" or m.startswith("internvl.")]:
+            del sys.modules[name]
+
+    _purge_robotwin_internvl()
+    sys.path.insert(0, ROBOTWIN_POLICY)
     try:
         ah = importlib.import_module("internvl.model.action_heads")
-    except Exception as e:  # pragma: no cover
-        pytest.skip(f"reference action_heads import failed: {e}")
-    from internvl.vla import constants as ref_const
+        from internvl.vla import constants as ref_const
 
-    chunk = ref_const.NUM_ACTIONS_CHUNK
+        chunk = ref_const.NUM_ACTIONS_CHUNK
+        HeadCls = ah.L1RegressionActionHead
+    except Exception as e:  # pragma: no cover
+        _purge_robotwin_internvl()
+        pytest.skip(f"reference action_heads import failed: {e}")
+    finally:
+        _purge_robotwin_internvl()
     H, HID, A = 16, 24, 14
     torch.manual_seed(0)
-    ref = ah.L1RegressionActionHead(input_dim=H, hidden_dim=HID,
-                                    action_dim=A).eval().float()
+    ref = HeadCls(input_dim=H, hidden_dim=HID, action_dim=A).eval().float()
 
     import jax
 

@@ -27,7 +27,7 @@ Two entry points:
 from __future__ import annotations
 
 import functools
-from typing import Optional, Set
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

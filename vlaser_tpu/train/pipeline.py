@@ -24,8 +24,7 @@ Two layers of API:
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -153,7 +152,6 @@ def pipeline_llm_forward(
 
     layer = Qwen2Layer(cfg, param_dtype, compute_dtype, causal=True,
                        use_cache=False, attn_impl=attn_impl)
-    b = x.shape[0]
     kvh, d = cfg.num_kv_heads, cfg.head_dim
 
     def one_layer(p, h, c):
