@@ -656,3 +656,55 @@ def test_qwen3_vla_golden():
                    method=ours.infer_action)
     )
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=3e-4)
+
+
+def test_infer_text_cached_decode_golden(vla_pair):
+    """Multi-step cached greedy decode: the reference's infer_text is
+    re-invoked one token at a time against its KVCache (cache_mode
+    'append', pad-free); our jitted infer_text (prefill + scan over the
+    fixed buffers) must emit the same greedy tokens."""
+    d = vla_pair
+    torch, ref = d["torch"], d["ref"]
+    sys.path.insert(0, SIMPLER)
+    from src.model.kv_cache import KVCache
+
+    NEW = 6
+    mask = torch.ones(2, S_TEXT, dtype=torch.long)
+    ids_t = torch.where(d["ids"] == PAD_ID, torch.tensor(7), d["ids"])
+
+    kv = KVCache()
+    with torch.no_grad():
+        out = ref.infer_text(ids_t, d["px"], mask, kv_cache=kv)
+        tok = out["logits"][:, -1].argmax(-1)
+        ref_tokens = [tok]
+        am = mask
+        # the reference's decode step is broken as shipped: its embedding
+        # helper unconditionally runs the vision tower and scatters image
+        # features (pizero_internvl.py:769-791 crashes for a 1-token step
+        # with or without pixels). With no image tokens the helper reduces
+        # to the token-embedding lookup — shim exactly that for the steps.
+        orig_embed = ref._forward_siglip_and_text_embedding
+        ref._forward_siglip_and_text_embedding = (
+            lambda input_ids, pixel_values: ref.embed_tokens(input_ids)
+        )
+        try:
+            for _ in range(NEW - 1):
+                am = torch.cat([am, torch.ones(2, 1, dtype=torch.long)],
+                               dim=1)
+                out = ref.infer_text(tok[:, None], d["px"], am,
+                                     kv_cache=out["kv_cache"])
+                tok = out["logits"][:, -1].argmax(-1)
+                ref_tokens.append(tok)
+        finally:
+            ref._forward_siglip_and_text_embedding = orig_embed
+    want = torch.stack(ref_tokens, dim=1).numpy()
+
+    _, px, _, _ = _jnp_inputs(d)
+    got = np.asarray(
+        d["ours"].apply(
+            {"params": d["params"]}, jnp.asarray(ids_t.numpy()), px,
+            jnp.ones((2, S_TEXT), jnp.int32), NEW, -1,
+            method=d["ours"].infer_text,
+        )
+    )
+    np.testing.assert_array_equal(got[:, :NEW], want)

@@ -200,7 +200,11 @@ class VLAConfig:
     # vision tower + projector feeds num_image_token expert-width image
     # tokens ahead of proprio in the expert stream; the VLM-side image
     # features are stop-gradient. (Implements the NO_CAUSAL_IMG flavor:
-    # expert image tokens attend each other non-causally.)
+    # expert image tokens attend each other non-causally.) Oracle-tested
+    # only: a tiny golden vs the reference's DEBUG_IMGFEAT branch is
+    # impossible by construction — pizero_internvl.py:273 hard-codes the
+    # 1536->768 projector dims, so its imgfeat path cannot run at any
+    # other width.
     vision_in_expert: bool = False
 
     @property
