@@ -110,3 +110,17 @@ def test_30b_a3b_moe_recipes():
     pod32 = vlm_sft_budget(dp=1, fsdp=8, tp=4, pp=1, seq_len=4096,
                            model_size="30b-a3b")
     assert pod32["total_gib"] > V5E_GIB - 1.0  # no-fit with headroom
+
+
+def test_context_parallel_unlocks_128k_seq():
+    """CP divides every per-token activation term: 128k-token full-param
+    Vlaser-2B SFT does not fit a single v5e chip's activation budget but
+    fits with the sequence ring-sharded over 8 (the long-context
+    capability the reference lacks — SURVEY §5 caps max_seq at 16384)."""
+    no_cp = vlm_sft_budget(dp=1, fsdp=8, tp=1, cp=1, seq_len=131072,
+                           model_size="2b")
+    with_cp = vlm_sft_budget(dp=1, fsdp=1, tp=1, cp=8, seq_len=131072,
+                             model_size="2b")
+    assert no_cp["acts_gib"] > V5E_GIB  # activations alone blow the chip
+    assert with_cp["acts_gib"] < V5E_GIB / 4
+    assert with_cp["acts_gib"] * 7.0 < no_cp["acts_gib"]  # ~7.5x (ViT term is S-independent)

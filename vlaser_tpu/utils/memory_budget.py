@@ -183,12 +183,13 @@ def vlm_sft_budget(
     fsdp: int,
     tp: int,
     pp: int = 1,
+    cp: int = 1,
     per_device_batch: int = 1,
     seq_len: int = 4096,
     n_microbatches: int = 8,
     param_bytes: int = 4,
     frozen_patterns: Sequence[str] = (),
-    model_size: str = "38b",  # '2b' | '8b' | '38b'
+    model_size: str = "38b",  # '2b' | '8b' | '30b-a3b' | '38b'
 ) -> Dict[str, float]:
     """Full-parameter VLM SFT AdamW budget on a dp x fsdp x (pp) x tp mesh.
 
@@ -254,7 +255,10 @@ def vlm_sft_budget(
     grads_b = sharded_bytes_per_device(cast(trainable, 4), mesh, rules)
     moments_b = 2 * grads_b
 
-    b, S = per_device_batch, seq_len
+    # context parallelism (kernels/ring_attention.py) shards the sequence
+    # over the cp axis: every per-token activation term divides by cp (the
+    # ring holds one visiting K/V chunk at a time — O(S/cp) per chip)
+    b, S = per_device_batch, seq_len // cp
     llm = cfg.llm
     L_local = llm.num_layers // pp if pp > 1 else llm.num_layers
     mb = max(1, b // n_microbatches) if pp > 1 else b
@@ -277,7 +281,7 @@ def vlm_sft_budget(
 
     GiB = 1024**3
     out = {
-        "mesh": f"{dp}x{fsdp}x{pp}x{tp}",
+        "mesh": f"{dp}x{fsdp}x{pp}x{cp}x{tp}",
         "n_params": count_params(shapes),
         "params_gib": params_b / GiB,
         "grads_gib": grads_b / GiB,
