@@ -151,6 +151,13 @@ def main():
     else:
         dataset = ConversationDataset(ds_cfg, tokenizer)
     if args.packed:
+        if args.cp > 1:
+            # ring attention shards the sequence dim: packed batches are
+            # fixed max_seq-long, which must divide 2*cp (zigzag headroom)
+            assert args.max_seq % (2 * args.cp) == 0, (
+                f"--packed with --cp {args.cp} needs max_seq divisible by "
+                f"{2 * args.cp}, got {args.max_seq}"
+            )
         packed = PackedDataset(dataset, max_packed_tokens=args.max_seq,
                                pad_token_id=cfg.pad_token_id,
                                img_start_id=img_start_id, img_end_id=img_end_id,
