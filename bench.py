@@ -511,7 +511,11 @@ def main():
         return out.astype(jnp.float32)
 
     carry0 = jnp.zeros((B, cfg.horizon_steps, cfg.action_dim), jnp.float32)
-    sec_per_step = time_scanned(control_step, carry0, params, iters=20, repeats=3)
+    # the headline number: 40 chained iterations x 5 repeats (median) —
+    # at 20x3 the ~40ms tunnel RTT correction is ~9% of the window and its
+    # jitter wobbled the headline ~1.5% across the 2.0x mark
+    sec_per_step = time_scanned(control_step, carry0, params, iters=40,
+                                repeats=5)
     actions_per_sec = cfg.horizon_steps / sec_per_step
 
     # multi-robot serving throughput (batch 8 shares the denoise weight
