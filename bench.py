@@ -180,6 +180,60 @@ def _bench_decode():
     return NEW / sec
 
 
+def _bench_spec_decode():
+    """Prompt-lookup speculative decode (inference/speculative.py): same 2B
+    model/prompt as _bench_decode, 64 new tokens, draft_len 8. Each verify
+    pass is weight-streaming bound like a 1-token step, so tok/s scales with
+    the measured acceptance (emitted/passes). Acceptance is text-dependent —
+    random-weight greedy chains cycle, which flatters it; the reported
+    spec_accept_tok_per_pass carries that caveat. Returns (tok/s, accept)."""
+    import time
+
+    from vlaser_tpu.core.config import vlaser_2b
+    from vlaser_tpu.core.quant import DEFAULT_PATTERNS, quantize_variables
+    from vlaser_tpu.inference.speculative import make_speculative_generate_fn
+    from vlaser_tpu.models.vlm import InternVLChatModel
+    from vlaser_tpu.utils.benchmark import measure_rtt
+
+    cfg = vlaser_2b()
+    model = InternVLChatModel(cfg, param_dtype=jnp.bfloat16,
+                              compute_dtype=jnp.bfloat16)
+    N, NEW = 320, 64
+    img = cfg.vision.image_size
+    ids = np.full((1, N), 7, np.int32)
+    ids[:, 1:257] = cfg.img_context_token_id
+    seg = np.ones((1, N), np.int32)
+    pixels = jnp.full((1, img, img, 3), 0.5, jnp.float32)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.asarray(ids), pixels, None)
+    )
+    params = quantize_variables(
+        jax.jit(lambda: jax.tree_util.tree_map(
+            lambda s: (jax.random.normal(jax.random.PRNGKey(1), s.shape,
+                                         jnp.float32) * 0.02).astype(s.dtype),
+            shapes,
+        ))(),
+        DEFAULT_PATTERNS,
+    )
+    spec = make_speculative_generate_fn(
+        model, max_new_tokens=NEW, eos_token_ids=[2], pad_token_id=0,
+        draft_len=8,
+    )
+    args = (params, jnp.asarray(ids), jnp.asarray(seg), pixels,
+            jax.random.PRNGKey(0))
+    _, _, emitted, passes = map(np.asarray, spec.with_stats(*args))  # compile
+    rtt = measure_rtt()
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = spec.with_stats(*args)
+        emitted = float(np.asarray(out[2]))
+        ts.append(time.perf_counter() - t0)
+    sec = max(float(np.median(ts)) - rtt, 1e-9)
+    accept = emitted / max(float(np.asarray(out[3])), 1.0)
+    return emitted / sec, accept
+
+
 def _make_random_quantized(shapes, patterns):
     """Random serving weights built DIRECTLY in quantized form: int8 + scale
     for every pattern-matched leaf, bf16 for the rest. Needed for the 8B
@@ -562,6 +616,10 @@ def main():
         decode_8b_tok_s = _bench_decode_8b()
     except Exception:
         decode_8b_tok_s = float("nan")
+    try:
+        spec_tok_s, spec_accept = _bench_spec_decode()
+    except Exception:
+        spec_tok_s, spec_accept = float("nan"), float("nan")
 
     print(
         json.dumps(
@@ -584,6 +642,8 @@ def main():
                     "batch8_actions_per_sec": round(batch8_actions_per_sec, 2),
                     "batch8_step_ms": round(sec8 * 1e3, 3),
                     "vlm_decode_tok_per_sec": round(decode_tok_s, 1),
+                    "vlm_decode_spec_tok_per_sec": round(spec_tok_s, 1),
+                    "spec_accept_tok_per_pass": round(spec_accept, 2),
                     "vlm_decode_b8_tok_per_sec": round(decode_b8_tok_s, 1),
                     "vlm8b_decode_tok_per_sec": round(decode_8b_tok_s, 1),
                     "sft_train_tok_per_sec": round(sft_tok_s, 1),

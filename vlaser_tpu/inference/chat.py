@@ -32,6 +32,7 @@ class VlaserChat:
         top_k: int = 0,
         repetition_penalty: float = 1.0,
         num_beams: int = 1,
+        speculative_draft_len: int = 0,
         bucket: int = 256,
         system_message: Optional[str] = None,
         cache_dtype=jnp.bfloat16,
@@ -49,7 +50,24 @@ class VlaserChat:
         sep = template.sep.strip()
         self.eos_token_id = tokenizer.convert_tokens_to_ids(sep)
         self.sep = sep
-        if num_beams > 1:
+        if speculative_draft_len > 0:
+            # prompt-lookup speculative decoding (inference/speculative.py):
+            # greedy-exact, single-stream (chat(), not batch_chat)
+            from .speculative import make_speculative_generate_fn
+
+            assert num_beams == 1 and temperature == 0.0 and \
+                repetition_penalty == 1.0, (
+                    "speculative decode is greedy (no beams/penalty/sampling)"
+                )
+            self._gen = make_speculative_generate_fn(
+                model,
+                max_new_tokens=max_new_tokens,
+                eos_token_ids=[self.eos_token_id],
+                pad_token_id=self.cfg.pad_token_id,
+                draft_len=speculative_draft_len,
+                cache_dtype=cache_dtype,
+            )
+        elif num_beams > 1:
             from .beam_search import make_beam_generate_fn
 
             assert temperature == 0.0, "beam search is greedy (do_sample=False)"

@@ -109,7 +109,12 @@ class SFTTrainer:
         return contextlib.nullcontext()
 
     def train(self, batches: Iterator[Dict[str, np.ndarray]],
-              data_state_fn: Optional[Callable[[], Dict]] = None):
+              data_state_fn: Optional[Callable[[], Dict]] = None,
+              preemption_guard=None):
+        """preemption_guard: an entered utils.preemption.PreemptionGuard —
+        when its signal fires the loop finishes the current step, writes a
+        final checkpoint (if checkpoint_dir is set) and returns, instead of
+        dying mid-run with everything since the last periodic save lost."""
         cfg = self.cfg
         timer = Timer()
         profiling = False
@@ -154,6 +159,17 @@ class SFTTrainer:
                     cfg.checkpoint_dir, step, self.state,
                     data_state=data_state_fn() if data_state_fn else None,
                 )
+            if preemption_guard is not None and preemption_guard.should_stop():
+                logger.warning("preemption: checkpointing at step %d and "
+                               "stopping", step)
+                if cfg.checkpoint_dir and step % cfg.save_every != 0:
+                    from ..utils.checkpoint import save_checkpoint
+
+                    save_checkpoint(
+                        cfg.checkpoint_dir, step, self.state,
+                        data_state=data_state_fn() if data_state_fn else None,
+                    )
+                break
         if profiling:  # loop ended inside the profile window
             jax.profiler.stop_trace()
         if writer is not None:
