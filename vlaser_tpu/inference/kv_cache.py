@@ -21,7 +21,9 @@ class KVCache:
     v: jax.Array  # [L, B, max_len, KVH, D]
     seg: jax.Array  # [B, max_len] int32; 0 = empty/padding
     lev: jax.Array  # [B, max_len] int32 — VLA block-mask levels (0 default)
-    length: jax.Array  # [] int32 — next write offset
+    length: jax.Array  # [] int32 next write offset, or [B] int32 per-row
+    # offsets (continuous-batching engine: rows admitted at different times
+    # decode at different fill depths; see serve/engine.py)
 
     @classmethod
     def create(
@@ -48,8 +50,23 @@ class KVCache:
 
     def write_meta(self, seg_ids: jax.Array, levels=None) -> "KVCache":
         """Record segment ids (+ optional levels) for the next `S` slots
-        (call once per step)."""
+        (call once per step).
+
+        With per-row `length` ([B]) every row writes at its own offset and
+        only rows whose incoming seg ids are nonzero advance — an inactive
+        engine slot (seg 0) neither pollutes its metadata nor drifts.
+        """
         s = seg_ids.shape[1]
+        if self.length.ndim == 1:
+            new_seg = _write_rows_2d(self.seg, seg_ids, self.length)
+            new_lev = self.lev
+            if levels is not None:
+                new_lev = _write_rows_2d(
+                    self.lev, levels.astype(jnp.int32), self.length
+                )
+            advance = jnp.sum((seg_ids != 0).astype(jnp.int32), axis=1)
+            return self.replace(seg=new_seg, lev=new_lev,
+                                length=self.length + advance)
         new_seg = jax.lax.dynamic_update_slice(self.seg, seg_ids, (0, self.length))
         new_lev = self.lev
         if levels is not None:
@@ -63,6 +80,21 @@ class KVCache:
         return self.write_meta(seg_ids)
 
 
+def _write_rows_2d(buf: jax.Array, new: jax.Array, offsets: jax.Array) -> jax.Array:
+    """buf [B, max] <- new [B, S] at per-row positions offsets [B]."""
+    return jax.vmap(
+        lambda b, n, o: jax.lax.dynamic_update_slice(b, n, (o,))
+    )(buf, new, offsets)
+
+
 def write_kv(buf: jax.Array, new: jax.Array, offset: jax.Array) -> jax.Array:
-    """buf [B, max, KVH, D] <- new [B, S, KVH, D] at position offset."""
-    return jax.lax.dynamic_update_slice(buf, new.astype(buf.dtype), (0, offset, 0, 0))
+    """buf [B, max, KVH, D] <- new [B, S, KVH, D] at position `offset`.
+
+    A rank-1 offset ([B]) writes each row at its own position (the
+    continuous-batching decode path)."""
+    new = new.astype(buf.dtype)
+    if getattr(offset, "ndim", 0) == 1:
+        return jax.vmap(
+            lambda b, n, o: jax.lax.dynamic_update_slice(b, n, (o, 0, 0))
+        )(buf, new, offset)
+    return jax.lax.dynamic_update_slice(buf, new, (0, offset, 0, 0))

@@ -83,14 +83,32 @@ class Qwen2Attention(nn.Module):
             k_buf = write_kv(k_buf, k, q_offset)
             v_buf = write_kv(v_buf, v, q_offset)
             new_buffers = (k_buf, v_buf)
-            out = attention(
-                q, k_buf.astype(q.dtype), v_buf.astype(q.dtype),
-                q_segment_ids=seg_ids, kv_segment_ids=kv_seg,
-                q_levels=levels, kv_levels=kv_levels,
-                q_offset=q_offset, causal=causal, impl=attn_impl,
-                scale=scale, softcap=cfg.attn_softcap,
-                window=cfg.sliding_window if causal else None,
-            )
+            per_row = getattr(q_offset, "ndim", 0) == 1
+            if per_row:
+                # continuous-batching decode: each row sits at its own fill
+                # depth. With a single query token per row, "causal" reduces
+                # to the kv segment mask (every valid cached slot is in the
+                # past), so no per-row offset needs to reach the kernel.
+                assert s == 1, "per-row KV offsets are a 1-token decode path"
+                assert cfg.sliding_window is None, (
+                    "sliding window + per-row decode offsets is unsupported"
+                )
+                out = attention(
+                    q, k_buf.astype(q.dtype), v_buf.astype(q.dtype),
+                    q_segment_ids=seg_ids, kv_segment_ids=kv_seg,
+                    q_levels=levels, kv_levels=kv_levels,
+                    causal=False, impl=attn_impl,
+                    scale=scale, softcap=cfg.attn_softcap,
+                )
+            else:
+                out = attention(
+                    q, k_buf.astype(q.dtype), v_buf.astype(q.dtype),
+                    q_segment_ids=seg_ids, kv_segment_ids=kv_seg,
+                    q_levels=levels, kv_levels=kv_levels,
+                    q_offset=q_offset, causal=causal, impl=attn_impl,
+                    scale=scale, softcap=cfg.attn_softcap,
+                    window=cfg.sliding_window if causal else None,
+                )
         elif cfg.context_parallel_axis is not None:
             # ring attention over the context mesh axis (a capability the
             # reference lacks — SURVEY.md §5); window is incompatible by
@@ -294,7 +312,8 @@ class Qwen2ForCausalLM(nn.Module):
             base = jnp.arange(s, dtype=jnp.int32)[None, :]
             positions = jnp.broadcast_to(base, (b, s))
             if cache is not None:
-                positions = positions + cache.length
+                off = cache.length
+                positions = positions + (off[:, None] if off.ndim == 1 else off)
         hidden, new_cache = self.model(
             inputs_embeds, positions, seg_ids=seg_ids, cache=cache,
             attn_impl=attn_impl,

@@ -161,8 +161,12 @@ class InternVLChatModel(nn.Module):
         )
 
     def decode_step(self, token: jax.Array, cache: KVCache,
-                    positions: Optional[jax.Array] = None):
+                    positions: Optional[jax.Array] = None,
+                    seg_ids: Optional[jax.Array] = None):
+        # seg_ids: the continuous-batching engine (serve/engine.py) passes
+        # 0 for vacant slots so they neither advance nor record attendable
+        # cache entries; None keeps the plain all-active decode semantics.
         return self.language_model(
-            input_ids=token, positions=positions, cache=cache,
-            attn_impl=self.attn_impl,
+            input_ids=token, positions=positions, seg_ids=seg_ids,
+            cache=cache, attn_impl=self.attn_impl,
         )

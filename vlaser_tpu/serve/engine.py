@@ -1,0 +1,261 @@
+"""Continuous-batching VLM serving engine (the vLLM role, TPU-native).
+
+The reference serves eval/QA generation through vLLM on GPU
+(data-pipeline RoboTwin-QA/GeneralQA.py:3-5) — an engine whose core trick
+is continuous (in-flight) batching: requests join and leave a running
+decode batch as they arrive/finish, so the chip never idles on the
+longest request in a static batch.
+
+This is that engine built the TPU way, on top of the existing jitted
+model surface rather than a separate runtime:
+
+- One static-shape decode batch of `num_slots` rows. Each row ("slot")
+  holds one in-flight request. Static shapes mean the decode step
+  compiles once, ever.
+- A per-row KV cache: `KVCache.length` is a [B] vector, so every slot
+  decodes at its own fill depth (inference/kv_cache.py per-row writes;
+  models/qwen2.py decodes single tokens with causal reduced to the kv
+  segment mask — with one query token, every valid cached slot is in
+  the past).
+- Prefill runs per request at a bucketed prompt width (one compile per
+  bucket), then the [1]-row cache is inserted into the big cache at the
+  assigned slot. No re-prefill of running rows, no head-of-line blocking.
+- Scheduling is plain host Python between jitted steps: admit waiting
+  requests into free slots, run one decode step for everyone, retire
+  rows that hit EOS/max_new_tokens. Decode buffers are donated, so the
+  cache updates in place in HBM.
+
+Greedy decoding (the eval-serving setting). Outputs are token-identical
+to per-request `make_generate_fn` decode — pinned by tests/test_engine.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..inference.kv_cache import KVCache
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    input_ids: np.ndarray  # [n] int32 prompt (image tokens already expanded)
+    pixel_values: Optional[np.ndarray] = None  # [T, H, W, 3] tiles
+    max_new_tokens: int = 64
+
+
+@dataclasses.dataclass
+class Completion:
+    uid: int
+    token_ids: List[int]  # generated ids, EOS excluded
+    prompt_len: int
+
+
+@dataclasses.dataclass
+class _Slot:
+    req: Request
+    last_token: int
+    generated: List[int]
+
+
+def _pick_bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"prompt length {n} exceeds the largest bucket {buckets[-1]}")
+
+
+class ContinuousBatchingEngine:
+    """model: InternVLChatModel (or any model exposing prefill/decode_step)."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        *,
+        num_slots: int = 8,
+        max_len: int = 1024,
+        eos_token_ids: Sequence[int],
+        pad_token_id: int,
+        prefill_buckets: Optional[Sequence[int]] = None,
+        cache_dtype=jnp.bfloat16,
+    ):
+        llm = model.cfg.llm
+        assert llm.sliding_window is None, (
+            "continuous batching decodes with per-row offsets; "
+            "sliding-window models are unsupported"
+        )
+        self.model = model
+        self.params = params
+        self.num_slots = num_slots
+        self.max_len = max_len
+        self.eos = tuple(int(e) for e in eos_token_ids)
+        self.pad_token_id = int(pad_token_id)
+        self.cache_dtype = cache_dtype
+        if prefill_buckets is None:
+            b, buckets = 32, []
+            while b < max_len:
+                buckets.append(b)
+                b *= 2
+            buckets.append(max_len)
+            prefill_buckets = buckets
+        self.prefill_buckets = tuple(sorted(set(prefill_buckets)))
+        self._llm = llm
+        self.cache = self._fresh_cache()
+
+        def prefill(params, ids, seg, pixels, true_len):
+            nb = ids.shape[1]
+            cache = KVCache.create(
+                llm.num_layers, 1, nb, llm.num_kv_heads, llm.head_dim,
+                dtype=cache_dtype,
+            )
+            logits, _, cache = model.apply(
+                params, ids, pixels, seg, cache, method=model.prefill
+            )
+            last = jnp.take_along_axis(
+                logits, (true_len - 1)[None, None, None], axis=1
+            )[0, 0]
+            token = jnp.argmax(last).astype(jnp.int32)
+            return cache.k, cache.v, cache.seg, token
+
+        # one compile per (bucket, tile-count); cheap enough to share one jit
+        self._prefill = jax.jit(prefill)
+
+        def insert(cache, k1, v1, seg1, row, true_len):
+            nb = seg1.shape[1]
+            k = jax.lax.dynamic_update_slice(
+                cache.k, k1.astype(cache.k.dtype), (0, row, 0, 0, 0)
+            )
+            v = jax.lax.dynamic_update_slice(
+                cache.v, v1.astype(cache.v.dtype), (0, row, 0, 0, 0)
+            )
+            # clear the WHOLE row's metadata: a freed slot's stale seg ids
+            # beyond this prompt must never be attendable again
+            row_seg = jnp.zeros((1, cache.seg.shape[1]), jnp.int32)
+            row_seg = jax.lax.dynamic_update_slice(row_seg, seg1, (0, 0))
+            seg = jax.lax.dynamic_update_slice(cache.seg, row_seg, (row, 0))
+            lev = jax.lax.dynamic_update_slice(
+                cache.lev, jnp.zeros_like(row_seg), (row, 0)
+            )
+            length = jax.lax.dynamic_update_index_in_dim(
+                cache.length, true_len, row, axis=0
+            )
+            return cache.replace(k=k, v=v, seg=seg, lev=lev, length=length)
+
+        self._insert = jax.jit(insert, donate_argnums=(0,))
+
+        def decode(params, cache, tokens, active):
+            seg = active.astype(jnp.int32)[:, None]
+            positions = cache.length[:, None]
+            logits, _, cache = model.apply(
+                params, tokens[:, None], cache, positions, seg,
+                method=model.decode_step,
+            )
+            nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+            return nxt, cache
+
+        self._decode = jax.jit(decode, donate_argnums=(1,))
+
+    # -- cache/slot management ------------------------------------------------
+
+    def _fresh_cache(self) -> KVCache:
+        llm = self._llm
+        cache = KVCache.create(
+            llm.num_layers, self.num_slots, self.max_len, llm.num_kv_heads,
+            llm.head_dim, dtype=self.cache_dtype,
+        )
+        return cache.replace(length=jnp.zeros((self.num_slots,), jnp.int32))
+
+    def reset(self) -> None:
+        self.cache = self._fresh_cache()
+
+    # -- serving loop ---------------------------------------------------------
+
+    def run(self, requests: Sequence[Request]) -> List[Completion]:
+        """Serve all requests to completion; returns completions in the
+        order requests finish (sort by uid for submission order)."""
+        queue = deque(requests)
+        slots: List[Optional[_Slot]] = [None] * self.num_slots
+        done: List[Completion] = []
+        self.reset()
+
+        def finish(row: int, include_last: bool) -> None:
+            st = slots[row]
+            toks = list(st.generated)
+            if include_last:
+                toks.append(st.last_token)
+            # trim at EOS (the engine stops on it, but a max_new cut can
+            # land exactly on one)
+            out = []
+            for t in toks:
+                if t in self.eos:
+                    break
+                out.append(t)
+            done.append(Completion(st.req.uid, out, len(st.req.input_ids)))
+            slots[row] = None
+
+        while queue or any(s is not None for s in slots):
+            # 1) admit waiting requests into free slots
+            for row in range(self.num_slots):
+                if slots[row] is not None or not queue:
+                    continue
+                req = queue.popleft()
+                n = int(len(req.input_ids))
+                assert n + req.max_new_tokens <= self.max_len, (
+                    f"request {req.uid}: {n}+{req.max_new_tokens} exceeds "
+                    f"max_len {self.max_len}"
+                )
+                nb = _pick_bucket(n, self.prefill_buckets)
+                ids = np.full((1, nb), self.pad_token_id, np.int32)
+                ids[0, :n] = req.input_ids
+                seg = np.zeros((1, nb), np.int32)
+                seg[0, :n] = 1
+                pixels = (
+                    None if req.pixel_values is None
+                    else jnp.asarray(req.pixel_values)
+                )
+                k1, v1, seg1, tok = self._prefill(
+                    self.params, jnp.asarray(ids), jnp.asarray(seg), pixels,
+                    jnp.asarray(n, jnp.int32),
+                )
+                self.cache = self._insert(
+                    self.cache, k1, v1, seg1,
+                    jnp.asarray(row, jnp.int32), jnp.asarray(n, jnp.int32),
+                )
+                slots[row] = _Slot(req, int(tok), [])
+                if int(tok) in self.eos or req.max_new_tokens <= 1:
+                    finish(row, include_last=True)
+
+            if not any(s is not None for s in slots):
+                continue
+
+            # 2) one decode step for every occupied slot
+            tokens = np.full((self.num_slots,), self.pad_token_id, np.int32)
+            active = np.zeros((self.num_slots,), bool)
+            for row, st in enumerate(slots):
+                if st is not None:
+                    tokens[row] = st.last_token
+                    active[row] = True
+            nxt, self.cache = self._decode(
+                self.params, self.cache, jnp.asarray(tokens),
+                jnp.asarray(active),
+            )
+            nxt = np.asarray(nxt)
+
+            # 3) retire finished rows
+            for row, st in enumerate(slots):
+                if st is None:
+                    continue
+                st.generated.append(st.last_token)
+                st.last_token = int(nxt[row])
+                if st.last_token in self.eos:
+                    finish(row, include_last=False)
+                elif len(st.generated) + 1 >= st.req.max_new_tokens:
+                    finish(row, include_last=True)
+        return done
