@@ -51,6 +51,15 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--int8", action="store_true", default=True,
                     help="int8 weight-only serving (core/quant.py)")
+    ap.add_argument("--engine", action="store_true",
+                    help="serve through the continuous-batching engine "
+                         "(serve/engine.py, the vLLM role): mixed-length "
+                         "prompts decode in-flight instead of padding to "
+                         "the longest row")
+    ap.add_argument("--num_slots", type=int, default=8,
+                    help="engine decode slots (--engine only)")
+    ap.add_argument("--engine_max_len", type=int, default=4096,
+                    help="engine KV length budget per slot (--engine only)")
     ap.add_argument("--out", default=None, help="results json path")
     args = ap.parse_args()
 
@@ -78,10 +87,22 @@ def main():
     )}
     if args.int8:
         params = quantize_variables(params, DEFAULT_PATTERNS)
-    chat = VlaserChat(model, params, tokenizer,
-                      max_new_tokens=args.max_new_tokens,
-                      num_beams=args.num_beams,
-                      repetition_penalty=args.repetition_penalty)
+    if args.engine:
+        from vlaser_tpu.serve.engine_chat import EngineChat
+
+        assert args.num_beams == 1 and args.repetition_penalty == 1.0, (
+            "--engine decodes greedy/sampled per slot; beams and "
+            "repetition penalty run through the static batch_chat path"
+        )
+        chat = EngineChat(model, params, tokenizer,
+                          max_new_tokens=args.max_new_tokens,
+                          num_slots=args.num_slots,
+                          max_len=args.engine_max_len)
+    else:
+        chat = VlaserChat(model, params, tokenizer,
+                          max_new_tokens=args.max_new_tokens,
+                          num_beams=args.num_beams,
+                          repetition_penalty=args.repetition_penalty)
 
     key = args.benchmark.lower().replace("-", "_")
     if key in EMBODIED:

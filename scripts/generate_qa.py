@@ -28,6 +28,15 @@ def main():
     ap.add_argument("--max_frames", type=int, default=1000)
     ap.add_argument("--filter", action="store_true")
     ap.add_argument("--threshold", type=float, default=6.0)
+    ap.add_argument("--engine", action="store_true",
+                    help="batch generation through the continuous-batching "
+                         "engine (serve/engine.py — the vLLM role the "
+                         "reference's GeneralQA.py fills with vllm_tp)")
+    ap.add_argument("--num_slots", type=int, default=8)
+    ap.add_argument("--temperature", type=float, default=0.0,
+                    help="sampling temperature for QA generation "
+                         "(engine mode: per-request sampling params)")
+    ap.add_argument("--top_p", type=float, default=1.0)
     args = ap.parse_args()
 
     import json
@@ -51,17 +60,34 @@ def main():
         load_safetensors_dir(args.model_path), cfg.vision.num_layers,
         cfg.llm.num_layers,
     )}
-    chat = VlaserChat(model, params, tokenizer, max_new_tokens=512)
+    if args.engine:
+        from vlaser_tpu.serve.engine_chat import EngineChat
+
+        chat = EngineChat(model, params, tokenizer, max_new_tokens=512,
+                          num_slots=args.num_slots,
+                          temperature=args.temperature, top_p=args.top_p)
+    else:
+        assert args.temperature == 0.0, (
+            "sampled QA generation runs through --engine (per-request "
+            "sampling params)"
+        )
+        chat = VlaserChat(model, params, tokenizer, max_new_tokens=512)
 
     def generate_fn(images, prompts):
-        out = []
-        for img, prompt in zip(images, prompts):
-            from PIL import Image
+        from PIL import Image
 
-            tiles = load_image_tiles(Image.fromarray(img), cfg.vision.image_size,
-                                     max_num=1, use_thumbnail=False, dynamic=False)
-            out.append(chat.chat(prompt, tiles))
-        return out
+        tile_list = [
+            load_image_tiles(Image.fromarray(img), cfg.vision.image_size,
+                             max_num=1, use_thumbnail=False, dynamic=False)
+            for img in images
+        ]
+        if args.engine:
+            # one engine run over the whole batch: requests decode
+            # in-flight, short answers free their slots early
+            pixels = np.concatenate(tile_list, axis=0)
+            return chat.batch_chat(list(prompts), pixels,
+                                   [t.shape[0] for t in tile_list])
+        return [chat.chat(p, t) for p, t in zip(prompts, tile_list)]
 
     def frames():
         n = 0

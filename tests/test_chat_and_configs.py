@@ -89,6 +89,35 @@ def test_chat_end_to_end():
     assert len(batch) == 2
 
 
+def test_engine_chat_matches_static_chat():
+    """EngineChat (serve/engine_chat.py) is a drop-in for VlaserChat: same
+    prompt assembly, same greedy responses — backed by the continuous-
+    batching engine instead of the static padded batch."""
+    from vlaser_tpu.serve.engine_chat import EngineChat
+
+    cfg = tiny_vlm()
+    model = InternVLChatModel(cfg, compute_dtype=jnp.float32,
+                              attn_impl="reference")
+    rng = np.random.default_rng(2)
+    ids = rng.integers(1, 400, (1, 8))
+    pixels = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                        jnp.asarray(pixels), None)
+    static = VlaserChat(model, params, ToyTok(), max_new_tokens=5, bucket=32,
+                        cache_dtype=jnp.float32)
+    served = EngineChat(model, params, ToyTok(), max_new_tokens=5,
+                        num_slots=2, max_len=512, prefill_buckets=(512,),
+                        tile_buckets=(1, 2), cache_dtype=jnp.float32)
+    qs = ["what do you see?", "count the objects please"]
+    want = static.batch_chat(qs, pixels, num_patches_list=[1, 0])
+    got = served.batch_chat(qs, pixels, num_patches_list=[1, 0])
+    assert got == want
+    assert served.chat("what do you see?", pixels) == \
+        static.chat("what do you see?", pixels)
+
+
 def test_named_configs_consistent():
     c2 = vlaser_2b()
     assert c2.num_image_token == 256

@@ -39,16 +39,18 @@ def vlm():
     return cfg, model, params
 
 
-def _sequential_oracle(model, params, input_ids, pixels=None, max_new=MAX_NEW):
+def _sequential_oracle(model, params, input_ids, pixels=None, max_new=MAX_NEW,
+                       temperature=0.0, top_k=0, top_p=1.0, seed=0):
     gen = make_generate_fn(
         model, max_new_tokens=max_new, eos_token_ids=EOS, pad_token_id=0,
+        temperature=temperature, top_k=top_k, top_p=top_p,
         cache_dtype=jnp.float32,
     )
     ids = np.asarray(input_ids, np.int32)[None]
     seg = np.ones_like(ids, np.int32)
     px = None if pixels is None else jnp.asarray(pixels)
     tokens, num = gen(params, jnp.asarray(ids), jnp.asarray(seg), px,
-                      jax.random.PRNGKey(0))
+                      jax.random.PRNGKey(seed))
     return trim_output(tokens, num, EOS)[0]
 
 
@@ -104,11 +106,98 @@ def test_vacant_slots_are_inert(vlm):
     cfg, model, params = vlm
     rng = np.random.default_rng(3)
     p = rng.integers(1, 400, (6,)).astype(np.int32)
+    others = [rng.integers(1, 400, (n,)).astype(np.int32) for n in (4, 9, 7)]
     kwargs = dict(max_len=64, eos_token_ids=EOS, pad_token_id=0,
                   prefill_buckets=(16,), cache_dtype=jnp.float32)
     solo = ContinuousBatchingEngine(model, params, num_slots=4, **kwargs)
     got_solo = solo.run([Request(uid=0, input_ids=p, max_new_tokens=MAX_NEW)])
     assert got_solo[0].token_ids == _sequential_oracle(model, params, p)
+    shared = ContinuousBatchingEngine(model, params, num_slots=4, **kwargs)
+    got_shared = {c.uid: c for c in shared.run(
+        [Request(uid=0, input_ids=p, max_new_tokens=MAX_NEW)]
+        + [Request(uid=i + 1, input_ids=o, max_new_tokens=MAX_NEW)
+           for i, o in enumerate(others)]
+    )}
+    assert got_shared[0].token_ids == got_solo[0].token_ids
+
+
+def test_sampled_request_matches_solo_sampled_decode(vlm):
+    """A sampled request (temperature/top_k/top_p/seed) through the engine
+    emits the same tokens as a solo make_generate_fn run with those params
+    under PRNGKey(seed) — sharing the decode batch with greedy and
+    differently-sampled requests must be invisible (the vLLM per-request
+    SamplingParams role)."""
+    cfg, model, params = vlm
+    rng = np.random.default_rng(13)
+    p_greedy = rng.integers(1, 400, (6,)).astype(np.int32)
+    p_a = rng.integers(1, 400, (9,)).astype(np.int32)
+    p_b = rng.integers(1, 400, (4,)).astype(np.int32)
+    engine = ContinuousBatchingEngine(
+        model, params, num_slots=3, max_len=64, eos_token_ids=EOS,
+        pad_token_id=0, prefill_buckets=(16,), cache_dtype=jnp.float32,
+    )
+    done = {c.uid: c for c in engine.run([
+        Request(uid=0, input_ids=p_greedy, max_new_tokens=MAX_NEW),
+        Request(uid=1, input_ids=p_a, max_new_tokens=MAX_NEW,
+                temperature=0.75, top_k=5, seed=11),
+        Request(uid=2, input_ids=p_b, max_new_tokens=MAX_NEW,
+                temperature=1.25, top_p=0.9, seed=23),
+    ])}
+    assert done[0].token_ids == _sequential_oracle(model, params, p_greedy)
+    assert done[1].token_ids == _sequential_oracle(
+        model, params, p_a, temperature=0.75, top_k=5, seed=11)
+    assert done[2].token_ids == _sequential_oracle(
+        model, params, p_b, temperature=1.25, top_p=0.9, seed=23)
+
+
+def test_tile_buckets_pad_is_invisible(vlm):
+    """tile_buckets pads the tile count with image_flags-masked zero tiles;
+    a 1-tile request through a 2-tile bucket decodes identically to the
+    unbucketed engine."""
+    cfg, model, params = vlm
+    rng = np.random.default_rng(17)
+    npt = cfg.num_image_token
+    ids = rng.integers(1, 400, (5 + npt,)).astype(np.int32)
+    ids[1 : 1 + npt] = cfg.img_context_token_id
+    pixels = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    kwargs = dict(num_slots=2, max_len=64, eos_token_ids=EOS, pad_token_id=0,
+                  prefill_buckets=(32,), cache_dtype=jnp.float32)
+    plain = ContinuousBatchingEngine(model, params, **kwargs)
+    bucketed = ContinuousBatchingEngine(model, params, tile_buckets=(2,),
+                                        **kwargs)
+    req = lambda: Request(uid=0, input_ids=ids, pixel_values=pixels,
+                          max_new_tokens=MAX_NEW)
+    want = plain.run([req()])[0].token_ids
+    assert want == _sequential_oracle(model, params, ids, pixels)
+    assert bucketed.run([req()])[0].token_ids == want
+
+
+def test_admission_and_bucket_validation(vlm):
+    cfg, model, params = vlm
+    with pytest.raises(ValueError, match="exceed max_len"):
+        ContinuousBatchingEngine(
+            model, params, num_slots=2, max_len=32, eos_token_ids=EOS,
+            pad_token_id=0, prefill_buckets=(16, 64),
+        )
+    engine = ContinuousBatchingEngine(
+        model, params, num_slots=2, max_len=32, eos_token_ids=EOS,
+        pad_token_id=0, prefill_buckets=(16,), cache_dtype=jnp.float32,
+    )
+    bad = Request(uid=0, input_ids=np.asarray([5, 6], np.int32),
+                  max_new_tokens=0)
+    with pytest.raises(ValueError, match="max_new_tokens"):
+        engine.run([bad])
+
+
+def test_per_row_write_meta_rejects_multitoken():
+    """Per-row cache offsets advance by nonzero-seg count but write S
+    contiguous slots; S>1 would desynchronize — the cache refuses it."""
+    cache = KVCache.create(1, 2, 16, 1, 4, dtype=jnp.float32)
+    cache = cache.replace(length=jnp.zeros((2,), jnp.int32))
+    with pytest.raises(ValueError, match="S==1"):
+        cache.write_meta(jnp.ones((2, 3), jnp.int32))
 
 
 def test_per_row_cache_decode_matches_scalar(vlm):

@@ -20,6 +20,36 @@ from ..tokenizer.conversation import build_chat_query, get_conv_template
 from .sampling import make_generate_fn, trim_output
 
 
+def build_batch_queries(
+    template: str,
+    questions: Sequence[str],
+    num_patches_list,
+    num_image_token: int,
+    system_message: Optional[str] = None,
+) -> List[str]:
+    """batch_chat prompt assembly (modeling_internvl_chat.py:293-341):
+    per-question template render with <image> -> <img> + N*<IMG_CONTEXT> +
+    </img> expansion. num_patches_list: one entry per question — an int
+    (tile count of a single image) or a list of ints (per-image counts for
+    multi-image/video prompts, one per <image> tag)."""
+    queries = []
+    for i, q in enumerate(questions):
+        entry = num_patches_list[i] if i < len(num_patches_list) else 0
+        if isinstance(entry, (list, tuple)):
+            per_img = [n for n in entry if n]
+        else:
+            per_img = [entry] if entry else []
+        if per_img and "<image>" not in q:
+            q = "<image>\n" + q
+        queries.append(
+            build_chat_query(
+                template, q, per_img, num_image_token,
+                system_message=system_message,
+            )
+        )
+    return queries
+
+
 class VlaserChat:
     def __init__(
         self,
@@ -160,19 +190,8 @@ class VlaserChat:
             num_patches_list = (
                 [pixel_values.shape[0]] if pixel_values is not None else [0] * 0
             )
-        queries = []
-        for i, q in enumerate(questions):
-            entry = num_patches_list[i] if i < len(num_patches_list) else 0
-            if isinstance(entry, (list, tuple)):
-                per_img = [n for n in entry if n]
-            else:
-                per_img = [entry] if entry else []
-            if per_img and "<image>" not in q:
-                q = "<image>\n" + q
-            queries.append(
-                build_chat_query(
-                    self.cfg.template, q, per_img,
-                    self.cfg.num_image_token, system_message=self.system_message,
-                )
-            )
+        queries = build_batch_queries(
+            self.cfg.template, questions, num_patches_list,
+            self.cfg.num_image_token, system_message=self.system_message,
+        )
         return self._generate(queries, pixel_values)

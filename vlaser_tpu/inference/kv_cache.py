@@ -58,6 +58,17 @@ class KVCache:
         """
         s = seg_ids.shape[1]
         if self.length.ndim == 1:
+            if s != 1:
+                # per-row offsets advance by the count of NONZERO incoming
+                # seg ids, but the kv/meta writes are S contiguous slots —
+                # interior padding would desynchronize them. Only the
+                # engine's one-token decode uses per-row lengths today;
+                # widen this deliberately if a multi-token per-row step
+                # ever exists (e.g. speculative decode through the engine).
+                raise ValueError(
+                    "per-row KV cache write_meta supports S==1 steps only, "
+                    f"got S={s}"
+                )
             new_seg = _write_rows_2d(self.seg, seg_ids, self.length)
             new_lev = self.lev
             if levels is not None:

@@ -49,6 +49,50 @@ def _sample(logits, rng, temperature: float, top_k: int,
     return jax.random.categorical(rng, logits).astype(jnp.int32)
 
 
+def sample_per_row(logits, keys, temps, top_ks, top_ps):
+    """Per-row sampling with traced (data, not static) parameters.
+
+    Row-for-row reproduces `_sample` run at B=1 with that row's scalar
+    params and key: the filters apply the same masks in the same order
+    (temperature scale -> top-k threshold -> nucleus threshold on the
+    filtered logits), and `jax.random.categorical`'s Gumbel draw is
+    layout-invariant for a fixed element count, so a [V] row under `key`
+    equals the [1, V] draw `_sample` makes. Rows with temp==0 take the
+    argmax (greedy). Used by the continuous-batching engine
+    (serve/engine.py) where each slot carries its own sampling params —
+    the vLLM role's per-request SamplingParams
+    (data-pipeline/src/agent/filter.py samples through vLLM).
+
+    logits [B, V] f32; keys [B, 2] uint32; temps/top_ps [B] f32;
+    top_ks [B] int32 (0 = no top-k). Returns [B] int32 tokens.
+    """
+
+    def row(lg, key, temp, k, p):
+        # every intermediate stays in lg.dtype — `_sample`'s params are
+        # python floats (weak-typed), so a bf16 serving path computes these
+        # filters in bf16; promoting to f32 here would silently change
+        # which tokens survive the thresholds
+        v = lg.shape[-1]
+        dt = lg.dtype
+        greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        lt = lg / jnp.where(temp > 0, temp, 1.0).astype(dt)
+        srt = jnp.sort(lt, axis=-1)[::-1]
+        kth = srt[jnp.clip(k - 1, 0, v - 1)]
+        thr_k = jnp.where(k > 0, kth, jnp.asarray(-jnp.inf, dt))
+        lt = jnp.where(lt < thr_k, jnp.asarray(-1e30, dt), lt)
+        srt2 = jnp.sort(lt, axis=-1)[::-1]
+        probs = jax.nn.softmax(srt2, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = cum - probs < p.astype(probs.dtype)
+        thr_p = jnp.min(jnp.where(keep, srt2, jnp.asarray(jnp.inf, dt)))
+        thr_p = jnp.where(p < 1.0, thr_p, jnp.asarray(-jnp.inf, dt))
+        lt = jnp.where(lt < thr_p, jnp.asarray(-1e30, dt), lt)
+        sampled = jax.random.categorical(key, lt).astype(jnp.int32)
+        return jnp.where(temp > 0, sampled, greedy)
+
+    return jax.vmap(row)(logits, keys, temps, top_ks, top_ps)
+
+
 def make_generate_fn(
     model,
     *,

@@ -151,9 +151,13 @@ class InternVLChatModel(nn.Module):
 
     # decode-path helpers (used by inference/chat.py inside jitted loops)
     def prefill(self, input_ids, pixel_values, seg_ids, cache,
-                visual_features=None):
+                visual_features=None, image_flags=None):
+        # image_flags: [T] 1=real tile, 0=padding tile — lets callers pad
+        # the tile count to a bucket (bounded compile count for variable
+        # multi-tile prompts, serve/engine.py tile_buckets)
         embeds = self.fuse_embeddings(
-            input_ids, pixel_values, visual_features=visual_features
+            input_ids, pixel_values, image_flags=image_flags,
+            visual_features=visual_features,
         )
         return self.language_model(
             inputs_embeds=embeds, seg_ids=seg_ids, cache=cache,

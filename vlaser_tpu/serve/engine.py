@@ -20,13 +20,30 @@ model surface rather than a separate runtime:
 - Prefill runs per request at a bucketed prompt width (one compile per
   bucket), then the [1]-row cache is inserted into the big cache at the
   assigned slot. No re-prefill of running rows, no head-of-line blocking.
+  Multi-tile image prompts can additionally bucket the TILE count
+  (`tile_buckets`): tiles pad to the bucket with image_flags masking the
+  padding out of the <IMG_CONTEXT> scatter, bounding compiles to
+  |prefill_buckets| x |tile_buckets|.
 - Scheduling is plain host Python between jitted steps: admit waiting
   requests into free slots, run one decode step for everyone, retire
   rows that hit EOS/max_new_tokens. Decode buffers are donated, so the
   cache updates in place in HBM.
 
-Greedy decoding (the eval-serving setting). Outputs are token-identical
-to per-request `make_generate_fn` decode — pinned by tests/test_engine.py.
+Decoding is greedy by default (the eval-serving setting) and outputs are
+then token-identical to per-request `make_generate_fn` decode — pinned by
+tests/test_engine.py. Per-request sampling (temperature / top-k / top-p /
+seed, vLLM's SamplingParams role — data-pipeline/src/agent/filter.py
+scores through sampled vLLM) rides the same decode batch: each slot
+carries its own params and PRNG chain, and a sampled request emits the
+same tokens as a solo `make_generate_fn(temperature=..)` run under the
+same key (inference/sampling.sample_per_row is row-exact vs `_sample`).
+
+One deliberate edge divergence from `make_generate_fn`: the engine keeps
+a generated token that happens to equal `pad_token_id` (it is a real
+model output), while `make_generate_fn`'s output-length accounting uses
+pad as the done-sentinel and truncates there. Greedy eval prompts never
+argmax onto pad in practice; sampled requests should use an eos set that
+covers their stop tokens.
 """
 
 from __future__ import annotations
@@ -40,6 +57,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..inference.kv_cache import KVCache
+from ..inference.sampling import sample_per_row
 
 
 @dataclasses.dataclass
@@ -48,6 +66,13 @@ class Request:
     input_ids: np.ndarray  # [n] int32 prompt (image tokens already expanded)
     pixel_values: Optional[np.ndarray] = None  # [T, H, W, 3] tiles
     max_new_tokens: int = 64
+    # per-request sampling params (vLLM SamplingParams role).
+    # temperature 0.0 = greedy; a sampled request reproduces a solo
+    # make_generate_fn(temperature, top_k, top_p) run under PRNGKey(seed).
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+    seed: int = 0
 
 
 @dataclasses.dataclass
@@ -62,13 +87,14 @@ class _Slot:
     req: Request
     last_token: int
     generated: List[int]
+    rng: Optional[np.ndarray] = None  # [2] uint32, sampled requests only
 
 
 def _pick_bucket(n: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if n <= b:
             return b
-    raise ValueError(f"prompt length {n} exceeds the largest bucket {buckets[-1]}")
+    raise ValueError(f"length {n} exceeds the largest bucket {buckets[-1]}")
 
 
 class ContinuousBatchingEngine:
@@ -84,6 +110,7 @@ class ContinuousBatchingEngine:
         eos_token_ids: Sequence[int],
         pad_token_id: int,
         prefill_buckets: Optional[Sequence[int]] = None,
+        tile_buckets: Optional[Sequence[int]] = None,
         cache_dtype=jnp.bfloat16,
     ):
         llm = model.cfg.llm
@@ -105,30 +132,39 @@ class ContinuousBatchingEngine:
                 b *= 2
             buckets.append(max_len)
             prefill_buckets = buckets
+        bad = [b for b in prefill_buckets if b > max_len]
+        if bad:
+            raise ValueError(
+                f"prefill_buckets {bad} exceed max_len {max_len}: a prompt "
+                "padded to such a bucket cannot fit the decode cache"
+            )
         self.prefill_buckets = tuple(sorted(set(prefill_buckets)))
+        self.tile_buckets = (
+            None if tile_buckets is None else tuple(sorted(set(tile_buckets)))
+        )
         self._llm = llm
         self.cache = self._fresh_cache()
 
-        def prefill(params, ids, seg, pixels, true_len):
+        def prefill(params, ids, seg, pixels, flags, true_len):
             nb = ids.shape[1]
             cache = KVCache.create(
                 llm.num_layers, 1, nb, llm.num_kv_heads, llm.head_dim,
                 dtype=cache_dtype,
             )
             logits, _, cache = model.apply(
-                params, ids, pixels, seg, cache, method=model.prefill
+                params, ids, pixels, seg, cache, image_flags=flags,
+                method=model.prefill,
             )
             last = jnp.take_along_axis(
                 logits, (true_len - 1)[None, None, None], axis=1
             )[0, 0]
             token = jnp.argmax(last).astype(jnp.int32)
-            return cache.k, cache.v, cache.seg, token
+            return cache.k, cache.v, cache.seg, cache.lev, token, last
 
-        # one compile per (bucket, tile-count); cheap enough to share one jit
+        # one compile per (bucket, tile-bucket); cheap enough to share one jit
         self._prefill = jax.jit(prefill)
 
-        def insert(cache, k1, v1, seg1, row, true_len):
-            nb = seg1.shape[1]
+        def insert(cache, k1, v1, seg1, lev1, row, true_len):
             k = jax.lax.dynamic_update_slice(
                 cache.k, k1.astype(cache.k.dtype), (0, row, 0, 0, 0)
             )
@@ -140,9 +176,9 @@ class ContinuousBatchingEngine:
             row_seg = jnp.zeros((1, cache.seg.shape[1]), jnp.int32)
             row_seg = jax.lax.dynamic_update_slice(row_seg, seg1, (0, 0))
             seg = jax.lax.dynamic_update_slice(cache.seg, row_seg, (row, 0))
-            lev = jax.lax.dynamic_update_slice(
-                cache.lev, jnp.zeros_like(row_seg), (row, 0)
-            )
+            row_lev = jnp.zeros((1, cache.lev.shape[1]), jnp.int32)
+            row_lev = jax.lax.dynamic_update_slice(row_lev, lev1, (0, 0))
+            lev = jax.lax.dynamic_update_slice(cache.lev, row_lev, (row, 0))
             length = jax.lax.dynamic_update_index_in_dim(
                 cache.length, true_len, row, axis=0
             )
@@ -162,6 +198,31 @@ class ContinuousBatchingEngine:
 
         self._decode = jax.jit(decode, donate_argnums=(1,))
 
+        def decode_sampled(params, cache, tokens, active, keys, temps,
+                           top_ks, top_ps):
+            seg = active.astype(jnp.int32)[:, None]
+            positions = cache.length[:, None]
+            logits, _, cache = model.apply(
+                params, tokens[:, None], cache, positions, seg,
+                method=model.decode_step,
+            )
+            lg = logits[:, 0]
+            split = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
+            nxt = sample_per_row(lg, split[:, 1], temps, top_ks, top_ps)
+            return nxt, cache, split[:, 0]
+
+        self._decode_sampled = jax.jit(decode_sampled, donate_argnums=(1,))
+
+        def sample_first(last, key, temp, k, p):
+            # mirrors make_generate_fn: rng, sub = split(rng); _sample(.., sub)
+            split = jax.random.split(key, 2)
+            tok = sample_per_row(
+                last[None], split[1:2], temp[None], k[None], p[None]
+            )[0]
+            return tok, split[0]
+
+        self._sample_first = jax.jit(sample_first)
+
     # -- cache/slot management ------------------------------------------------
 
     def _fresh_cache(self) -> KVCache:
@@ -180,6 +241,13 @@ class ContinuousBatchingEngine:
     def run(self, requests: Sequence[Request]) -> List[Completion]:
         """Serve all requests to completion; returns completions in the
         order requests finish (sort by uid for submission order)."""
+        for req in requests:
+            if req.max_new_tokens < 1:
+                raise ValueError(
+                    f"request {req.uid}: max_new_tokens must be >= 1, "
+                    f"got {req.max_new_tokens}"
+                )
+        sampled_run = any(r.temperature > 0.0 for r in requests)
         queue = deque(requests)
         slots: List[Optional[_Slot]] = [None] * self.num_slots
         done: List[Completion] = []
@@ -216,19 +284,37 @@ class ContinuousBatchingEngine:
                 ids[0, :n] = req.input_ids
                 seg = np.zeros((1, nb), np.int32)
                 seg[0, :n] = 1
-                pixels = (
-                    None if req.pixel_values is None
-                    else jnp.asarray(req.pixel_values)
-                )
-                k1, v1, seg1, tok = self._prefill(
+                pixels, flags = None, None
+                if req.pixel_values is not None:
+                    px = np.asarray(req.pixel_values)
+                    if self.tile_buckets is not None:
+                        t = px.shape[0]
+                        tb = _pick_bucket(t, self.tile_buckets)
+                        if tb > t:
+                            pad = np.zeros((tb - t,) + px.shape[1:], px.dtype)
+                            px = np.concatenate([px, pad], axis=0)
+                        flags = jnp.asarray(
+                            (np.arange(tb) < t).astype(np.int32)
+                        )
+                    pixels = jnp.asarray(px)
+                k1, v1, seg1, lev1, tok, last = self._prefill(
                     self.params, jnp.asarray(ids), jnp.asarray(seg), pixels,
-                    jnp.asarray(n, jnp.int32),
+                    flags, jnp.asarray(n, jnp.int32),
                 )
                 self.cache = self._insert(
-                    self.cache, k1, v1, seg1,
+                    self.cache, k1, v1, seg1, lev1,
                     jnp.asarray(row, jnp.int32), jnp.asarray(n, jnp.int32),
                 )
-                slots[row] = _Slot(req, int(tok), [])
+                rng = None
+                if req.temperature > 0.0:
+                    tok, rng = self._sample_first(
+                        last, jax.random.PRNGKey(req.seed),
+                        jnp.asarray(req.temperature, jnp.float32),
+                        jnp.asarray(req.top_k, jnp.int32),
+                        jnp.asarray(req.top_p, jnp.float32),
+                    )
+                    rng = np.asarray(rng)
+                slots[row] = _Slot(req, int(tok), [], rng)
                 if int(tok) in self.eos or req.max_new_tokens <= 1:
                     finish(row, include_last=True)
 
@@ -242,10 +328,32 @@ class ContinuousBatchingEngine:
                 if st is not None:
                     tokens[row] = st.last_token
                     active[row] = True
-            nxt, self.cache = self._decode(
-                self.params, self.cache, jnp.asarray(tokens),
-                jnp.asarray(active),
-            )
+            if sampled_run:
+                keys = np.zeros((self.num_slots, 2), np.uint32)
+                temps = np.zeros((self.num_slots,), np.float32)
+                top_ks = np.zeros((self.num_slots,), np.int32)
+                top_ps = np.ones((self.num_slots,), np.float32)
+                for row, st in enumerate(slots):
+                    if st is not None and st.rng is not None:
+                        keys[row] = st.rng
+                        temps[row] = st.req.temperature
+                        top_ks[row] = st.req.top_k
+                        top_ps[row] = st.req.top_p
+                nxt, self.cache, new_keys = self._decode_sampled(
+                    self.params, self.cache, jnp.asarray(tokens),
+                    jnp.asarray(active), jnp.asarray(keys),
+                    jnp.asarray(temps), jnp.asarray(top_ks),
+                    jnp.asarray(top_ps),
+                )
+                new_keys = np.asarray(new_keys)
+                for row, st in enumerate(slots):
+                    if st is not None and st.rng is not None:
+                        st.rng = new_keys[row]
+            else:
+                nxt, self.cache = self._decode(
+                    self.params, self.cache, jnp.asarray(tokens),
+                    jnp.asarray(active),
+                )
             nxt = np.asarray(nxt)
 
             # 3) retire finished rows

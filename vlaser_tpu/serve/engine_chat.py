@@ -1,0 +1,151 @@
+"""Engine-backed chat surface: VlaserChat's chat/batch_chat API served
+through the continuous-batching engine.
+
+The reference's eval/QA surfaces reach their model two ways: static HF
+`batch_chat` (modeling_internvl_chat.py:293-341) or a vLLM server
+(data-pipeline/RoboTwin-QA/GeneralQA.py:3-8). This class is the second
+way for the TPU build: identical prompt assembly and decode-output
+handling to inference/chat.VlaserChat, but generation rides
+serve/engine.ContinuousBatchingEngine — mixed-length batches decode
+in-flight instead of padding to the longest row, and per-request
+sampling params pass straight through. Drop-in for any benchmark runner
+written against VlaserChat (scripts/eval_vlm.py --engine,
+scripts/generate_qa.py --engine).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..inference.chat import build_batch_queries
+from ..tokenizer.conversation import build_chat_query, get_conv_template
+from .engine import ContinuousBatchingEngine, Request
+
+
+class EngineChat:
+    """chat()/batch_chat() with the engine as the decode backend."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        tokenizer,
+        *,
+        max_new_tokens: int = 256,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        num_slots: int = 8,
+        max_len: int = 4096,
+        prefill_buckets: Optional[Sequence[int]] = None,
+        tile_buckets: Optional[Sequence[int]] = (1, 2, 4, 7, 13),
+        system_message: Optional[str] = None,
+        cache_dtype=jnp.bfloat16,
+    ):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.cfg = model.cfg
+        self.max_new_tokens = max_new_tokens
+        self.temperature = float(temperature)
+        self.top_k = int(top_k)
+        self.top_p = float(top_p)
+        self.system_message = system_message
+        template = get_conv_template(self.cfg.template)
+        self.sep = template.sep.strip()
+        self.eos_token_id = tokenizer.convert_tokens_to_ids(self.sep)
+        self.engine = ContinuousBatchingEngine(
+            model, params,
+            num_slots=num_slots, max_len=max_len,
+            eos_token_ids=[self.eos_token_id],
+            pad_token_id=self.cfg.pad_token_id,
+            prefill_buckets=prefill_buckets,
+            tile_buckets=tile_buckets,
+            cache_dtype=cache_dtype,
+        )
+        self._uid = 0
+
+    def _requests(self, queries, pixel_chunks) -> List[Request]:
+        reqs = []
+        for q, px in zip(queries, pixel_chunks):
+            ids = np.asarray(
+                self.tokenizer(q, add_special_tokens=False)["input_ids"],
+                np.int32,
+            )
+            reqs.append(Request(
+                uid=self._uid, input_ids=ids, pixel_values=px,
+                max_new_tokens=self.max_new_tokens,
+                temperature=self.temperature, top_k=self.top_k,
+                top_p=self.top_p, seed=self._uid,
+            ))
+            self._uid += 1
+        return reqs
+
+    def _decode_texts(self, completions, uids) -> List[str]:
+        by_uid = {c.uid: c for c in completions}
+        texts = []
+        for uid in uids:
+            row = by_uid[uid].token_ids
+            text = self.tokenizer.decode(row, skip_special_tokens=True)
+            texts.append(text.split(self.sep)[0].strip())
+        return texts
+
+    def chat(
+        self,
+        question: str,
+        pixel_values: Optional[np.ndarray] = None,  # [T, H, W, 3] tiles
+        history: Optional[List[Tuple[str, str]]] = None,
+        num_patches_list: Optional[List[int]] = None,
+        return_history: bool = False,
+    ):
+        if num_patches_list is None:
+            num_patches_list = (
+                [pixel_values.shape[0]] if pixel_values is not None else []
+            )
+        if history is None and pixel_values is not None \
+                and "<image>" not in question:
+            question = "<image>\n" + question
+        query = build_chat_query(
+            self.cfg.template, question, num_patches_list,
+            self.cfg.num_image_token, history=history,
+            system_message=self.system_message,
+        )
+        reqs = self._requests([query], [pixel_values])
+        response = self._decode_texts(self.engine.run(reqs),
+                                      [reqs[0].uid])[0]
+        if return_history:
+            return response, (history or []) + [(question, response)]
+        return response
+
+    def batch_chat(
+        self,
+        questions: Sequence[str],
+        pixel_values: Optional[np.ndarray] = None,  # concat tiles across batch
+        num_patches_list: Optional[List] = None,
+    ) -> List[str]:
+        """Same signature/semantics as VlaserChat.batch_chat; pixel_values
+        is the tile concat across the batch, split per request here so each
+        request prefills only its own tiles."""
+        if num_patches_list is None:
+            num_patches_list = (
+                [pixel_values.shape[0]] if pixel_values is not None else []
+            )
+        queries = build_batch_queries(
+            self.cfg.template, questions, num_patches_list,
+            self.cfg.num_image_token, system_message=self.system_message,
+        )
+        chunks: List[Optional[np.ndarray]] = []
+        off = 0
+        for i in range(len(questions)):
+            entry = num_patches_list[i] if i < len(num_patches_list) else 0
+            n = sum(entry) if isinstance(entry, (list, tuple)) else int(entry)
+            if n and pixel_values is not None:
+                chunks.append(np.asarray(pixel_values[off:off + n]))
+                off += n
+            else:
+                chunks.append(None)
+        reqs = self._requests(queries, chunks)
+        uids = [r.uid for r in reqs]
+        return self._decode_texts(self.engine.run(reqs), uids)
