@@ -112,6 +112,45 @@ def test_30b_a3b_moe_recipes():
     assert pod32["total_gib"] > V5E_GIB - 1.0  # no-fit with headroom
 
 
+def test_78b_tier_recipes():
+    """internvl3_78b (78.4B params: InternViT-6B + Qwen2.5-72B — the tier
+    the reference provisions with zero_stage3_config_70b.json): full-param
+    fp32 AdamW fits a v5e-256 (fsdp32 x pp4 x tp2, ~10.1 GiB/chip); a
+    v5e-128 is a documented no-fit unless the Adam moments offload to host
+    RAM (the DeepSpeed offload_optimizer analogue)."""
+    pod256 = vlm_sft_budget(dp=1, fsdp=32, tp=2, pp=4, seq_len=4096,
+                            model_size="78b")
+    assert pod256["n_params"] > 78e9
+    assert pod256["total_gib"] < V5E_GIB - 4.0, pod256
+    pod128 = vlm_sft_budget(dp=1, fsdp=32, tp=2, pp=2, seq_len=4096,
+                            model_size="78b")
+    assert pod128["total_gib"] > V5E_GIB - 1.5  # documented no-fit
+    pod128_off = vlm_sft_budget(dp=1, fsdp=32, tp=2, pp=2, seq_len=4096,
+                                model_size="78b", offload_optimizer=True)
+    assert pod128_off["total_gib"] < V5E_GIB - 4.0, pod128_off
+    assert pod128_off["host_offload_gib"] < 96.0  # fits a v5e host's RAM
+
+
+def test_100b_tier_offload_recipes():
+    """The ~100B class (internvl_100b_class — the reference's
+    zero_stage3_config_100b_*.json tier): full-param fp32 AdamW fits a
+    v5e-256 plainly, and a v5e-128 ONLY with the optimizer-state host
+    offload — the exact role of the reference's _offload config variant
+    (zero_stage3_config_100b_1e7_offload.json)."""
+    pod256 = vlm_sft_budget(dp=1, fsdp=32, tp=2, pp=4, seq_len=4096,
+                            model_size="100b")
+    assert pod256["n_params"] > 100e9
+    assert pod256["total_gib"] < V5E_GIB - 3.0, pod256
+    pod128 = vlm_sft_budget(dp=1, fsdp=32, tp=2, pp=2, seq_len=4096,
+                            model_size="100b")
+    assert pod128["total_gib"] > V5E_GIB  # no-fit without offload
+    pod128_off = vlm_sft_budget(dp=1, fsdp=32, tp=2, pp=2, seq_len=4096,
+                                model_size="100b", offload_optimizer=True)
+    assert pod128_off["total_gib"] < V5E_GIB - 3.0, pod128_off
+    assert pod128_off["moments_gib"] == 0.0
+    assert 30.0 < pod128_off["host_offload_gib"] < 96.0
+
+
 def test_context_parallel_unlocks_128k_seq():
     """CP divides every per-token activation term: 128k-token full-param
     Vlaser-2B SFT does not fit a single v5e chip's activation budget but

@@ -162,3 +162,59 @@ def test_pipeline_remat_runs():
     assert np.isfinite(float(val))
     for leaf in jax.tree_util.tree_leaves(grads):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_pipeline_train_step_composes_with_fsdp():
+    """The composed >=34B train path (VERDICT r2 item 6): one full train
+    step — make_pipeline_lm_loss CE -> grads through the GPipe schedule ->
+    AdamW update — on a dp x fsdp x stage mesh with params/opt-state
+    sharded by stageify_rules (layer stacks stage-sharded, fsdp inside each
+    stage). The step's loss must equal the plain nn.scan model's CE, and
+    the updated state stays finite and stage-sharded."""
+    import optax
+
+    from vlaser_tpu.core import mesh as mesh_lib
+    from vlaser_tpu.train.pipeline import make_pipeline_lm_loss
+    from vlaser_tpu.train.train_step import (
+        TrainState, make_train_step, shard_train_state,
+    )
+
+    cfg = dataclasses.replace(tiny_llm(), num_layers=4)
+    model = Qwen2ForCausalLM(cfg, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    b, s = 8, 16
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (b, s)), jnp.int32)
+    seg = jnp.ones((b, s), jnp.int32)
+    batch = {"input_ids": ids, "labels": ids, "seg_ids": seg}
+    params = model.init(jax.random.PRNGKey(0), ids, seg_ids=seg)
+
+    # oracle: plain-stack shifted CE with the same params
+    logits, _, _ = model.apply(params, ids, seg_ids=seg,
+                               attn_impl="reference")
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits[:, :-1].astype(jnp.float32), ids[:, 1:]
+    )
+    want = float(jnp.mean(ce))
+
+    mesh = mesh_lib.make_mesh(dp=-1, fsdp=2, tp=1, pp=2,
+                              devices=jax.devices()[:8])
+    assert dict(mesh.shape) == {"data": 2, "fsdp": 2, "stage": 2,
+                                "tensor": 1}
+    rules = mesh_lib.stageify_rules(mesh_lib.default_param_rules())
+    tx = optax.adamw(1e-3)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    state, _ = shard_train_state(state, mesh, rules=rules)
+    batch = jax.device_put(batch, mesh_lib.shard_batch(batch, mesh))
+    loss_fn = make_pipeline_lm_loss(
+        cfg, n_microbatches=2, mesh=mesh, compute_dtype=jnp.float32,
+        remat=False, attn_impl="reference",
+    )
+    step = make_train_step(loss_fn, tx, donate=False)
+    with jax.set_mesh(mesh):
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(metrics["loss"]), want,
+                               atol=1e-4, rtol=1e-4)
+    # layer stacks really are stage-sharded (not replicated)
+    qk = state.params["params"]["model"]["layers"]["self_attn"]["q_proj"]["kernel"]
+    assert "stage" in str(qk.sharding.spec)
+    assert np.isfinite(np.asarray(jnp.mean(qk)))

@@ -356,6 +356,52 @@ def internvl3_38b(vocab_size: int = 151674) -> VLMConfig:
     return VLMConfig(vision=internvit_6b(), llm=qwen2_5_32b(vocab_size))
 
 
+def qwen2_5_72b(vocab_size: int = 151936) -> LLMConfig:
+    """Qwen2.5-72B — the 70B-tier backbone (InternVL3-78B pairing). The
+    reference ships a dedicated ZeRO-3 recipe for this class
+    (internvl_chat/zero_stage3_config_70b.json); here it is fsdp x stage
+    sharding, fits asserted by tests/test_memory_budget.py."""
+    return LLMConfig(
+        vocab_size=vocab_size,
+        hidden_size=8192,
+        intermediate_size=29568,
+        num_layers=80,
+        num_heads=64,
+        num_kv_heads=8,
+        head_dim=128,
+        rope_theta=1_000_000.0,
+    )
+
+
+def internvl3_78b(vocab_size: int = 151674) -> VLMConfig:
+    """InternVL3-78B = InternViT-6B + Qwen2.5-72B (~78.4B params) — the
+    tier the reference trains under zero_stage3_config_70b.json."""
+    return VLMConfig(vision=internvit_6b(), llm=qwen2_5_72b(vocab_size))
+
+
+def llm_100b_class(vocab_size: int = 151936) -> LLMConfig:
+    """A ~100B dense decoder (hidden 10240, 72 layers) standing in for the
+    class the reference provisions with zero_stage3_config_100b_*.json
+    (incl. the _offload variant) — the reference ships the recipe without
+    naming a checkpoint, so this preset pins the arithmetic the budget
+    tests assert (utils/memory_budget.py offload_optimizer rows)."""
+    return LLMConfig(
+        vocab_size=vocab_size,
+        hidden_size=10240,
+        intermediate_size=35840,
+        num_layers=72,
+        num_heads=80,
+        num_kv_heads=8,
+        head_dim=128,
+        rope_theta=1_000_000.0,
+    )
+
+
+def internvl_100b_class(vocab_size: int = 151674) -> VLMConfig:
+    """InternViT-6B + the 100B-class decoder (~105B params total)."""
+    return VLMConfig(vision=internvit_6b(), llm=llm_100b_class(vocab_size))
+
+
 def action_expert_2b() -> LLMConfig:
     """768-wide expert sharing head layout with Qwen2.5-1.5B.
 

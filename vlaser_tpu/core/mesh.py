@@ -37,24 +37,32 @@ def make_mesh(
     fsdp: int = 1,
     tp: int = 1,
     cp: int = 1,
+    pp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a (data, fsdp[, context], tensor) mesh; dp=-1 uses all
+    """Build a (data, fsdp[, stage][, context], tensor) mesh; dp=-1 uses all
     remaining devices. The context axis (ring attention,
-    kernels/ring_attention.py) is only materialized when cp > 1 so the
-    3-axis shape stays the default everywhere else."""
+    kernels/ring_attention.py) and the stage axis (GPipe pipeline,
+    train/pipeline.py — the >=34B tiers) are only materialized when
+    cp/pp > 1 so the 3-axis shape stays the default everywhere else."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp == -1:
-        assert n % (fsdp * tp * cp) == 0, \
-            f"{n} devices not divisible by fsdp*tp*cp"
-        dp = n // (fsdp * tp * cp)
-    assert dp * fsdp * tp * cp == n, f"mesh {dp}x{fsdp}x{cp}x{tp} != {n}"
-    if cp == 1:
-        arr = np.asarray(devices).reshape(dp, fsdp, tp)
-        return Mesh(arr, AXES)
-    arr = np.asarray(devices).reshape(dp, fsdp, cp, tp)
-    return Mesh(arr, (DATA_AXIS, FSDP_AXIS, CONTEXT_AXIS, TENSOR_AXIS))
+        assert n % (fsdp * tp * cp * pp) == 0, \
+            f"{n} devices not divisible by fsdp*tp*cp*pp"
+        dp = n // (fsdp * tp * cp * pp)
+    assert dp * fsdp * tp * cp * pp == n, \
+        f"mesh {dp}x{fsdp}x{pp}x{cp}x{tp} != {n}"
+    shape, axes = [dp, fsdp], [DATA_AXIS, FSDP_AXIS]
+    if pp > 1:
+        shape.append(pp)
+        axes.append(STAGE_AXIS)
+    if cp > 1:
+        shape.append(cp)
+        axes.append(CONTEXT_AXIS)
+    shape.append(tp)
+    axes.append(TENSOR_AXIS)
+    return Mesh(np.asarray(devices).reshape(shape), tuple(axes))
 
 
 # ---------------------------------------------------------------------------

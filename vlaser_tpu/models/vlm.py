@@ -61,6 +61,17 @@ def scatter_image_embeds(
         compact = jnp.zeros_like(vit_flat).at[dest].set(vit_flat, mode="drop")
     else:
         compact = vit_flat
+    am = jax.sharding.get_abstract_mesh()
+    if not am.empty and "context" in am.axis_names:
+        # under a context (ring-attention) mesh the token embeds are
+        # sequence-sharded while the per-tile vit embeds have no sequence
+        # axis; without an explicit choice GSPMD reshards `compact`
+        # through an "involuntary full rematerialization" (replicate then
+        # repartition). Replicating the small [T*ppt, C] table is that
+        # same last-resort layout, made deliberate and warning-free.
+        compact = jax.lax.with_sharding_constraint(
+            compact, jax.sharding.PartitionSpec(None, None)
+        )
     sel = (input_ids == img_context_token_id).reshape(b * n)
     src_idx = jnp.cumsum(sel.astype(jnp.int32)) - 1
     gathered = jnp.take(compact, jnp.clip(src_idx, 0, t * ppt - 1), axis=0)

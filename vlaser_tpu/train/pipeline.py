@@ -128,6 +128,78 @@ def spmd_pipeline(
     return run
 
 
+def make_pipeline_lm_loss(
+    cfg,
+    *,
+    n_microbatches: int,
+    mesh=None,
+    axis: str = STAGE_AXIS,
+    compute_dtype=jnp.bfloat16,
+    param_dtype=jnp.float32,
+    remat: bool = True,
+    attn_impl: str = "auto",
+):
+    """Shifted-CE LM loss with the decoder stack as an SPMD pipeline — the
+    full >=34B-tier train path the budget rows assume (utils/memory_budget
+    vlm_sft_budget pp>1 + core/mesh.stageify_rules): layer params live
+    stage-sharded (leading [L] dim over `axis`; fsdp/tensor inside each
+    stage per stageify_rules), the forward runs the GPipe schedule
+    (pipeline_llm_forward), and autodiff's reversed pipeline produces
+    grads, so `make_train_step` on top gives pipeline x fsdp training with
+    ZeRO-style optimizer sharding. The shard_map boundary all-gathers each
+    stage's fsdp-sharded layer chunk for compute — exactly ZeRO-3's
+    gather-on-use (the reference's zero_stage3_config*.json role).
+
+    Returns loss_fn(params, batch, rng) for train_step.make_train_step;
+    params is a Qwen2ForCausalLM variables dict, batch needs
+    input_ids/labels/seg_ids [B, S] with B divisible by n_microbatches.
+    """
+    import optax
+
+    from ..kernels import ops as kops
+    from ..models.layers import Dense, Embed, RMSNorm
+
+    embed = Embed(cfg.vocab_size, cfg.hidden_size, param_dtype=param_dtype,
+                  dtype=compute_dtype)
+    norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, param_dtype,
+                   cfg.rms_plus_one)
+    head = None
+    if cfg.has_lm_head and not cfg.tie_word_embeddings:
+        head = Dense(cfg.vocab_size, use_bias=False, param_dtype=param_dtype,
+                     compute_dtype=compute_dtype)
+
+    def loss_fn(params, batch, rng):
+        del rng
+        p = params["params"]
+        ids, labels, seg = (batch["input_ids"], batch["labels"],
+                            batch["seg_ids"])
+        b, s = ids.shape
+        x = embed.apply({"params": p["embed_tokens"]}, ids)
+        pos = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+        cos, sin = kops.rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
+        h = pipeline_llm_forward(
+            cfg, p["model"]["layers"], x, cos, sin, seg,
+            n_microbatches=n_microbatches, axis=axis, mesh=mesh,
+            compute_dtype=compute_dtype, param_dtype=param_dtype,
+            remat=remat, attn_impl=attn_impl,
+        )
+        h = norm.apply({"params": p["model"]["norm"]}, h)
+        if head is not None:
+            logits = head.apply({"params": p["lm_head"]}, h)
+        else:
+            logits = embed.apply({"params": p["embed_tokens"]}, h,
+                                 method=embed.attend)
+        logits = logits.astype(jnp.float32)
+        tgt = labels[:, 1:]
+        valid = ((seg[:, 1:] != 0) & (tgt >= 0)).astype(jnp.float32)
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits[:, :-1], jnp.maximum(tgt, 0)
+        )
+        return jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+    return loss_fn
+
+
 def pipeline_llm_forward(
     cfg,
     layer_params,  # ['params'-less] stacked Qwen2Layer params [L, ...]

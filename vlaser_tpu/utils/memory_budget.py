@@ -189,7 +189,8 @@ def vlm_sft_budget(
     n_microbatches: int = 8,
     param_bytes: int = 4,
     frozen_patterns: Sequence[str] = (),
-    model_size: str = "38b",  # '2b' | '8b' | '30b-a3b' | '38b'
+    model_size: str = "38b",  # '2b'|'8b'|'30b-a3b'|'38b'|'78b'|'100b'
+    offload_optimizer: bool = False,
 ) -> Dict[str, float]:
     """Full-parameter VLM SFT AdamW budget on a dp x fsdp x (pp) x tp mesh.
 
@@ -202,18 +203,27 @@ def vlm_sft_budget(
     the whole per-device batch, plus one microbatch's layer internals
     (flash attention is O(S) — no S^2 probs term here, unlike the
     deliberately-overcounting VLA estimate above).
+
+    offload_optimizer is the analogue of the reference's
+    zero_stage3_config_100b_1e7_offload.json (`offload_optimizer:
+    device=cpu`): the Adam moments live in host RAM (the sharded update
+    streams them through the chip per step instead of residing in HBM);
+    the device total then excludes them and `host_offload_gib` reports the
+    per-host bill (moments of the local shard).
     """
     import re
 
     import jax.numpy as jnp
 
     from ..core.config import (
-        internvl3_5_30b_a3b, internvl3_38b, vlaser_2b, vlaser_8b,
+        internvl3_5_30b_a3b, internvl3_38b, internvl3_78b,
+        internvl_100b_class, vlaser_2b, vlaser_8b,
     )
     from ..models.vlm import InternVLChatModel
 
     cfg = {"2b": vlaser_2b, "8b": vlaser_8b, "38b": internvl3_38b,
-           "30b-a3b": internvl3_5_30b_a3b}[model_size]()
+           "30b-a3b": internvl3_5_30b_a3b, "78b": internvl3_78b,
+           "100b": internvl_100b_class}[model_size]()
     model = InternVLChatModel(cfg, param_dtype=jnp.float32,
                               compute_dtype=jnp.bfloat16)
     npt = cfg.num_image_token
@@ -285,8 +295,12 @@ def vlm_sft_budget(
         "n_params": count_params(shapes),
         "params_gib": params_b / GiB,
         "grads_gib": grads_b / GiB,
-        "moments_gib": moments_b / GiB,
+        "moments_gib": 0.0 if offload_optimizer else moments_b / GiB,
         "acts_gib": acts_b / GiB,
     }
     out["total_gib"] = sum(v for k, v in out.items() if k.endswith("_gib"))
+    if offload_optimizer:
+        # per-host bill: the local shard's moments (a v5e host drives 8
+        # chips, so 8 device-shards of moments live in that host's RAM)
+        out["host_offload_gib"] = 8 * moments_b / GiB
     return out
