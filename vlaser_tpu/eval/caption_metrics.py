@@ -12,25 +12,26 @@ so the two headline metrics are implemented here from their definitions:
 - CIDEr-D: tf-idf-weighted n-gram cosine with length gaussian and count
   clipping (Vedantam et al. 2015), n=1..4, sigma=6, corpus idf.
 
-Tokenization approximates PTBTokenizer: lowercase, strip punctuation,
-whitespace split — documented delta (the jar applies a few more
-English-specific rules).
+Tokenization is PTB-exact (eval/ptb_tokenizer.py): the Penn Treebank rules
+the reference's Stanford jar implements, plus pycocoevalcap's own
+lowercase + punctuation-list removal — verified token-identical to NLTK's
+independent implementation and to the Stanford tokenizer's published
+example in tests/test_caption_metrics.py.
 """
 
 from __future__ import annotations
 
 import math
-import re
 from collections import Counter, defaultdict
 from typing import Dict, List, Sequence
 
-CAPTION_PROMPT = "Provide a one-sentence caption for the provided image."
+from vlaser_tpu.eval.ptb_tokenizer import ptb_tokenize
 
-_PUNCT = re.compile(r"[^\w\s]")
+CAPTION_PROMPT = "Provide a one-sentence caption for the provided image."
 
 
 def tokenize(text: str) -> List[str]:
-    return _PUNCT.sub(" ", text.lower()).split()
+    return ptb_tokenize(text)
 
 
 def _ngrams(tokens: Sequence[str], n: int) -> Counter:
