@@ -6,12 +6,17 @@ of the converted weights. These tests run ONE fp32 CPU forward of the real
 configs (random weights, converted through utils/hf_convert) on both sides
 and record the max-abs-diff at depth.
 
-Opt-in: RUN_SLOW=1 python -m pytest tests/test_fullshape_vs_reference.py -m slow
-(~10 min single-core CPU, ~40 GB RAM peak). The regular suite skips them.
+These run in the REGULAR suite (round-2 VERDICT item 5: the strongest
+correctness evidence must run in the gate cadence, not live as one-time
+prose). ~10 min single-core CPU, ~40 GB RAM peak (the box has 125 GB);
+set SKIP_SLOW=1 to opt out on small machines. Each run also records its
+max-abs-diffs to FULLSHAPE.json at the repo root — a driver-visible
+artifact of the round's full-shape parity.
 """
 
 import copy
 import gc
+import json
 import os
 import sys
 
@@ -24,8 +29,25 @@ from vlaser_tpu.core.config import vlaser_2b, vlaser_2b_vla  # noqa: E402
 from vlaser_tpu.utils import hf_convert  # noqa: E402
 
 slow = pytest.mark.skipif(
-    not os.environ.get("RUN_SLOW"), reason="full-shape 2B parity: set RUN_SLOW=1"
+    bool(os.environ.get("SKIP_SLOW")),
+    reason="full-shape 2B parity skipped by SKIP_SLOW=1",
 )
+
+_ARTIFACT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "FULLSHAPE.json")
+
+
+def _record(**kv):
+    data = {}
+    if os.path.exists(_ARTIFACT):
+        try:
+            data = json.load(open(_ARTIFACT))
+        except Exception:
+            data = {}
+    data.update({k: (round(v, 9) if isinstance(v, float) else v)
+                 for k, v in kv.items()})
+    with open(_ARTIFACT, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
 
 INTERNVL_CHAT = "/root/reference/Vlaser_VLM/internvl_chat"
 SIMPLER = "/root/reference/Vlaser_VLA/Simpler"
@@ -115,6 +137,8 @@ def test_fullshape_vlm_extract_and_forward():
     d_feat = float(np.abs(feat_got - feat_want).max())
     scale = float(np.abs(feat_want).max())
     print(f"extract_feature max-abs-diff {d_feat:.3e} (scale {scale:.3e})")
+    _record(vlm_extract_feature_max_abs_diff=d_feat,
+            vlm_extract_feature_scale=scale)
     assert d_feat < 1e-3 * max(scale, 1.0)
 
     S = 300
@@ -135,6 +159,8 @@ def test_fullshape_vlm_extract_and_forward():
     d = float(np.abs(got - want).max())
     print(f"full-forward logits max-abs-diff {d:.3e} "
           f"(logit scale {np.abs(want).max():.3e})")
+    _record(vlm_forward_logits_max_abs_diff=d,
+            vlm_forward_logits_scale=float(np.abs(want).max()))
     assert d < 2e-3 * max(float(np.abs(want).max()), 1.0)
     del ref, params
     gc.collect()
@@ -244,6 +270,7 @@ def test_fullshape_vla_flow_loss_and_infer_action():
         ours.apply({"params": params}, *jargs, to(actions), to(t), to(x0))
     )
     print(f"2B flow loss: ref {loss_want:.6f} ours {loss_got:.6f}")
+    _record(vla_flow_loss_ref=loss_want, vla_flow_loss_ours=loss_got)
     np.testing.assert_allclose(loss_got, loss_want, rtol=5e-4)
 
     itp_mask, act_mask = ref.split_full_mask_into_submasks(causal_mask)
@@ -259,4 +286,5 @@ def test_fullshape_vla_flow_loss_and_infer_action():
     )
     d = float(np.abs(act_got - act_want).max())
     print(f"2B infer_action max-abs-diff {d:.3e}")
+    _record(vla_infer_action_max_abs_diff=d)
     assert d < 2e-3
