@@ -30,6 +30,51 @@ def functools_partial_donate(f):
     return jax.jit(f, donate_argnums=(0, 1, 2))
 
 
+# ---------------------------------------------------------------------------
+# On-chip numeric parity gate (round-2 VERDICT item 1): every fused kernel
+# that produces a headline number is checked against the XLA path ON THE
+# REAL CHIP before it is timed. Diffs are recorded in the BENCH extra
+# (`parity`); any violation still prints the JSON line, then exits nonzero.
+# The reference gets this layer for free from flash-attn's own CI
+# (modeling_intern_vit.py:23-96); first-party Pallas kernels need
+# first-party hardware checks.
+#
+# Tolerances: both sides run bf16 compute over identical int8 weights, so
+# the only divergence is accumulation order/precision inside the kernels.
+# Measured on v5e (2026-08, this file's first gated run): policy actions
+# diff ~2e-3 (values clipped to [-1,1]), prefix K/V diff ~3e-2 (bf16 cache
+# entries, values O(10)), token streams identical. Bounds are ~5x the
+# measured diffs.
+PARITY: dict = {}
+_PARITY_TOLS = {
+    "policy_infer_b1_max_abs_diff": 2e-2,
+    "policy_infer_b8_max_abs_diff": 2e-2,
+    "vit_prefix_kv_max_abs_diff": 2e-1,
+    "vlm_decode_tok_mismatches": 0,
+    "spec_decode_tok_mismatches": 0,
+}
+
+
+def _max_abs(a, b) -> float:
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    return float(jnp.max(jnp.abs(a - b)))
+
+
+def _record_parity(name: str, value: float) -> None:
+    PARITY[name] = round(float(value), 6)
+
+
+def _parity_violations() -> list:
+    out = []
+    for k, tol in _PARITY_TOLS.items():
+        if k not in PARITY:
+            out.append(f"{k}=MISSING (check did not run)")
+        elif PARITY[k] > tol:
+            out.append(f"{k}={PARITY[k]} > {tol}")
+    return out
+
+
 def baseline_bracket():
     """Per-phase derivation of the reference control step on one A100-80G,
     with explicit sensitivity bounds (round-1 VERDICT: the single north-star
@@ -169,7 +214,14 @@ def _bench_decode():
     )
     args = (params, jnp.asarray(ids), jnp.asarray(seg), pixels,
             jax.random.PRNGKey(0))
-    np.asarray(gen(*args)[0])  # compile
+    fused_toks = np.asarray(gen(*args)[0])  # compile
+    # on-chip parity: the fused decode stack must emit the same greedy
+    # token stream as the XLA dequant-dot generator over the same weights
+    xla_gen = make_generate_fn(model, max_new_tokens=NEW, eos_token_ids=[2],
+                               pad_token_id=0)
+    xla_toks = np.asarray(xla_gen(*args)[0])
+    _record_parity("vlm_decode_tok_mismatches",
+                   int(np.sum(fused_toks != xla_toks)))
     rtt = measure_rtt()
     ts = []
     for _ in range(3):
@@ -221,7 +273,20 @@ def _bench_spec_decode():
     )
     args = (params, jnp.asarray(ids), jnp.asarray(seg), pixels,
             jax.random.PRNGKey(0))
-    _, _, emitted, passes = map(np.asarray, spec.with_stats(*args))  # compile
+    spec_toks, spec_num, emitted, passes = map(
+        np.asarray, spec.with_stats(*args)
+    )  # compile
+    # on-chip parity: speculative output must be token-identical to
+    # sequential greedy decode (the correctness contract of
+    # inference/speculative.py)
+    from vlaser_tpu.inference.sampling import make_generate_fn
+
+    xla_gen = make_generate_fn(model, max_new_tokens=NEW, eos_token_ids=[2],
+                               pad_token_id=0)
+    xla_toks = np.asarray(xla_gen(*args)[0])
+    n = int(min(int(np.min(spec_num)), NEW))
+    _record_parity("spec_decode_tok_mismatches",
+                   int(np.sum(spec_toks[:, :n] != xla_toks[:, :n])))
     rtt = measure_rtt()
     ts = []
     for _ in range(3):
@@ -231,7 +296,31 @@ def _bench_spec_decode():
         ts.append(time.perf_counter() - t0)
     sec = max(float(np.median(ts)) - rtt, 1e-9)
     accept = emitted / max(float(np.asarray(out[3])), 1.0)
-    return emitted / sec, accept
+
+    # honest bracket (round-2 VERDICT item 8): the number above comes from
+    # random-weight greedy chains that cycle, which flatters the lookup —
+    # and because PLD looks up the GENERATED stream too, no prompt choice
+    # can un-flatter it under random weights (a templated-QA prompt was
+    # measured: identical 1.94 accept). The honest lower bound is measured
+    # directly instead: force_no_match rejects every draft, so every pass
+    # pays the full lookup + K+1-row verify + rollback for exactly 1
+    # token — the worst case of this decoder on any text. Real-checkpoint
+    # serving lands between the floor and the optimistic number.
+    spec_floor = make_speculative_generate_fn(
+        model, max_new_tokens=NEW, eos_token_ids=[2], pad_token_id=0,
+        force_no_match=True,
+    )
+    out = spec_floor.with_stats(*args)
+    float(np.asarray(out[2]))  # compile/settle
+    ts_r = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = spec_floor.with_stats(*args)
+        emitted_r = float(np.asarray(out[2]))
+        ts_r.append(time.perf_counter() - t0)
+    sec_r = max(float(np.median(ts_r)) - rtt, 1e-9)
+    accept_r = emitted_r / max(float(np.asarray(out[3])), 1.0)
+    return emitted / sec, accept, emitted_r / sec_r, accept_r
 
 
 def _make_random_quantized(shapes, patterns):
@@ -337,6 +426,92 @@ def _bench_decode_8b():
         ts.append(time.perf_counter() - t0)
     sec = max(float(np.median(ts)) - rtt, 1e-9)
     return NEW / sec
+
+
+def _bench_engine():
+    """Continuous-batching engine (serve/engine.py, the vLLM role) vs the
+    static padded batch on a MIXED-length workload: 16 requests, prompt
+    lengths 64..320 (image prompts at 320, text-only below), max_new
+    cycling 16/32/64. The static path (make_generate_fn batch 8) pads every
+    prompt to the longest and decodes everyone to 64 tokens; the engine
+    retires short rows early and admits waiting requests into freed slots.
+    Useful-token throughput counts each request's actual emitted tokens for
+    BOTH paths (the token streams are identical — greedy engine identity,
+    tests/test_engine.py). Returns (engine_tok_s, static_tok_s)."""
+    import time
+
+    from vlaser_tpu.core.config import vlaser_2b
+    from vlaser_tpu.core.quant import DEFAULT_PATTERNS, quantize_variables
+    from vlaser_tpu.inference.sampling import make_generate_fn
+    from vlaser_tpu.models.vlm import InternVLChatModel
+    from vlaser_tpu.serve.engine import ContinuousBatchingEngine, Request
+    from vlaser_tpu.utils.benchmark import measure_rtt
+
+    cfg = vlaser_2b()
+    model = InternVLChatModel(cfg, param_dtype=jnp.bfloat16,
+                              compute_dtype=jnp.bfloat16)
+    img = cfg.vision.image_size
+    N = 320
+    ids0 = np.full((1, N), 7, np.int32)
+    ids0[:, 1:257] = cfg.img_context_token_id
+    pixels1 = jnp.full((1, img, img, 3), 0.5, jnp.float32)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.asarray(ids0), pixels1,
+                           None)
+    )
+    params = quantize_variables(
+        jax.jit(lambda: jax.tree_util.tree_map(
+            lambda s: (jax.random.normal(jax.random.PRNGKey(1), s.shape,
+                                         jnp.float32) * 0.02).astype(s.dtype),
+            shapes,
+        ))(),
+        DEFAULT_PATTERNS,
+    )
+    rng = np.random.default_rng(7)
+    reqs = []
+    for i in range(16):
+        n = (64, 128, 192, 256, 320)[i % 5]
+        row = rng.integers(4, 1000, (n,)).astype(np.int32)
+        px = None
+        if n >= 320:
+            row[1:257] = cfg.img_context_token_id
+            px = np.full((1, img, img, 3), 0.5, np.float32)
+        reqs.append(Request(uid=i, input_ids=row, pixel_values=px,
+                            max_new_tokens=(16, 32, 64)[i % 3]))
+    engine = ContinuousBatchingEngine(
+        model, params, num_slots=8, max_len=448, eos_token_ids=[2],
+        pad_token_id=0, prefill_buckets=(64, 128, 192, 256, 320),
+    )
+    done = engine.run(reqs)  # compile every bucket + the decode step
+    n_tok = sum(len(c.token_ids) for c in done)
+    rtt = measure_rtt()
+    t0 = time.perf_counter()
+    done = engine.run(reqs)
+    t_engine = max(time.perf_counter() - t0 - rtt, 1e-9)
+
+    # static comparison: two padded batches of 8, everyone decoded to 64
+    gen = make_generate_fn(model, max_new_tokens=64, eos_token_ids=[2],
+                           pad_token_id=0)
+
+    def run_static():
+        for half in (reqs[:8], reqs[8:]):
+            ids = np.zeros((8, N), np.int32)
+            seg = np.zeros((8, N), np.int32)
+            tiles = []
+            for j, r in enumerate(half):
+                ids[j, : len(r.input_ids)] = r.input_ids
+                seg[j, : len(r.input_ids)] = 1
+                if r.pixel_values is not None:
+                    tiles.append(r.pixel_values)
+            px = jnp.asarray(np.concatenate(tiles, 0)) if tiles else None
+            np.asarray(gen(params, jnp.asarray(ids), jnp.asarray(seg), px,
+                           jax.random.PRNGKey(0))[0])
+
+    run_static()  # compile
+    t0 = time.perf_counter()
+    run_static()
+    t_static = max(time.perf_counter() - t0 - rtt, 1e-9)
+    return n_tok / t_engine, n_tok / t_static
 
 
 def _bench_sft_train():
@@ -554,6 +729,50 @@ def main():
 
     fused_infer = make_fused_infer_action(model)
 
+    # -- on-chip parity: fused denoise vs the XLA infer_action ------------
+    key = jax.random.PRNGKey(42)
+    par_pixels = jax.random.uniform(key, (B, img, img, 3), jnp.float32)
+    par_noise = jax.random.normal(
+        jax.random.fold_in(key, 1), (B, cfg.num_action_tokens, cfg.action_dim)
+    )
+    xla_infer = jax.jit(
+        lambda v, *a: model.apply(v, *a, method=model.infer_action)
+    )
+    a_fused = fused_infer(params, ids, par_pixels, text_mask, proprios,
+                          par_noise)
+    a_xla = xla_infer(params, ids, par_pixels, text_mask, proprios,
+                      par_noise)
+    _record_parity("policy_infer_b1_max_abs_diff", _max_abs(a_fused, a_xla))
+
+    # fused ViT-stack prefix vs the XLA prefix (isolates the encoder-kernel
+    # swap: everything downstream of the stack is shared XLA)
+    kv_xla = jax.jit(
+        lambda v, i, px, m: model.apply(v, i, px, m,
+                                        method=model.prefix_vlm_forward)
+    )(params, ids, par_pixels, text_mask)
+
+    def _fused_prefix(v, i, px, m):
+        from vlaser_tpu.kernels.fused_vit import (fused_vit_stack,
+                                                  pack_vit_stack)
+
+        vcfg = cfg.vlm.vision
+        emb = model.apply(v, px, method=model.vit_embed)
+        hidden = fused_vit_stack(
+            emb[0].astype(jnp.bfloat16), **pack_vit_stack(v),
+            num_heads=vcfg.num_heads, eps=vcfg.layer_norm_eps,
+            qk_norm=vcfg.qk_normalization, interpret=False,
+        )
+        embeds = model.apply(v, i, hidden[None].astype(emb.dtype),
+                             method=model.fuse_vit_features)
+        return model.apply(v, embeds, m, method=model.vlm_prefix_from_embeds)
+
+    kv_fused = jax.jit(_fused_prefix)(params, ids, par_pixels, text_mask)
+    _record_parity(
+        "vit_prefix_kv_max_abs_diff",
+        max(_max_abs(kv_fused[0], kv_xla[0]), _max_abs(kv_fused[1], kv_xla[1])),
+    )
+    del kv_fused, kv_xla, a_fused, a_xla
+
     def control_step(carry, params):
         # dependency chain: pixels and noise derive from the previous action
         # chunk so scan iterations cannot be overlapped or elided
@@ -583,6 +802,19 @@ def main():
     ids8 = jnp.broadcast_to(ids, (B8, S))
     mask8 = jnp.broadcast_to(text_mask, (B8, S))
     pr8 = jnp.zeros((B8, cfg.cond_steps, cfg.proprio_dim), jnp.float32)
+
+    # on-chip parity: batched fused path vs XLA infer_action at batch 8
+    # (distinct streams per row so a row-mixing bug cannot cancel out)
+    par_px8 = jax.random.uniform(jax.random.fold_in(key, 2),
+                                 (B8, img, img, 3), jnp.float32)
+    par_nz8 = jax.random.normal(
+        jax.random.fold_in(key, 3),
+        (B8, cfg.num_action_tokens, cfg.action_dim),
+    )
+    a8_fused = batched_infer(params, ids8, par_px8, mask8, pr8, par_nz8)
+    a8_xla = xla_infer(params, ids8, par_px8, mask8, pr8, par_nz8)
+    _record_parity("policy_infer_b8_max_abs_diff", _max_abs(a8_fused, a8_xla))
+    del a8_fused, a8_xla, par_px8, par_nz8
 
     def control_step8(carry, params):
         feed = jnp.mean(carry) * 1e-6
@@ -617,9 +849,16 @@ def main():
     except Exception:
         decode_8b_tok_s = float("nan")
     try:
-        spec_tok_s, spec_accept = _bench_spec_decode()
+        spec_tok_s, spec_accept, spec_tok_s_floor, spec_accept_floor = (
+            _bench_spec_decode()
+        )
     except Exception:
-        spec_tok_s, spec_accept = float("nan"), float("nan")
+        spec_tok_s = spec_accept = float("nan")
+        spec_tok_s_floor = spec_accept_floor = float("nan")
+    try:
+        engine_tok_s, static_tok_s = _bench_engine()
+    except Exception:
+        engine_tok_s, static_tok_s = float("nan"), float("nan")
 
     print(
         json.dumps(
@@ -644,18 +883,38 @@ def main():
                     "vlm_decode_tok_per_sec": round(decode_tok_s, 1),
                     "vlm_decode_spec_tok_per_sec": round(spec_tok_s, 1),
                     "spec_accept_tok_per_pass": round(spec_accept, 2),
+                    # measured worst case: every draft rejected, full
+                    # speculation overhead paid — see _bench_spec_decode
+                    "vlm_decode_spec_tok_per_sec_floor": round(
+                        spec_tok_s_floor, 1
+                    ),
+                    "spec_accept_tok_per_pass_floor": round(
+                        spec_accept_floor, 2
+                    ),
                     "vlm_decode_b8_tok_per_sec": round(decode_b8_tok_s, 1),
+                    # mixed-length serving: engine vs static padded batch
+                    # over identical requests/tokens (_bench_engine)
+                    "engine_mixed_tok_per_sec": round(engine_tok_s, 1),
+                    "static_batch_mixed_tok_per_sec": round(static_tok_s, 1),
                     "vlm8b_decode_tok_per_sec": round(decode_8b_tok_s, 1),
                     "sft_train_tok_per_sec": round(sft_tok_s, 1),
                     "sft_step_ms": round(sft_step_s * 1e3, 2),
                     "sft16k_tok_per_sec": round(sft16k_tok_s, 1),
                     "weights": "int8 weight-only (per-channel), bf16 compute",
                     "device": str(jax.devices()[0]),
+                    # on-chip fused-vs-XLA parity, asserted before timing
+                    # (tolerances in bench._PARITY_TOLS)
+                    "parity": dict(PARITY),
+                    "parity_violations": _parity_violations(),
                     "baseline_note": "estimated A100 reference (no published numbers); per-phase derivation + tf32-vs-fp32 sensitivity bracket in bench.baseline_bracket(), headline divides by the conservative tf32 ceiling",
                 },
             }
         )
     )
+    if _parity_violations():
+        print("PARITY GATE FAILED: " + "; ".join(_parity_violations()),
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
