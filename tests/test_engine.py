@@ -54,10 +54,13 @@ def _sequential_oracle(model, params, input_ids, pixels=None, max_new=MAX_NEW,
     return trim_output(tokens, num, EOS)[0]
 
 
-def test_staggered_text_requests_match_sequential(vlm):
+@pytest.mark.parametrize("chunk_size", [1, 3, 16])
+def test_staggered_text_requests_match_sequential(vlm, chunk_size):
     """7 text prompts of different lengths through 3 slots: every request's
     greedy output equals its solo decode (forces slot reuse + mid-flight
-    admission at mismatched fill depths)."""
+    admission at mismatched fill depths). chunk_size 1 = one host sync per
+    token; 3 = requests span chunks and die mid-chunk; 16 = a whole request
+    inside one on-device chunk — all must be invisible."""
     cfg, model, params = vlm
     rng = np.random.default_rng(7)
     prompts = [rng.integers(1, 400, (n,)).astype(np.int32)
@@ -65,6 +68,7 @@ def test_staggered_text_requests_match_sequential(vlm):
     engine = ContinuousBatchingEngine(
         model, params, num_slots=3, max_len=64, eos_token_ids=EOS,
         pad_token_id=0, prefill_buckets=(16,), cache_dtype=jnp.float32,
+        chunk_size=chunk_size,
     )
     reqs = [Request(uid=i, input_ids=p, max_new_tokens=MAX_NEW)
             for i, p in enumerate(prompts)]

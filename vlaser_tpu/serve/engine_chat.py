@@ -44,6 +44,7 @@ class EngineChat:
         tile_buckets: Optional[Sequence[int]] = (1, 2, 4, 7, 13),
         system_message: Optional[str] = None,
         cache_dtype=jnp.bfloat16,
+        chunk_size: int = 16,
     ):
         self.model = model
         self.tokenizer = tokenizer
@@ -64,6 +65,7 @@ class EngineChat:
             prefill_buckets=prefill_buckets,
             tile_buckets=tile_buckets,
             cache_dtype=cache_dtype,
+            chunk_size=chunk_size,
         )
         self._uid = 0
 
