@@ -153,3 +153,26 @@ def test_chat_speculative_path_matches_default(vlm):
     want = base.chat("what do you see?", pixels)
     got = spec.chat("what do you see?", pixels)
     assert got == want
+
+
+def test_spec_floor_mode_identical_one_token_per_pass(vlm):
+    """force_no_match (the bench worst-case floor) still emits the exact
+    sequential-greedy stream, at exactly 1 token per verify pass."""
+    cfg, model, params, ids, pixels = vlm
+    seg = np.ones_like(ids, np.int32)
+    gen = make_generate_fn(
+        model, max_new_tokens=16, eos_token_ids=[3], pad_token_id=0,
+        cache_dtype=jnp.float32,
+    )
+    floor = make_speculative_generate_fn(
+        model, max_new_tokens=16, eos_token_ids=[3], pad_token_id=0,
+        draft_len=4, cache_dtype=jnp.float32, force_no_match=True,
+    )
+    args = (params, jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(pixels),
+            jax.random.PRNGKey(0))
+    want_t, want_n = gen(*args)
+    got_t, got_n, emitted, passes = floor.with_stats(*args)
+    assert trim_output(got_t, got_n, [3]) == trim_output(want_t, want_n, [3])
+    # emitted counts the prefill token too; every verify pass yields its 1
+    # bonus token and nothing more
+    assert int(emitted) == int(passes) + 1

@@ -72,12 +72,19 @@ def make_speculative_generate_fn(
     draft_len: int = 8,
     ngram: int = 2,
     cache_dtype=jnp.bfloat16,
+    force_no_match: bool = False,
 ):
     """Build fn(params, input_ids, seg_ids, pixel_values, rng) ->
     (tokens [1, max_new_tokens], lengths [1]) — the make_generate_fn
     interface, greedy only, batch 1 only. Output tokens are identical to
     make_generate_fn(temperature=0); only the number of model passes differs
-    (reported per-pass acceptance is (tokens emitted)/(verify passes))."""
+    (reported per-pass acceptance is (tokens emitted)/(verify passes)).
+
+    force_no_match=True rejects every draft (acceptance pinned to the 1
+    bonus token per pass) while still paying the full lookup + K+1-row
+    verify + rollback machinery — the measured WORST-CASE throughput of
+    this decoder (bench.py reports it as the spec-decode floor; outputs
+    stay token-identical to sequential greedy decode either way)."""
     eos = jnp.asarray(list(eos_token_ids), jnp.int32)
     llm = model.cfg.llm
     k = int(draft_len)
@@ -128,6 +135,8 @@ def make_speculative_generate_fn(
             )
             targets = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)  # [K+1]
             match = (draft == targets[:k]).astype(jnp.int32)
+            if force_no_match:
+                match = jnp.zeros_like(match)
             a = jnp.sum(jnp.cumprod(match))  # leading accepted drafts, 0..K
             idx = jnp.arange(k + 1, dtype=jnp.int32)
             committed = idx <= a

@@ -70,8 +70,14 @@ def _erf(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _make_kernel(*, L, B, Sp, hidden, inter, heads, head_dim, eps, qk_norm):
+def _make_kernel(*, L, B, Sp, hidden, inter, heads, head_dim, eps, qk_norm,
+                 ablate=""):
+    """`ablate` is a PROFILING-ONLY hook (scripts/profile_control_step.py)
+    that voids one compute stage to locate where kernel time goes; every
+    production call site passes the default "" (parity-gated on-chip in
+    bench.py). Values: nogelu | nosoftmax | noattn."""
     assert heads * head_dim == hidden
+    assert ablate in ("", "nogelu", "nosoftmax", "noattn")
 
     def kernel(
         x_ref,          # [B*Sp, hidden] bf16 (HBM; DMA'd into x_s)
@@ -147,13 +153,18 @@ def _make_kernel(*, L, B, Sp, hidden, inter, heads, head_dim, eps, qk_norm):
                 scale = head_dim**-0.5
 
                 def one_head(qh, kh, vh):
+                    if ablate == "noattn":
+                        return vh
                     s_ = jax.lax.dot_general(
                         qh, kh, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # [Sp, Sp]
-                    p = jax.nn.softmax(
-                        s_ + kmask[None, :], axis=-1
-                    ).astype(jnp.bfloat16)
+                    if ablate == "nosoftmax":
+                        p = (s_ * 0.001).astype(jnp.bfloat16)
+                    else:
+                        p = jax.nn.softmax(
+                            s_ + kmask[None, :], axis=-1
+                        ).astype(jnp.bfloat16)
                     return jax.lax.dot_general(
                         p, vh, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
@@ -237,7 +248,8 @@ def _make_kernel(*, L, B, Sp, hidden, inter, heads, head_dim, eps, qk_norm):
                         preferred_element_type=jnp.float32,
                     ) + fc1b_ref[l][ch].astype(jnp.float32)
                     # exact-erf GELU (reference nn.GELU; parity w/ XLA)
-                    m = 0.5 * m * (1.0 + _erf(m * (2.0**-0.5)))
+                    if ablate != "nogelu":
+                        m = 0.5 * m * (1.0 + _erf(m * (2.0**-0.5)))
                     m2 = m2 + jax.lax.dot_general(
                         m.astype(jnp.bfloat16), w_fc2[slot][ch, :],
                         (((1,), (0,)), ((), ())),
@@ -270,7 +282,7 @@ def _pad_rows(s: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "eps", "qk_norm",
-                                              "interpret"))
+                                              "interpret", "ablate"))
 def fused_vit_stack(
     x,  # [B, S, hidden] or [S, hidden] bf16 (embeddings + pos, CLS incl.)
     ln1w, ln1b, ln2w, ln2b, ls1, ls2, qnw, knw,
@@ -280,6 +292,7 @@ def fused_vit_stack(
     eps: float = 1e-6,
     qk_norm: bool = False,
     interpret: bool = False,
+    ablate: str = "",  # profiling only — see _make_kernel
 ):
     """-> x_out (same leading shape as x) after the full L-layer stack."""
     squeeze = x.ndim == 2
@@ -299,7 +312,7 @@ def fused_vit_stack(
 
     kernel = _make_kernel(
         L=L, B=B, Sp=Sp, hidden=hidden, inter=inter, heads=heads,
-        head_dim=head_dim, eps=eps, qk_norm=qk_norm,
+        head_dim=head_dim, eps=eps, qk_norm=qk_norm, ablate=ablate,
     )
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = lambda: pl.BlockSpec(memory_space=pltpu.ANY)
