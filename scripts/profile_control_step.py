@@ -4,11 +4,16 @@ Times each phase of the serving control step (the north-star path,
 SURVEY.md §3.4) in isolation, plus compute-stage ablations of the fused
 ViT kernel, to locate optimization headroom against the rooflines in
 docs/STATUS.md. Prints one JSON dict. Run on the real TPU (no env vars).
+
+All timings go through utils/benchmark.time_scanned: on the axon-tunnel
+backend `block_until_ready` acknowledges before device completion, so
+naive timing loops measure only Python dispatch. time_scanned chains
+dependent iterations inside one jitted lax.scan and subtracts the
+measured host round-trip.
 """
 
 import json
 import sys
-import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
@@ -17,23 +22,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _timeit(fn, *args, iters=20, warmup=2):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3  # ms
-
-
 def main():
     from vlaser_tpu.core.config import vlaser_2b_vla
     from vlaser_tpu.core.quant import POLICY_PATTERNS, quantize_variables
     from vlaser_tpu.kernels.fused_vit import fused_vit_stack, pack_vit_stack
-    from vlaser_tpu.policy.fused_infer import make_fused_infer_action
+    from vlaser_tpu.policy.fused_infer import (make_batched_infer_action,
+                                               make_fused_infer_action)
     from vlaser_tpu.policy.pizero import PiZeroVLA
+    from vlaser_tpu.utils.benchmark import time_scanned
 
     res = {}
     cfg = vlaser_2b_vla()
@@ -68,66 +64,81 @@ def main():
         POLICY_PATTERNS,
     )
 
+    def ms(step_fn, carry0, iters=40, repeats=3):
+        return time_scanned(step_fn, carry0, params, iters=iters,
+                            repeats=repeats) * 1e3
+
     # --- phase 1: ViT embed (conv patching + pos emb) ---------------------
-    embed = jax.jit(lambda v, px: model.apply(v, px, method=model.vit_embed))
-    res["vit_embed_ms"] = _timeit(embed, params, pixels)
-    emb = embed(params, pixels)
+    def embed_step(c, v):
+        e = model.apply(v, pixels + c * 1e-9, method=model.vit_embed)
+        return jnp.mean(e).astype(jnp.float32)
+
+    res["vit_embed_ms"] = ms(embed_step, jnp.zeros(()))
 
     # --- phase 2: fused ViT kernel, whole + ablations ---------------------
-    stack = pack_vit_stack(params)
+    emb = jax.jit(
+        lambda v, px: model.apply(v, px, method=model.vit_embed)
+    )(params, pixels)
     x1 = emb[0].astype(jnp.bfloat16)
+    x8 = jnp.broadcast_to(emb.astype(jnp.bfloat16), (8, *emb.shape[1:]))
 
-    def vit(ab):
-        return _timeit(
-            lambda x: fused_vit_stack(
-                x, **stack, num_heads=vcfg.num_heads,
+    def vit_ms(x0, ab, iters=40):
+        def step(c, v):
+            x = x0 + c.astype(jnp.bfloat16) * 1e-9
+            h = fused_vit_stack(
+                x, **pack_vit_stack(v), num_heads=vcfg.num_heads,
                 eps=vcfg.layer_norm_eps, qk_norm=vcfg.qk_normalization,
                 ablate=ab,
-            ),
-            x1,
-        )
+            )
+            return jnp.mean(h).astype(jnp.float32)
 
-    res["fused_vit_b1_ms"] = vit("")
-    res["fused_vit_b1_nogelu_ms"] = vit("nogelu")
-    res["fused_vit_b1_nosoftmax_ms"] = vit("nosoftmax")
-    res["fused_vit_b1_noattn_ms"] = vit("noattn")
+        return ms(step, jnp.zeros(()), iters=iters)
 
-    # batch 8
-    x8 = jnp.broadcast_to(emb.astype(jnp.bfloat16), (8, *emb.shape[1:]))
-    res["fused_vit_b8_ms"] = _timeit(
-        lambda x: fused_vit_stack(
-            x, **stack, num_heads=vcfg.num_heads, eps=vcfg.layer_norm_eps,
-            qk_norm=vcfg.qk_normalization,
-        ),
-        x8, iters=5,
-    )
-    res["fused_vit_b8_nosoftmax_ms"] = _timeit(
-        lambda x: fused_vit_stack(
-            x, **stack, num_heads=vcfg.num_heads, eps=vcfg.layer_norm_eps,
-            qk_norm=vcfg.qk_normalization, ablate="nosoftmax",
-        ),
-        x8, iters=5,
-    )
+    res["fused_vit_b1_ms"] = vit_ms(x1, "")
+    res["fused_vit_b1_nogelu_ms"] = vit_ms(x1, "nogelu")
+    res["fused_vit_b1_nosoftmax_ms"] = vit_ms(x1, "nosoftmax")
+    res["fused_vit_b1_noattn_ms"] = vit_ms(x1, "noattn")
+    res["fused_vit_b8_ms"] = vit_ms(x8, "", iters=10)
+    res["fused_vit_b8_nosoftmax_ms"] = vit_ms(x8, "nosoftmax", iters=10)
+
+    # XLA encoder for comparison (the non-fused path)
+    def xla_vit_step(c, v):
+        h = model.apply(v, pixels + c * 1e-9, method=model.vit_encode)
+        return jnp.mean(h).astype(jnp.float32)
+
+    if hasattr(model, "vit_encode"):
+        res["xla_vit_b1_ms"] = ms(xla_vit_step, jnp.zeros(()))
 
     # --- phase 3: full vlm prefix (embed + kernel + fuse + KV) ------------
-    def _fused_prefix(v, i, px, m):
+    def _fused_prefix(v, px):
         e = model.apply(v, px, method=model.vit_embed)
         hidden = fused_vit_stack(
             e[0].astype(jnp.bfloat16), **pack_vit_stack(v),
             num_heads=vcfg.num_heads, eps=vcfg.layer_norm_eps,
             qk_norm=vcfg.qk_normalization,
         )
-        embeds = model.apply(v, i, hidden[None].astype(e.dtype),
+        embeds = model.apply(v, ids, hidden[None].astype(e.dtype),
                              method=model.fuse_vit_features)
-        return model.apply(v, embeds, m, method=model.vlm_prefix_from_embeds)
+        return model.apply(v, embeds, text_mask,
+                           method=model.vlm_prefix_from_embeds)
 
-    res["prefix_full_ms"] = _timeit(jax.jit(_fused_prefix), params, ids,
-                                    pixels, text_mask)
+    def prefix_step(c, v):
+        kv = _fused_prefix(v, pixels + c * 1e-9)
+        return jnp.mean(kv[0][0].astype(jnp.float32))
+
+    res["prefix_full_ms"] = ms(prefix_step, jnp.zeros(()))
 
     # --- phase 4: whole control step at 10 / 20 denoise steps -------------
     infer10 = make_fused_infer_action(model)
-    res["infer_total_ms"] = _timeit(infer10, params, ids, pixels, text_mask,
-                                    proprios, noise)
+
+    def infer_step(c, v):
+        feed = jnp.mean(c) * 1e-6
+        out = infer10(v, ids, pixels + feed, text_mask, proprios,
+                      noise + feed)
+        return out.astype(jnp.float32)
+
+    carry0 = jnp.zeros((B, cfg.horizon_steps, cfg.action_dim), jnp.float32)
+    res["infer_total_ms"] = ms(infer_step, carry0)
 
     import dataclasses
 
@@ -135,13 +146,36 @@ def main():
     model20 = PiZeroVLA(cfg20, param_dtype=jnp.bfloat16,
                         compute_dtype=jnp.bfloat16)
     infer20 = make_fused_infer_action(model20)
-    t20 = _timeit(infer20, params, ids, pixels, text_mask, proprios, noise)
+
+    def infer20_step(c, v):
+        feed = jnp.mean(c) * 1e-6
+        out = infer20(v, ids, pixels + feed, text_mask, proprios,
+                      noise + feed)
+        return out.astype(jnp.float32)
+
+    t20 = ms(infer20_step, carry0)
     res["infer_total_20step_ms"] = t20
     res["denoise_per_step_ms"] = (t20 - res["infer_total_ms"]) / 10.0
     res["denoise_10step_ms"] = res["denoise_per_step_ms"] * 10.0
     res["prefix_plus_overhead_ms"] = (
         res["infer_total_ms"] - res["denoise_10step_ms"]
     )
+
+    # --- batch 8 step (the aggregate-throughput path) ----------------------
+    binfer = make_batched_infer_action(model)
+    B8 = 8
+    ids8 = jnp.broadcast_to(ids, (B8, S))
+    mask8 = jnp.broadcast_to(text_mask, (B8, S))
+    pr8 = jnp.zeros((B8, cfg.cond_steps, cfg.proprio_dim), jnp.float32)
+
+    def infer8_step(c, v):
+        feed = jnp.mean(c) * 1e-6
+        px = jnp.full((B8, img, img, 3), 0.5, jnp.float32) + feed
+        nz = jnp.zeros((B8, cfg.num_action_tokens, cfg.action_dim)) + feed
+        return binfer(v, ids8, px, mask8, pr8, nz).astype(jnp.float32)
+
+    carry8 = jnp.zeros((B8, cfg.horizon_steps, cfg.action_dim), jnp.float32)
+    res["infer_b8_total_ms"] = ms(infer8_step, carry8, iters=10, repeats=2)
 
     for k, v in sorted(res.items()):
         res[k] = round(v, 3)

@@ -229,19 +229,21 @@ def make_fused_generate_fn(
             nxt_done = jnp.logical_or(
                 done, jnp.any(nxt[:, None] == eos[None, :], axis=-1)
             )
-            return (cache, nxt, nxt_done), out_token
+            return (cache, nxt, nxt_done), (out_token, ~done)
 
-        (cache, token, done), tokens = jax.lax.scan(
+        (cache, token, done), (tokens, lives) = jax.lax.scan(
             step, (cache, token, done), jnp.arange(max_new_tokens - 1)
         )
         last_token = jnp.where(done, pad_token_id, token)
         tokens = jnp.concatenate(
             [jnp.transpose(tokens, (1, 0)), last_token[:, None]], axis=1
         )
-        num = jnp.sum(
-            jnp.cumprod((tokens != pad_token_id).astype(jnp.int32), axis=1),
-            axis=1,
+        # explicit liveness count (not a pad-value sentinel), matching
+        # make_generate_fn: an argmax'd pad id is a real token
+        lives = jnp.concatenate(
+            [jnp.transpose(lives, (1, 0)), (~done)[:, None]], axis=1
         )
+        num = jnp.sum(lives.astype(jnp.int32), axis=1)
         return tokens, num
 
     return generate

@@ -162,9 +162,9 @@ def make_generate_fn(
             )
             if use_penalty:
                 seen = seen.at[jnp.arange(b), nxt].max(~nxt_done)
-            return (cache, nxt, nxt_done, lengths, seen, rng), out_token
+            return (cache, nxt, nxt_done, lengths, seen, rng), (out_token, ~done)
 
-        (cache, token, done, _, _, _), tokens = jax.lax.scan(
+        (cache, token, done, _, _, _), (tokens, lives) = jax.lax.scan(
             step,
             (cache, token, done, lengths, seen, rng),
             jnp.arange(max_new_tokens - 1),
@@ -173,9 +173,14 @@ def make_generate_fn(
         tokens = jnp.concatenate(
             [jnp.transpose(tokens, (1, 0)), last_token[:, None]], axis=1
         )
-        num = jnp.sum(
-            jnp.cumprod((tokens != pad_token_id).astype(jnp.int32), axis=1), axis=1
+        # emitted-token count from explicit liveness flags, NOT a pad-value
+        # sentinel: the model can legitimately argmax the pad id, and the
+        # continuous-batching engine (serve/engine.py) keeps such a token —
+        # both decoders must agree on the stream
+        lives = jnp.concatenate(
+            [jnp.transpose(lives, (1, 0)), (~done)[:, None]], axis=1
         )
+        num = jnp.sum(lives.astype(jnp.int32), axis=1)
         return tokens, num
 
     return generate

@@ -170,12 +170,10 @@ def make_speculative_generate_fn(
         tokens = jax.lax.dynamic_slice(buf, (length,), (max_new_tokens,))
         keep = jnp.arange(max_new_tokens, dtype=jnp.int32) < g
         tokens = jnp.where(keep, tokens, pad_token_id)[None, :]
-        # same length rule as make_generate_fn: cut at the first pad-valued
-        # token (a model CAN argmax the pad id; both decoders must agree)
-        num = jnp.sum(
-            jnp.cumprod((tokens != pad_token_id).astype(jnp.int32), axis=1),
-            axis=1,
-        )
+        # same length rule as make_generate_fn: the committed count itself
+        # (a model CAN argmax the pad id — such a token is real and kept;
+        # trim_output cuts at EOS, which spec decode emits into the stream)
+        num = jnp.minimum(g, max_new_tokens)[None]
         return tokens, num, g, passes
 
     def fn(params, input_ids, seg_ids, pixel_values, rng):

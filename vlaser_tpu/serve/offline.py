@@ -1,0 +1,276 @@
+"""Offline batch serving: the whole multi-request schedule in ONE jit.
+
+The reference's QA pipeline hands vLLM the full prompt list up front
+(data-pipeline/RoboTwin-QA/GeneralQA.py:190 builds batches and calls the
+engine over them; filter.py scores the same way) — the offline
+`LLM.generate(prompts)` mode, not an online server. For that mode the
+host-interactive engine (serve/engine.py) pays one host<->device round
+trip per decode chunk and per admission, which dominates wall time when
+the host link is slow (measured ~35 ms RTT through a tunneled chip — the
+scheduler, not the TPU, becomes the bottleneck).
+
+This module compiles the ENTIRE schedule onto the device: admission
+(prefill into a vacant slot straight from a device-resident prompt
+buffer), chunked decode, per-row retirement, and output scatter all run
+inside one `lax.while_loop`; the host dispatches once and reads
+(tokens, lengths) once. Greedy decoding, token-identical to
+serve/engine.ContinuousBatchingEngine and to per-request
+`make_generate_fn` (pinned by tests/test_offline.py).
+
+Trade-offs vs the host-driven engine (both deliberate):
+- one prompt width: every prompt pads to the widest (the engine buckets
+  prefill widths instead). Wasted prefill FLOPs buy zero scheduler RTTs.
+- pixels are a dense [R, T, ...] buffer with per-tile flags; text-only
+  rows run the ViT on zero tiles whose features are masked out of the
+  scatter. Static shapes are what let the whole loop compile once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..inference.kv_cache import KVCache
+from .engine import Completion, Request, _pick_bucket
+
+
+def make_offline_runner(
+    model,
+    *,
+    num_slots: int,
+    max_len: int,
+    max_new_cap: int,
+    eos_token_ids: Sequence[int],
+    pad_token_id: int,
+    chunk_size: int = 32,
+    cache_dtype=jnp.bfloat16,
+):
+    """-> run(params, prompts [R, W], seg [R, W], max_new [R],
+    pixels [R, T, H, W, 3] | None, image_flags [R, T] | None)
+    -> (tokens [R, max_new_cap] int32 (pad-filled), lengths [R] int32).
+
+    Generated streams match ContinuousBatchingEngine.run / solo
+    make_generate_fn greedy decode; EOS is excluded and stops the row.
+    """
+    llm = model.cfg.llm
+    assert llm.sliding_window is None
+    eos = jnp.asarray(list(eos_token_ids), jnp.int32)
+    pad = int(pad_token_id)
+    B = int(num_slots)
+    K = int(chunk_size)
+
+    def _admit_one(b, params, prompts, seg, max_new, pixels, image_flags, S):
+        """Prefill prompt `next_req` into vacant slot b (runs under cond)."""
+        (next_req, cache, slot_req, last_tok, budget, alive, out_buf,
+         out_len) = S
+        r = next_req
+        ids1 = jax.lax.dynamic_slice_in_dim(prompts, r, 1, 0)  # [1, W]
+        seg1 = jax.lax.dynamic_slice_in_dim(seg, r, 1, 0)
+        true_len = jnp.sum((seg1[0] != 0).astype(jnp.int32))
+        px = flags = None
+        if pixels is not None:
+            px = jax.lax.dynamic_slice_in_dim(pixels, r, 1, 0)[0]  # [T,...]
+            flags = jax.lax.dynamic_slice_in_dim(image_flags, r, 1, 0)[0]
+        W = prompts.shape[1]
+        small = KVCache.create(llm.num_layers, 1, W, llm.num_kv_heads,
+                               llm.head_dim, dtype=cache_dtype)
+        logits, _, c1 = model.apply(
+            params, ids1, px, seg1, small, image_flags=flags,
+            method=model.prefill,
+        )
+        first = jnp.argmax(logits[0, true_len - 1]).astype(jnp.int32)
+
+        # splice the [1, W] cache into slot b of the big cache (the same
+        # metadata-clearing insert as engine.insert)
+        k = jax.lax.dynamic_update_slice(
+            cache.k, c1.k.astype(cache.k.dtype), (0, b, 0, 0, 0))
+        v = jax.lax.dynamic_update_slice(
+            cache.v, c1.v.astype(cache.v.dtype), (0, b, 0, 0, 0))
+        row_seg = jnp.zeros((1, cache.seg.shape[1]), jnp.int32)
+        row_seg = jax.lax.dynamic_update_slice(row_seg, c1.seg, (0, 0))
+        segc = jax.lax.dynamic_update_slice(cache.seg, row_seg, (b, 0))
+        row_lev = jnp.zeros((1, cache.lev.shape[1]), jnp.int32)
+        row_lev = jax.lax.dynamic_update_slice(row_lev, c1.lev, (0, 0))
+        levc = jax.lax.dynamic_update_slice(cache.lev, row_lev, (b, 0))
+        length = jax.lax.dynamic_update_index_in_dim(
+            cache.length, true_len, b, axis=0)
+        cache = cache.replace(k=k, v=v, seg=segc, lev=levc, length=length)
+
+        mn = max_new[r]
+        is_eos = jnp.any(first == eos)
+        done1 = is_eos | (mn <= 1)
+        out_buf = out_buf.at[r, 0].set(jnp.where(is_eos, out_buf[r, 0],
+                                                 first))
+        out_len = out_len.at[r].set(jnp.where(is_eos, 0, 1))
+        slot_req = slot_req.at[b].set(jnp.where(done1, -1, r))
+        last_tok = last_tok.at[b].set(first)
+        budget = budget.at[b].set(mn - 1)
+        alive = alive.at[b].set(~done1)
+        return (next_req + 1, cache, slot_req, last_tok, budget, alive,
+                out_buf, out_len)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(params, prompts, seg, max_new, pixels=None, image_flags=None):
+        R, W = prompts.shape
+        assert W + max_new_cap <= max_len, (
+            f"prompt width {W} + max_new_cap {max_new_cap} exceeds "
+            f"max_len {max_len}"
+        )
+        cache = KVCache.create(
+            llm.num_layers, B, max_len, llm.num_kv_heads, llm.head_dim,
+            dtype=cache_dtype,
+        ).replace(length=jnp.zeros((B,), jnp.int32))
+        state = (
+            jnp.zeros((), jnp.int32),                       # next_req
+            cache,
+            jnp.full((B,), -1, jnp.int32),                  # slot_req
+            jnp.full((B,), pad, jnp.int32),                 # last_tok
+            jnp.zeros((B,), jnp.int32),                     # budget
+            jnp.zeros((B,), bool),                          # alive
+            jnp.full((R, max_new_cap), pad, jnp.int32),     # out_buf
+            jnp.zeros((R,), jnp.int32),                     # out_len
+        )
+
+        def outer_cond(S):
+            next_req, _, _, _, _, alive = S[0], S[1], S[2], S[3], S[4], S[5]
+            return jnp.logical_or(next_req < R, jnp.any(alive))
+
+        def outer_body(S):
+            # 1) admission: one pass over the slots, prefilling a waiting
+            # request into each vacant one
+            def admit(b, S):
+                do = jnp.logical_and(~S[5][b], S[0] < R)
+                return jax.lax.cond(
+                    do,
+                    lambda S: _admit_one(b, params, prompts, seg, max_new,
+                                         pixels, image_flags, S),
+                    lambda S: S,
+                    S,
+                )
+
+            S = jax.lax.fori_loop(0, B, admit, S, unroll=False)
+            (next_req, cache, slot_req, last_tok, budget, alive, out_buf,
+             out_len) = S
+
+            # 2) chunked decode with on-device retirement (the device twin
+            # of engine.run step 2/3, plus the output scatter)
+            def dec_cond(T):
+                step = T[0]
+                return jnp.logical_and(step < K, jnp.any(T[3]))
+
+            def dec_body(T):
+                (step, cache, last_tok, alive, budget, out_buf,
+                 out_len) = T
+                seg1 = alive.astype(jnp.int32)[:, None]
+                positions = cache.length[:, None]
+                logits, _, cache = model.apply(
+                    params, last_tok[:, None], cache, positions, seg1,
+                    method=model.decode_step,
+                )
+                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                is_eos = jnp.any(nxt[:, None] == eos[None, :], axis=-1)
+                commit = jnp.logical_and(alive, ~is_eos)
+                # scatter committed tokens into their request rows;
+                # non-committing rows aim out of bounds and are dropped
+                rows = jnp.where(commit, slot_req, R)
+                cursor = out_len[jnp.clip(slot_req, 0, None)]
+                out_buf = out_buf.at[rows, cursor].set(
+                    nxt, mode="drop", indices_are_sorted=False)
+                out_len = out_len.at[rows].add(1, mode="drop")
+                budget = budget - alive.astype(jnp.int32)
+                alive = jnp.logical_and(
+                    jnp.logical_and(alive, ~is_eos), budget > 0)
+                last_tok = jnp.where(alive, nxt, last_tok)
+                return (step + 1, cache, last_tok, alive, budget, out_buf,
+                        out_len)
+
+            T = jax.lax.while_loop(
+                dec_cond, dec_body,
+                (jnp.zeros((), jnp.int32), cache, last_tok, alive, budget,
+                 out_buf, out_len),
+            )
+            (_, cache, last_tok, alive, budget, out_buf, out_len) = T
+            # retired slots become vacant for the next admission pass
+            slot_req = jnp.where(alive, slot_req, -1)
+            return (next_req, cache, slot_req, last_tok, budget, alive,
+                    out_buf, out_len)
+
+        S = jax.lax.while_loop(outer_cond, outer_body, state)
+        return S[6], S[7]
+
+    return run
+
+
+def run_offline(
+    model,
+    params,
+    requests: Sequence[Request],
+    *,
+    num_slots: int = 8,
+    max_len: int = 1024,
+    eos_token_ids: Sequence[int],
+    pad_token_id: int,
+    chunk_size: int = 32,
+    cache_dtype=jnp.bfloat16,
+    prefill_buckets: Optional[Sequence[int]] = None,
+) -> List[Completion]:
+    """Engine-API convenience wrapper: pad the request list into the dense
+    device buffers, run the one-jit schedule, unpack Completions (sorted by
+    uid like sorted(engine.run(...)))."""
+    assert requests
+    lens = [len(r.input_ids) for r in requests]
+    W = _pick_bucket(max(lens), prefill_buckets) if prefill_buckets \
+        else max(lens)
+    cap = max(r.max_new_tokens for r in requests)
+    for r in requests:
+        if r.max_new_tokens < 1:
+            raise ValueError(f"request {r.uid}: max_new_tokens must be >= 1")
+        if r.temperature > 0.0:
+            raise ValueError("run_offline is greedy-only; use "
+                             "ContinuousBatchingEngine for sampled requests")
+        assert len(r.input_ids) + r.max_new_tokens <= max_len
+
+    R = len(requests)
+    prompts = np.full((R, W), pad_token_id, np.int32)
+    seg = np.zeros((R, W), np.int32)
+    max_new = np.zeros((R,), np.int32)
+    tiles = [0 if r.pixel_values is None else np.asarray(r.pixel_values).shape[0]
+             for r in requests]
+    T = max(tiles)
+    pixels = flags = None
+    if T > 0:
+        sample = next(np.asarray(r.pixel_values) for r in requests
+                      if r.pixel_values is not None)
+        pixels = np.zeros((R, T) + sample.shape[1:], sample.dtype)
+        flags = np.zeros((R, T), np.int32)
+    for i, r in enumerate(requests):
+        n = len(r.input_ids)
+        prompts[i, :n] = r.input_ids
+        seg[i, :n] = 1
+        max_new[i] = r.max_new_tokens
+        if pixels is not None and r.pixel_values is not None:
+            t = tiles[i]
+            pixels[i, :t] = np.asarray(r.pixel_values)
+            flags[i, :t] = 1
+
+    run = make_offline_runner(
+        model, num_slots=num_slots, max_len=max_len, max_new_cap=int(cap),
+        eos_token_ids=eos_token_ids, pad_token_id=pad_token_id,
+        chunk_size=chunk_size, cache_dtype=cache_dtype,
+    )
+    toks, lens_out = run(
+        params, jnp.asarray(prompts), jnp.asarray(seg), jnp.asarray(max_new),
+        None if pixels is None else jnp.asarray(pixels),
+        None if flags is None else jnp.asarray(flags),
+    )
+    toks = np.asarray(toks)
+    lens_out = np.asarray(lens_out)
+    return [
+        Completion(r.uid, [int(t) for t in toks[i, : lens_out[i]]],
+                   len(r.input_ids))
+        for i, r in enumerate(requests)
+    ]
