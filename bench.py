@@ -437,7 +437,8 @@ def _bench_engine():
     retires short rows early and admits waiting requests into freed slots.
     Useful-token throughput counts each request's actual emitted tokens for
     BOTH paths (the token streams are identical — greedy engine identity,
-    tests/test_engine.py). Returns (engine_tok_s, static_tok_s)."""
+    tests/test_engine.py). Returns (engine_tok_s, static_tok_s,
+    offline_tok_s)."""
     import time
 
     from vlaser_tpu.core.config import vlaser_2b
@@ -511,7 +512,26 @@ def _bench_engine():
     t0 = time.perf_counter()
     run_static()
     t_static = max(time.perf_counter() - t0 - rtt, 1e-9)
-    return n_tok / t_engine, n_tok / t_static
+
+    # offline one-jit runner (serve/offline.py): the whole schedule on
+    # device, one host dispatch — the vLLM LLM.generate(prompts) mode.
+    # Token identity vs the engine is asserted via the parity gate.
+    from vlaser_tpu.serve.offline import run_offline
+
+    def run_off():
+        return run_offline(model, params, reqs, num_slots=8, max_len=448,
+                           eos_token_ids=[2], pad_token_id=0, chunk_size=16)
+
+    off = run_off()  # compile
+    by_uid = {c.uid: c for c in done}
+    mismatch = sum(
+        1 for c in off if c.token_ids != by_uid[c.uid].token_ids
+    )
+    _record_parity("engine_offline_token_mismatch_rows", float(mismatch))
+    t0 = time.perf_counter()
+    run_off()
+    t_off = max(time.perf_counter() - t0 - rtt, 1e-9)
+    return n_tok / t_engine, n_tok / t_static, n_tok / t_off
 
 
 def _bench_sft_train():
@@ -856,9 +876,9 @@ def main():
         spec_tok_s = spec_accept = float("nan")
         spec_tok_s_floor = spec_accept_floor = float("nan")
     try:
-        engine_tok_s, static_tok_s = _bench_engine()
+        engine_tok_s, static_tok_s, offline_tok_s = _bench_engine()
     except Exception:
-        engine_tok_s, static_tok_s = float("nan"), float("nan")
+        engine_tok_s = static_tok_s = offline_tok_s = float("nan")
 
     print(
         json.dumps(
@@ -896,6 +916,9 @@ def main():
                     # over identical requests/tokens (_bench_engine)
                     "engine_mixed_tok_per_sec": round(engine_tok_s, 1),
                     "static_batch_mixed_tok_per_sec": round(static_tok_s, 1),
+                    # one-jit offline schedule (serve/offline.py), same
+                    # requests, scheduler on device (no per-chunk host RTT)
+                    "offline_mixed_tok_per_sec": round(offline_tok_s, 1),
                     "vlm8b_decode_tok_per_sec": round(decode_8b_tok_s, 1),
                     "sft_train_tok_per_sec": round(sft_tok_s, 1),
                     "sft_step_ms": round(sft_step_s * 1e3, 2),

@@ -60,6 +60,10 @@ def main():
                     help="engine decode slots (--engine only)")
     ap.add_argument("--engine_max_len", type=int, default=4096,
                     help="engine KV length budget per slot (--engine only)")
+    ap.add_argument("--offline", action="store_true",
+                    help="like --engine but the whole schedule compiles onto "
+                         "the device (serve/offline.py): one host dispatch "
+                         "per batch, greedy only")
     ap.add_argument("--out", default=None, help="results json path")
     args = ap.parse_args()
 
@@ -87,7 +91,7 @@ def main():
     )}
     if args.int8:
         params = quantize_variables(params, DEFAULT_PATTERNS)
-    if args.engine:
+    if args.engine or args.offline:
         from vlaser_tpu.serve.engine_chat import EngineChat
 
         assert args.num_beams == 1 and args.repetition_penalty == 1.0, (
@@ -97,7 +101,8 @@ def main():
         chat = EngineChat(model, params, tokenizer,
                           max_new_tokens=args.max_new_tokens,
                           num_slots=args.num_slots,
-                          max_len=args.engine_max_len)
+                          max_len=args.engine_max_len,
+                          backend="offline" if args.offline else "engine")
     else:
         chat = VlaserChat(model, params, tokenizer,
                           max_new_tokens=args.max_new_tokens,

@@ -32,6 +32,10 @@ def main():
                     help="batch generation through the continuous-batching "
                          "engine (serve/engine.py — the vLLM role the "
                          "reference's GeneralQA.py fills with vllm_tp)")
+    ap.add_argument("--offline", action="store_true",
+                    help="like --engine but the whole batch schedule "
+                         "compiles onto the device (serve/offline.py): one "
+                         "host dispatch per batch, greedy only")
     ap.add_argument("--num_slots", type=int, default=8)
     ap.add_argument("--temperature", type=float, default=0.0,
                     help="sampling temperature for QA generation "
@@ -60,12 +64,16 @@ def main():
         load_safetensors_dir(args.model_path), cfg.vision.num_layers,
         cfg.llm.num_layers,
     )}
-    if args.engine:
+    if args.engine or args.offline:
         from vlaser_tpu.serve.engine_chat import EngineChat
 
+        assert not (args.offline and args.temperature > 0.0), (
+            "--offline is greedy-only; sampled generation uses --engine"
+        )
         chat = EngineChat(model, params, tokenizer, max_new_tokens=512,
                           num_slots=args.num_slots,
-                          temperature=args.temperature, top_p=args.top_p)
+                          temperature=args.temperature, top_p=args.top_p,
+                          backend="offline" if args.offline else "engine")
     else:
         assert args.temperature == 0.0, (
             "sampled QA generation runs through --engine (per-request "
@@ -81,7 +89,7 @@ def main():
                              max_num=1, use_thumbnail=False, dynamic=False)
             for img in images
         ]
-        if args.engine:
+        if args.engine or args.offline:
             # one engine run over the whole batch: requests decode
             # in-flight, short answers free their slots early
             pixels = np.concatenate(tile_list, axis=0)

@@ -117,6 +117,15 @@ def test_engine_chat_matches_static_chat():
     assert served.chat("what do you see?", pixels) == \
         static.chat("what do you see?", pixels)
 
+    # the one-jit offline backend (serve/offline.py) behind the same API
+    offline = EngineChat(model, params, ToyTok(), max_new_tokens=5,
+                         num_slots=2, max_len=1024, prefill_buckets=(512,),
+                         tile_buckets=(1, 2), cache_dtype=jnp.float32,
+                         backend="offline")
+    assert offline.batch_chat(qs, pixels, num_patches_list=[1, 0]) == want
+    assert offline.chat("what do you see?", pixels) == \
+        static.chat("what do you see?", pixels)
+
 
 def test_named_configs_consistent():
     c2 = vlaser_2b()

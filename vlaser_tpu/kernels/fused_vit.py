@@ -172,17 +172,46 @@ def _make_kernel(*, L, B, Sp, hidden, inter, heads, head_dim, eps, qk_norm,
 
                 if B == 1:
                     # single stream: static VALUE slices per head, no VMEM
-                    # staging — fastest (5.5 ms) and the program is small
-                    # enough for Mosaic to compile quickly unrolled
+                    # staging, and a 2-deep software pipeline — head h+1's
+                    # QK^T (MXU) is issued before head h's softmax (VPU) so
+                    # the units overlap; two live [Sp, Sp] f32 score blocks
+                    # (~8.4 MB at 1025 tokens) ride the B=1 VMEM headroom.
+                    # B=1 pads no rows (Sp == S), so the kmask add is a
+                    # provable no-op and skipped.
                     qs = (q * scale).astype(jnp.bfloat16)
                     ks = k.astype(jnp.bfloat16)
                     vs = qkv[:, 2 * hidden :].astype(jnp.bfloat16)
-                    outs = []
-                    for hd in range(heads):
+
+                    def qk(hd):
                         sl = slice(hd * head_dim, (hd + 1) * head_dim)
-                        outs.append(one_head(qs[:, sl], ks[:, sl],
-                                             vs[:, sl]))
-                    attn = jnp.concatenate(outs, axis=1)
+                        return jax.lax.dot_general(
+                            qs[:, sl], ks[:, sl], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+
+                    def av(p, hd):
+                        sl = slice(hd * head_dim, (hd + 1) * head_dim)
+                        return jax.lax.dot_general(
+                            p, vs[:, sl], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ).astype(jnp.bfloat16)
+
+                    if ablate == "noattn":
+                        attn = vs
+                    else:
+                        outs = []
+                        s_cur = qk(0)
+                        for hd in range(heads):
+                            s_nxt = qk(hd + 1) if hd + 1 < heads else None
+                            if ablate == "nosoftmax":
+                                p = (s_cur * 0.001).astype(jnp.bfloat16)
+                            else:
+                                p = jax.nn.softmax(s_cur, axis=-1).astype(
+                                    jnp.bfloat16
+                                )
+                            outs.append(av(p, hd))
+                            s_cur = s_nxt
+                        attn = jnp.concatenate(outs, axis=1)
                 else:
                     # batched: stage [q*scale | k | v] so a ROLLED head
                     # loop (python-unrolled per-sample bodies explode

@@ -166,68 +166,92 @@ def make_fused_infer_action(model, *, interpret: bool | None = None):
         v_vlm = v_vlm[:, 0].astype(jnp.bfloat16)
         vlm_mask = jnp.where(text_mask[0] > 0, 0.0, NEG_INF)[None, :]
 
-        # 2) proprio rows through the fused expert stack against the vlm KV
+        # 2) proprio rows fold into denoise step 0: one [proprio | action]
+        # pass against the vlm-only external KV shares the expert weight
+        # stream that a separate proprio pass would pay again (each pass is
+        # HBM-bound on the int8 stack — measured 0.9 ms/pass; this is one
+        # pass of eleven removed). The proprio K/V the pass returns are the
+        # same values a standalone pass computes: same inputs, same weights,
+        # same external block, and the block mask keeps proprio rows blind
+        # to the action rows.
         pr = variables["params"]["proprio_encoder"]
         x_p = _dense(pr, proprios.reshape(1, n_p, -1).astype(jnp.bfloat16))
         p_pos = jnp.arange(1, n_p + 1, dtype=jnp.float32)
         cos_p, sin_p = ops.rope_cos_sin(p_pos, expert.head_dim,
                                         expert.rope_theta)
-        _, k_p, v_p = fused_int8_stack(
-            x_p[0], cos_p.astype(jnp.bfloat16), sin_p.astype(jnp.bfloat16),
-            jnp.zeros((n_p, n_p), jnp.float32), vlm_mask,
-            stack["ln1"], stack["ln2"],
-            stack["bq"], stack["bk"], stack["bv"],
-            stack["wq"], stack["sq"], stack["wk"], stack["sk"],
-            stack["wv"], stack["sv"], stack["wo"], stack["so"],
-            stack["wg"], stack["sg"], stack["wu"], stack["su"],
-            stack["wd"], stack["sd"],
-            k_vlm, v_vlm,
-            eps=expert.rms_norm_eps,
-            mlp_tile=mlp_tile,
-            interpret=itp,
-        )
-
-        # 3) full prefix cache = [vlm | proprio]
-        k_ext = jnp.concatenate([k_vlm, k_p.astype(jnp.bfloat16)], axis=1)
-        v_ext = jnp.concatenate([v_vlm, v_p.astype(jnp.bfloat16)], axis=1)
-        ext_mask = jnp.concatenate(
-            [vlm_mask, jnp.zeros((1, n_p), jnp.float32)], axis=1
-        )
-        self_mask = jnp.zeros((R, R), jnp.float32)
-
         a_pos = jnp.arange(n_p + 1, n_p + R + 1, dtype=jnp.float32)
         cos, sin = ops.rope_cos_sin(a_pos, expert.head_dim,
                                     expert.rope_theta)  # [R, D]
         cos = cos.astype(jnp.bfloat16)
         sin = sin.astype(jnp.bfloat16)
+        cos_pa = jnp.concatenate([cos_p.astype(jnp.bfloat16), cos], axis=0)
+        sin_pa = jnp.concatenate([sin_p.astype(jnp.bfloat16), sin], axis=0)
+        # [proprio | action] self block: proprio attends proprio only;
+        # action attends everything (pizero block mask, level 1 vs 2)
+        self_mask0 = jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [jnp.zeros((n_p, n_p), jnp.float32),
+                     jnp.full((n_p, R), NEG_INF, jnp.float32)], axis=1
+                ),
+                jnp.zeros((R, n_p + R), jnp.float32),
+            ],
+            axis=0,
+        )
 
-        def step(action, i):
-            t = jnp.full((1,), i.astype(jnp.float32) * delta_t, jnp.float32)
-            time_emb = sinusoidal_pos_emb(
-                t, expert.hidden_size, cfg.time_max_period
-            )
-            x = _encode_actions(enc, action.astype(jnp.bfloat16), time_emb)
-            x_out, _, _ = fused_int8_stack(
-                x[0], cos, sin, self_mask, ext_mask,
+        def run_stack(x_rows, cs, sn, selfm, extm, k_e, v_e):
+            return fused_int8_stack(
+                x_rows, cs, sn, selfm, extm,
                 stack["ln1"], stack["ln2"],
                 stack["bq"], stack["bk"], stack["bv"],
                 stack["wq"], stack["sq"], stack["wk"], stack["sk"],
                 stack["wv"], stack["sv"], stack["wo"], stack["so"],
                 stack["wg"], stack["sg"], stack["wu"], stack["su"],
                 stack["wd"], stack["sd"],
-                k_ext, v_ext,
+                k_e, v_e,
                 eps=expert.rms_norm_eps,
                 mlp_tile=mlp_tile,
                 interpret=itp,
             )
+
+        def decode_velocity(x_out):
             hidden = ops.rms_norm(x_out, stack["final_norm"],
                                   eps=expert.rms_norm_eps)
-            v = _dense(dec, hidden).astype(jnp.float32)[None]
-            return action + delta_t * v, None
+            return _dense(dec, hidden).astype(jnp.float32)[None]
 
-        action, _ = jax.lax.scan(
-            step, noise.astype(jnp.float32), jnp.arange(steps)
+        def encode_step(action, i):
+            t = jnp.full((1,), i * delta_t, jnp.float32)
+            time_emb = sinusoidal_pos_emb(
+                t, expert.hidden_size, cfg.time_max_period
+            )
+            return _encode_actions(enc, action.astype(jnp.bfloat16), time_emb)
+
+        # step 0 (merged): builds the proprio K/V while denoising t=0
+        action0 = noise.astype(jnp.float32)
+        x_a0 = encode_step(action0, jnp.float32(0.0))
+        x0 = jnp.concatenate([x_p[0], x_a0[0]], axis=0)  # [n_p + R, hidden]
+        x_out0, k_pa, v_pa = run_stack(x0, cos_pa, sin_pa, self_mask0,
+                                       vlm_mask, k_vlm, v_vlm)
+        action = action0 + delta_t * decode_velocity(x_out0[n_p:])
+
+        # 3) full prefix cache = [vlm | proprio] for steps 1..N-1
+        k_ext = jnp.concatenate([k_vlm, k_pa[:, :n_p].astype(jnp.bfloat16)],
+                                axis=1)
+        v_ext = jnp.concatenate([v_vlm, v_pa[:, :n_p].astype(jnp.bfloat16)],
+                                axis=1)
+        ext_mask = jnp.concatenate(
+            [vlm_mask, jnp.zeros((1, n_p), jnp.float32)], axis=1
         )
+        self_mask = jnp.zeros((R, R), jnp.float32)
+
+        def step(action, i):
+            x = encode_step(action, i.astype(jnp.float32))
+            x_out, _, _ = run_stack(x[0], cos, sin, self_mask, ext_mask,
+                                    k_ext, v_ext)
+            return action + delta_t * decode_velocity(x_out), None
+
+        if steps > 1:
+            action, _ = jax.lax.scan(step, action, jnp.arange(1, steps))
         if cfg.final_action_clip_value is not None:
             action = jnp.clip(action, -cfg.final_action_clip_value,
                               cfg.final_action_clip_value)

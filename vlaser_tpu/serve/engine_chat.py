@@ -45,7 +45,16 @@ class EngineChat:
         system_message: Optional[str] = None,
         cache_dtype=jnp.bfloat16,
         chunk_size: int = 16,
+        backend: str = "engine",
     ):
+        """backend: "engine" = host-driven continuous batching (per-chunk
+        host sync; supports per-request sampling). "offline" = the one-jit
+        on-device schedule (serve/offline.py — the vLLM
+        LLM.generate(prompts) mode): greedy only, one host dispatch per
+        batch; sampled requests fall back to the engine."""
+        assert backend in ("engine", "offline"), backend
+        self.backend = backend
+        self.params = params
         self.model = model
         self.tokenizer = tokenizer
         self.cfg = model.cfg
@@ -68,6 +77,22 @@ class EngineChat:
             chunk_size=chunk_size,
         )
         self._uid = 0
+
+    def _run(self, reqs):
+        if self.backend == "offline" and self.temperature == 0.0:
+            from .offline import run_offline
+
+            return run_offline(
+                self.model, self.params, reqs,
+                num_slots=self.engine.num_slots,
+                max_len=self.engine.max_len,
+                eos_token_ids=[self.eos_token_id],
+                pad_token_id=self.cfg.pad_token_id,
+                chunk_size=self.engine.chunk_size,
+                cache_dtype=self.engine.cache_dtype,
+                prefill_buckets=self.engine.prefill_buckets,
+            )
+        return self.engine.run(reqs)
 
     def _requests(self, queries, pixel_chunks) -> List[Request]:
         reqs = []
@@ -115,8 +140,7 @@ class EngineChat:
             system_message=self.system_message,
         )
         reqs = self._requests([query], [pixel_values])
-        response = self._decode_texts(self.engine.run(reqs),
-                                      [reqs[0].uid])[0]
+        response = self._decode_texts(self._run(reqs), [reqs[0].uid])[0]
         if return_history:
             return response, (history or []) + [(question, response)]
         return response
@@ -150,4 +174,4 @@ class EngineChat:
                 chunks.append(None)
         reqs = self._requests(queries, chunks)
         uids = [r.uid for r in reqs]
-        return self._decode_texts(self.engine.run(reqs), uids)
+        return self._decode_texts(self._run(reqs), uids)
