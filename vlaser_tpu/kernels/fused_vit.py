@@ -19,9 +19,9 @@ buffers.
 Semantics match models/internvit.InternVisionLayer exactly (parity-tested):
 pre-LN blocks with layer-scale, fused-QKV projection, optional full-hidden
 QK-RMSNorm (modeling_intern_vit.py:216-219), non-causal multi-head
-attention, exact-erf GELU (in-kernel Abramowitz-Stegun erf — Mosaic has no
-erf primitive; |err| <= 1.5e-7). LayerNorm statistics and softmax run in
-fp32; matmuls accumulate fp32 and round to bf16 like models/layers.Dense.
+attention, exact-erf GELU (in-kernel polynomial erf — Mosaic has no erf
+primitive; |err| <= 6e-6, see _gelu). LayerNorm statistics and softmax run
+in fp32; matmuls accumulate fp32 and round to bf16 like models/layers.Dense.
 
 Scope: fixed sequence per tile (448px -> 1025 tokens), select_layer=-1
 (the Vlaser serving config); training and other select_layers stay on the
@@ -57,21 +57,35 @@ def _rms(x, w, eps):
     return xf * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)
 
 
-def _erf(x):
-    """erf for the exact-GELU: Abramowitz & Stegun 7.1.26 rational
-    approximation (|error| <= 1.5e-7 — far inside bf16 activation noise;
-    parity-tested vs jax.lax.erf)."""
-    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
-    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
-    s = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
-    return s * (1.0 - poly * jnp.exp(-ax * ax))
+# Exact-GELU erf: erf(z) ~= z * P(t), t = 2 z^2/A^2 - 1, |z| clamped to A
+# (erf(A) = 1 - 4.3e-6, so the clamp is exact to that). P is a degree-11
+# Chebyshev least-squares fit evaluated by Horner in the shifted variable;
+# measured fp32 |erf error| <= 6e-6 and GELU abs error <= 2.4e-5 over
+# |x| < 8 (relative <= 1.8e-4 everywhere) — far inside bf16 activation
+# rounding (~4e-3 relative). Replaces the previous A&S 7.1.26 rational
+# form: pure multiply-add, no VPU reciprocal and no exp, measured ~2x
+# cheaper in-kernel (the GELU ablation in scripts/profile_control_step.py).
+_GELU_A = 3.25
+_GELU_P = (
+    0.43464031973696543, -0.21445103956175698, 0.15327205599486016,
+    -0.1143730509310583, 0.082322492089922261, -0.055628370384091817,
+    0.035289982881279394, -0.019862196034020164, 0.0090013830274342718,
+    -0.0047249101491130107, 0.003507270815361369, -0.0013034086001326379,
+)
+
+
+def _gelu(x):
+    """0.5 * x * (1 + erf(x / sqrt(2))) in fp32, division/exp-free."""
+    z = jnp.clip(x * (2.0 ** -0.5), -_GELU_A, _GELU_A)
+    t = z * z * (2.0 / (_GELU_A * _GELU_A)) - 1.0
+    p = jnp.float32(_GELU_P[-1])
+    for c in _GELU_P[-2::-1]:
+        p = p * t + c
+    return 0.5 * x * (1.0 + z * p)
 
 
 def _make_kernel(*, L, B, Sp, hidden, inter, heads, head_dim, eps, qk_norm,
-                 ablate=""):
+                 masked, ablate=""):
     """`ablate` is a PROFILING-ONLY hook (scripts/profile_control_step.py)
     that voids one compute stage to locate where kernel time goes; every
     production call site passes the default "" (parity-gated on-chip in
@@ -88,8 +102,6 @@ def _make_kernel(*, L, B, Sp, hidden, inter, heads, head_dim, eps, qk_norm,
         qkvw_ref, projw_ref, fc1w_ref, fc2w_ref,  # HBM [L, ...] bf16
         xo_ref,
         x_s,       # [B*Sp, hidden] bf16 residual stream
-        qkv_s,     # [Sp, 3*hidden] bf16 staging ([q*scale | k | v])
-        attn_s,    # [Sp, hidden] bf16 per-sample attention output
         w_qkv,     # [2, hidden, 3*hidden] bf16
         w_proj,    # [2, hidden, hidden]
         w_fc1,     # [2, hidden, inter]
@@ -135,10 +147,11 @@ def _make_kernel(*, L, B, Sp, hidden, inter, heads, head_dim, eps, qk_norm,
                 for c in copies(l + 1, 1 - slot):
                     c.start()
 
-            # per-sample pipeline (rolled: a python loop over B explodes
-            # Mosaic compile time at B=8): every intermediate stays
-            # [Sp, ...] so the f32 working set is bounded regardless of B.
-            # Sp is 16-aligned so the dynamic sublane starts are legal.
+            # per-sample pipeline (the sample loop stays rolled — a python
+            # loop over B explodes Mosaic compile time at B=8): every
+            # intermediate stays [Sp, ...] so the f32 working set is
+            # bounded regardless of B. Sp is 16-aligned so the dynamic
+            # sublane starts are legal.
             def sample_body(b, _):
                 rows = pl.ds(b * Sp, Sp)
                 x = x_s[rows, :]
@@ -152,107 +165,52 @@ def _make_kernel(*, L, B, Sp, hidden, inter, heads, head_dim, eps, qk_norm,
                     k = _rms(k, knw_ref[l], eps)
                 scale = head_dim**-0.5
 
-                def one_head(qh, kh, vh):
-                    if ablate == "noattn":
-                        return vh
-                    s_ = jax.lax.dot_general(
-                        qh, kh, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # [Sp, Sp]
-                    if ablate == "nosoftmax":
-                        p = (s_ * 0.001).astype(jnp.bfloat16)
-                    else:
-                        p = jax.nn.softmax(
-                            s_ + kmask[None, :], axis=-1
-                        ).astype(jnp.bfloat16)
+                # unrolled per-head attention with a 2-deep software
+                # pipeline: head h+1's QK^T (MXU) is issued before head h's
+                # softmax (VPU) so the units overlap. The head loop is
+                # python-unrolled over static VALUE slices; only the sample
+                # loop is rolled, so Mosaic compiles ONE body regardless of
+                # B (the round-2 form staged qkv in VMEM and rolled the
+                # heads at B>1 — measured ~5 ms slower per batch-8 pass than
+                # this pipeline, and the freed staging buffers pay for the
+                # two live [Sp, Sp] f32 score blocks, ~8.7 MB at Sp=1040).
+                # Padded key rows (B>1 only, Sp > S) are masked via kmask.
+                qs = (q * scale).astype(jnp.bfloat16)
+                ks = k.astype(jnp.bfloat16)
+                vs = qkv[:, 2 * hidden :].astype(jnp.bfloat16)
+
+                def qk(hd):
+                    sl = slice(hd * head_dim, (hd + 1) * head_dim)
                     return jax.lax.dot_general(
-                        p, vh, (((1,), (0,)), ((), ())),
+                        qs[:, sl], ks[:, sl], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [Sp, Sp] f32
+
+                def av(p, hd):
+                    sl = slice(hd * head_dim, (hd + 1) * head_dim)
+                    return jax.lax.dot_general(
+                        p, vs[:, sl], (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     ).astype(jnp.bfloat16)
 
-                if B == 1:
-                    # single stream: static VALUE slices per head, no VMEM
-                    # staging, and a 2-deep software pipeline — head h+1's
-                    # QK^T (MXU) is issued before head h's softmax (VPU) so
-                    # the units overlap; two live [Sp, Sp] f32 score blocks
-                    # (~8.4 MB at 1025 tokens) ride the B=1 VMEM headroom.
-                    # B=1 pads no rows (Sp == S), so the kmask add is a
-                    # provable no-op and skipped.
-                    qs = (q * scale).astype(jnp.bfloat16)
-                    ks = k.astype(jnp.bfloat16)
-                    vs = qkv[:, 2 * hidden :].astype(jnp.bfloat16)
-
-                    def qk(hd):
-                        sl = slice(hd * head_dim, (hd + 1) * head_dim)
-                        return jax.lax.dot_general(
-                            qs[:, sl], ks[:, sl], (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
-
-                    def av(p, hd):
-                        sl = slice(hd * head_dim, (hd + 1) * head_dim)
-                        return jax.lax.dot_general(
-                            p, vs[:, sl], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        ).astype(jnp.bfloat16)
-
-                    if ablate == "noattn":
-                        attn = vs
-                    else:
-                        outs = []
-                        s_cur = qk(0)
-                        for hd in range(heads):
-                            s_nxt = qk(hd + 1) if hd + 1 < heads else None
-                            if ablate == "nosoftmax":
-                                p = (s_cur * 0.001).astype(jnp.bfloat16)
-                            else:
-                                p = jax.nn.softmax(s_cur, axis=-1).astype(
-                                    jnp.bfloat16
-                                )
-                            outs.append(av(p, hd))
-                            s_cur = s_nxt
-                        attn = jnp.concatenate(outs, axis=1)
+                if ablate == "noattn":
+                    attn = vs
                 else:
-                    # batched: stage [q*scale | k | v] so a ROLLED head
-                    # loop (python-unrolled per-sample bodies explode
-                    # Mosaic compile time at B=8) can take lane-dynamic
-                    # REF slices — dynamic lane starts must be multiples
-                    # of 128 and value-level dynamic_slice is not lowered
-                    qkv_s[:, : 2 * hidden] = jnp.concatenate(
-                        [q * scale, k], axis=1
-                    ).astype(jnp.bfloat16)
-                    qkv_s[:, 2 * hidden :] = qkv[:, 2 * hidden :].astype(
-                        jnp.bfloat16
-                    )
-                    if head_dim % 128 == 0:
-                        group = head_dim
-                    elif (2 * head_dim) % 128 == 0:
-                        group = 2 * head_dim  # head_dim 64: 128-lane pairs
-                    else:
-                        # tiny test configs (hidden < 128): one group
-                        # spanning all heads — offset 0 trivially aligned
-                        group = hidden
-                    assert hidden % group == 0
-                    per_group = group // head_dim
-
-                    def group_body(j, _):
-                        off = j * group
-                        qg = qkv_s[:, pl.ds(off, group)]
-                        kg = qkv_s[:, pl.ds(hidden + off, group)]
-                        vg = qkv_s[:, pl.ds(2 * hidden + off, group)]
-                        outs = []
-                        for u in range(per_group):
-                            sl = slice(u * head_dim, (u + 1) * head_dim)
-                            outs.append(one_head(qg[:, sl], kg[:, sl],
-                                                 vg[:, sl]))
-                        attn_s[:, pl.ds(off, group)] = (
-                            outs[0] if per_group == 1
-                            else jnp.concatenate(outs, axis=1)
-                        )
-                        return 0
-
-                    jax.lax.fori_loop(0, hidden // group, group_body, 0)
-                    attn = attn_s[...]
+                    outs = []
+                    s_cur = qk(0)
+                    for hd in range(heads):
+                        s_nxt = qk(hd + 1) if hd + 1 < heads else None
+                        if masked:
+                            s_cur = s_cur + kmask[None, :]
+                        if ablate == "nosoftmax":
+                            p = (s_cur * 0.001).astype(jnp.bfloat16)
+                        else:
+                            p = jax.nn.softmax(s_cur, axis=-1).astype(
+                                jnp.bfloat16
+                            )
+                        outs.append(av(p, hd))
+                        s_cur = s_nxt
+                    attn = jnp.concatenate(outs, axis=1)
 
                 o = dot(attn, w_proj[slot]) \
                     + projb_ref[l].astype(jnp.float32)
@@ -278,7 +236,7 @@ def _make_kernel(*, L, B, Sp, hidden, inter, heads, head_dim, eps, qk_norm,
                     ) + fc1b_ref[l][ch].astype(jnp.float32)
                     # exact-erf GELU (reference nn.GELU; parity w/ XLA)
                     if ablate != "nogelu":
-                        m = 0.5 * m * (1.0 + _erf(m * (2.0**-0.5)))
+                        m = _gelu(m)
                     m2 = m2 + jax.lax.dot_general(
                         m.astype(jnp.bfloat16), w_fc2[slot][ch, :],
                         (((1,), (0,)), ((), ())),
@@ -341,7 +299,8 @@ def fused_vit_stack(
 
     kernel = _make_kernel(
         L=L, B=B, Sp=Sp, hidden=hidden, inter=inter, heads=heads,
-        head_dim=head_dim, eps=eps, qk_norm=qk_norm, ablate=ablate,
+        head_dim=head_dim, eps=eps, qk_norm=qk_norm, masked=Sp != S,
+        ablate=ablate,
     )
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = lambda: pl.BlockSpec(memory_space=pltpu.ANY)
@@ -352,8 +311,6 @@ def fused_vit_stack(
         out_shape=jax.ShapeDtypeStruct((B * Sp, hidden), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((B * Sp, hidden), jnp.bfloat16),
-            pltpu.VMEM((Sp, 3 * hidden), jnp.bfloat16),
-            pltpu.VMEM((Sp, hidden), jnp.bfloat16),
             pltpu.VMEM((2, hidden, 3 * hidden), jnp.bfloat16),
             pltpu.VMEM((2, hidden, hidden), jnp.bfloat16),
             pltpu.VMEM((2, hidden, inter), jnp.bfloat16),
