@@ -12,7 +12,8 @@ in-register between MXU ops, and double-buffers each layer's bf16 weights
 
 Layout: samples are concatenated on the sublane axis — x is [B*Sp, hidden]
 with each sample padded to Sp rows (16-aligned); attention runs per sample
-over static row slices with padded keys masked. All per-sample
+over static row slices; padded K/V rows are zeroed and the softmax
+denominator corrected in closed form (see _make_kernel). All per-sample
 intermediates stay <= ~17 MB so B=8 fits VMEM alongside the weight
 buffers.
 
@@ -36,8 +37,6 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-NEG_INF = -1e30
 
 # DMA semaphores: qkv, proj, fc1, fc2 x 2 slots + activation in/out
 SEM_N = 9
@@ -84,18 +83,18 @@ def _gelu(x):
     return 0.5 * x * (1.0 + z * p)
 
 
-def _make_kernel(*, L, B, Sp, hidden, inter, heads, head_dim, eps, qk_norm,
-                 masked, ablate=""):
+def _make_kernel(*, L, B, S, Sp, hidden, inter, heads, head_dim, eps,
+                 qk_norm, ablate=""):
     """`ablate` is a PROFILING-ONLY hook (scripts/profile_control_step.py)
     that voids one compute stage to locate where kernel time goes; every
     production call site passes the default "" (parity-gated on-chip in
     bench.py). Values: nogelu | nosoftmax | noattn."""
     assert heads * head_dim == hidden
     assert ablate in ("", "nogelu", "nosoftmax", "noattn")
+    npad = Sp - S  # padded key rows per sample (B>1 only; 16-row alignment)
 
     def kernel(
         x_ref,          # [B*Sp, hidden] bf16 (HBM; DMA'd into x_s)
-        kmask_ref,      # [1, Sp] f32 additive key mask (0 valid / NEG_INF pad)
         ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref, ls1_ref, ls2_ref,
         qnw_ref, knw_ref,
         qkvb_ref, projb_ref, fc1b_ref, fc2b_ref,
@@ -135,7 +134,15 @@ def _make_kernel(*, L, B, Sp, hidden, inter, heads, head_dim, eps, qk_norm,
                 preferred_element_type=jnp.float32,
             )
 
-        kmask = kmask_ref[0]  # [Sp]
+        # [Sp, 1] 1/0 row-validity mask: pad K/V rows are zeroed instead of
+        # adding a NEG_INF [Sp, Sp] score mask — the denominator of the
+        # softmax is then corrected analytically (see attention below),
+        # turning an O(Sp^2)-per-head VPU add into an O(Sp*hidden) multiply
+        # per sample-layer.
+        if npad:
+            vmask = (
+                jax.lax.broadcasted_iota(jnp.int32, (Sp, 1), 0) < S
+            ).astype(jnp.bfloat16)
 
         def layer_body(l, _):
             slot = jax.lax.rem(l, 2)
@@ -174,10 +181,23 @@ def _make_kernel(*, L, B, Sp, hidden, inter, heads, head_dim, eps, qk_norm,
                 # heads at B>1 — measured ~5 ms slower per batch-8 pass than
                 # this pipeline, and the freed staging buffers pay for the
                 # two live [Sp, Sp] f32 score blocks, ~8.7 MB at Sp=1040).
-                # Padded key rows (B>1 only, Sp > S) are masked via kmask.
+                #
+                # Padded key rows (B>1, Sp > S): K/V pad rows are zeroed,
+                # so pads contribute exp(-m) each to the softmax denominator
+                # (s_pad = q . 0 = 0) and nothing to the numerator
+                # (v_pad = 0); the denominator subtracts npad * exp(-m) in
+                # closed form — exact, no [Sp, Sp] score-mask add. The
+                # divide stays on the probability matrix (NOT deferred to
+                # the [Sp, head_dim] output): the deferred form keeps an
+                # extra f32 [Sp, Sp] block live per pipelined head and
+                # blows the 120 MB scoped-VMEM stack at B=1 (measured
+                # 122.8 MB on v5e).
                 qs = (q * scale).astype(jnp.bfloat16)
                 ks = k.astype(jnp.bfloat16)
                 vs = qkv[:, 2 * hidden :].astype(jnp.bfloat16)
+                if npad:
+                    ks = ks * vmask
+                    vs = vs * vmask
 
                 def qk(hd):
                     sl = slice(hd * head_dim, (hd + 1) * head_dim)
@@ -191,7 +211,7 @@ def _make_kernel(*, L, B, Sp, hidden, inter, heads, head_dim, eps, qk_norm,
                     return jax.lax.dot_general(
                         p, vs[:, sl], (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    ).astype(jnp.bfloat16)
+                    )  # [Sp, head_dim] f32
 
                 if ablate == "noattn":
                     attn = vs
@@ -200,15 +220,23 @@ def _make_kernel(*, L, B, Sp, hidden, inter, heads, head_dim, eps, qk_norm,
                     s_cur = qk(0)
                     for hd in range(heads):
                         s_nxt = qk(hd + 1) if hd + 1 < heads else None
-                        if masked:
-                            s_cur = s_cur + kmask[None, :]
                         if ablate == "nosoftmax":
                             p = (s_cur * 0.001).astype(jnp.bfloat16)
+                            outs.append(av(p, hd).astype(jnp.bfloat16))
+                        elif npad:
+                            m = jnp.max(s_cur, axis=-1, keepdims=True)
+                            e = jnp.exp(s_cur - m)
+                            d = jnp.sum(e, axis=-1, keepdims=True) \
+                                - npad * jnp.exp(-m)
+                            p = (e / d).astype(jnp.bfloat16)
+                            outs.append(av(p, hd).astype(jnp.bfloat16))
                         else:
+                            # no pad rows: jax.nn.softmax lowers ~3% faster
+                            # than the manual m/e/d form (measured at B=1)
                             p = jax.nn.softmax(s_cur, axis=-1).astype(
                                 jnp.bfloat16
                             )
-                        outs.append(av(p, hd))
+                            outs.append(av(p, hd).astype(jnp.bfloat16))
                         s_cur = s_nxt
                     attn = jnp.concatenate(outs, axis=1)
 
@@ -295,18 +323,16 @@ def fused_vit_stack(
     head_dim = hidden // heads
 
     xp = jnp.pad(x, ((0, 0), (0, Sp - S), (0, 0))).reshape(B * Sp, hidden)
-    kmask = jnp.where(jnp.arange(Sp) < S, 0.0, NEG_INF)[None, :]
 
     kernel = _make_kernel(
-        L=L, B=B, Sp=Sp, hidden=hidden, inter=inter, heads=heads,
-        head_dim=head_dim, eps=eps, qk_norm=qk_norm, masked=Sp != S,
-        ablate=ablate,
+        L=L, B=B, S=S, Sp=Sp, hidden=hidden, inter=inter, heads=heads,
+        head_dim=head_dim, eps=eps, qk_norm=qk_norm, ablate=ablate,
     )
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = lambda: pl.BlockSpec(memory_space=pltpu.ANY)
     out = pl.pallas_call(
         kernel,
-        in_specs=[hbm()] + [vmem()] * 13 + [hbm()] * 4,
+        in_specs=[hbm()] + [vmem()] * 12 + [hbm()] * 4,
         out_specs=hbm(),
         out_shape=jax.ShapeDtypeStruct((B * Sp, hidden), jnp.bfloat16),
         scratch_shapes=[
@@ -322,7 +348,7 @@ def fused_vit_stack(
         ),
         interpret=interpret,
     )(
-        xp, kmask, ln1w, ln1b, ln2w, ln2b, ls1, ls2, qnw, knw,
+        xp, ln1w, ln1b, ln2w, ln2b, ls1, ls2, qnw, knw,
         qkvb, projb, fc1b, fc2b, qkvw, projw, fc1w, fc2w,
     )
     out = out.reshape(B, Sp, hidden)[:, :S]
