@@ -552,7 +552,63 @@ def _bench_engine():
     t0 = time.perf_counter()
     run_off()
     t_off = max(time.perf_counter() - t0 - rtt, 1e-9)
-    return n_tok / t_engine, n_tok / t_static, n_tok / t_off
+
+    # shared-image QA workload (the GeneralQA.py shape: ONE frame, many
+    # questions). Full-prompt serving re-prefills the 300-token image
+    # prefix per request; prefix caching registers it once and admits
+    # only each question's tail (engine.register_prefix). The timing for
+    # the cached path INCLUDES the register (it happens once per frame in
+    # the product path).
+    pfx = rng.integers(4, 1000, (300,)).astype(np.int32)
+    pfx[1:257] = cfg.img_context_token_id
+    px0 = np.full((1, img, img, 3), 0.5, np.float32)
+    tails = [rng.integers(4, 1000, ((16, 32, 48)[i % 3],)).astype(np.int32)
+             for i in range(16)]
+    buckets = (64, 352)
+    full_reqs = [
+        Request(uid=i, input_ids=np.concatenate([pfx, t]), pixel_values=px0,
+                max_new_tokens=32)
+        for i, t in enumerate(tails)
+    ]
+    eng_full = ContinuousBatchingEngine(
+        model, params, num_slots=8, max_len=448, eos_token_ids=[2],
+        pad_token_id=0, prefill_buckets=buckets,
+    )
+    done_full = eng_full.run(full_reqs)  # compile
+    n_tok_qa = sum(len(c.token_ids) for c in done_full)
+    t0 = time.perf_counter()
+    eng_full.run(full_reqs)
+    t_full = max(time.perf_counter() - t0 - rtt, 1e-9)
+
+    eng_pc = ContinuousBatchingEngine(
+        model, params, num_slots=8, max_len=448, eos_token_ids=[2],
+        pad_token_id=0, prefill_buckets=buckets,
+    )
+
+    def run_cached():
+        pid = eng_pc.register_prefix(pfx, px0)
+        try:
+            return eng_pc.run([
+                Request(uid=i, input_ids=t, prefix_id=pid, max_new_tokens=32)
+                for i, t in enumerate(tails)
+            ])
+        finally:
+            eng_pc.release_prefix(pid)
+
+    done_pc = run_cached()  # compile
+    by_uid_f = {c.uid: c for c in done_full}
+    pc_drift = sum(
+        1 for c in done_pc if c.token_ids != by_uid_f[c.uid].token_ids
+    )
+    # informational (bucketed widths differ between the two paths; exact
+    # identity is pinned at fp32 in tests/test_engine.py)
+    _record_parity("engine_prefix_cached_drift_rows", float(pc_drift))
+    t0 = time.perf_counter()
+    run_cached()
+    t_pc = max(time.perf_counter() - t0 - rtt, 1e-9)
+
+    return (n_tok / t_engine, n_tok / t_static, n_tok / t_off,
+            n_tok_qa / t_full, n_tok_qa / t_pc)
 
 
 def _bench_sft_train():
@@ -897,9 +953,11 @@ def main():
         spec_tok_s = spec_accept = float("nan")
         spec_tok_s_floor = spec_accept_floor = float("nan")
     try:
-        engine_tok_s, static_tok_s, offline_tok_s = _bench_engine()
+        (engine_tok_s, static_tok_s, offline_tok_s, qa_full_tok_s,
+         qa_prefix_tok_s) = _bench_engine()
     except Exception:
         engine_tok_s = static_tok_s = offline_tok_s = float("nan")
+        qa_full_tok_s = qa_prefix_tok_s = float("nan")
 
     print(
         json.dumps(
@@ -940,6 +998,15 @@ def main():
                     # one-jit offline schedule (serve/offline.py), same
                     # requests, scheduler on device (no per-chunk host RTT)
                     "offline_mixed_tok_per_sec": round(offline_tok_s, 1),
+                    # shared-image QA workload (one frame, 16 questions):
+                    # full prompts vs engine prefix caching (register the
+                    # image prefix once, admit question tails only)
+                    "engine_qa_full_prompt_tok_per_sec": round(
+                        qa_full_tok_s, 1
+                    ),
+                    "engine_qa_prefix_cached_tok_per_sec": round(
+                        qa_prefix_tok_s, 1
+                    ),
                     "vlm8b_decode_tok_per_sec": round(decode_8b_tok_s, 1),
                     "sft_train_tok_per_sec": round(sft_tok_s, 1),
                     "sft_step_ms": round(sft_step_s * 1e3, 2),

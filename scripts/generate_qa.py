@@ -21,8 +21,13 @@ def main():
     ap.add_argument("--model_path", required=True)
     ap.add_argument("--episodes_dir", required=True,
                     help="dir of .hdf5 episodes or image files")
-    ap.add_argument("--kind", choices=["general", "grounding", "spatial"],
-                    default="general")
+    ap.add_argument("--kind",
+                    choices=["general", "grounding", "spatial", "all"],
+                    default="general",
+                    help="'all' generates every QA kind per frame; with "
+                         "--engine the frame's image block prefills once "
+                         "and all kind-prompts share it (engine prefix "
+                         "caching)")
     ap.add_argument("--out", required=True)
     ap.add_argument("--images_dir", default="qa_images")
     ap.add_argument("--max_frames", type=int, default=1000)
@@ -126,8 +131,20 @@ def main():
                        "instruction": "complete the task"}
                 n += 1
 
+    shared_image_fn = None
+    if args.engine and args.kind == "all":
+        def shared_image_fn(prompts, image):
+            from PIL import Image
+
+            tiles = load_image_tiles(
+                Image.fromarray(image), cfg.vision.image_size, max_num=1,
+                use_thumbnail=False, dynamic=False,
+            )
+            return chat.batch_chat_shared_image(list(prompts), tiles)
+
     gen = QAGenerator(generate_fn, QAGenConfig(kind=args.kind,
-                                               images_dir=args.images_dir))
+                                               images_dir=args.images_dir),
+                      shared_image_fn=shared_image_fn)
     n = gen.generate(frames(), args.out)
     print(f"wrote {n} items to {args.out}")
 

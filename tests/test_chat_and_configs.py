@@ -126,6 +126,18 @@ def test_engine_chat_matches_static_chat():
     assert offline.chat("what do you see?", pixels) == \
         static.chat("what do you see?", pixels)
 
+    # shared-image prefix caching: N questions about ONE image answer
+    # identically to batch_chat with the image repeated per question
+    shared = EngineChat(model, params, ToyTok(), max_new_tokens=5,
+                        num_slots=2, max_len=512,
+                        prefill_buckets=(32, 256), tile_buckets=(1, 2),
+                        cache_dtype=jnp.float32)
+    q3 = ["what do you see?", "count the objects please", "is it red?"]
+    want3 = static.batch_chat(
+        q3, np.concatenate([pixels] * 3), num_patches_list=[1, 1, 1]
+    )
+    assert shared.batch_chat_shared_image(q3, pixels) == want3
+
 
 def test_named_configs_consistent():
     c2 = vlaser_2b()

@@ -125,6 +125,54 @@ def test_vacant_slots_are_inert(vlm):
     assert got_shared[0].token_ids == got_solo[0].token_ids
 
 
+def test_prefix_cached_requests_match_full_prompt(vlm):
+    """Requests sharing a registered image prefix (the QA-generation shape:
+    one frame, many questions) decode token-identically to their solo
+    full-prompt runs. The prefix KV prefills ONCE; each admission runs only
+    a multi-token tail forward against it."""
+    cfg, model, params = vlm
+    rng = np.random.default_rng(29)
+    npt = cfg.num_image_token
+    prefix = rng.integers(1, 400, (4 + npt,)).astype(np.int32)
+    prefix[2 : 2 + npt] = cfg.img_context_token_id
+    pixels = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    tails = [rng.integers(1, 400, (n,)).astype(np.int32)
+             for n in (5, 9, 3, 12)]
+    engine = ContinuousBatchingEngine(
+        model, params, num_slots=2, max_len=96, eos_token_ids=EOS,
+        pad_token_id=0, prefill_buckets=(16, 32), cache_dtype=jnp.float32,
+    )
+    pid = engine.register_prefix(prefix, pixels)
+    done = {c.uid: c for c in engine.run([
+        Request(uid=i, input_ids=t, max_new_tokens=MAX_NEW, prefix_id=pid)
+        for i, t in enumerate(tails)
+    ])}
+    for i, t in enumerate(tails):
+        want = _sequential_oracle(
+            model, params, np.concatenate([prefix, t]), pixels
+        )
+        assert done[i].token_ids == want, f"tail {i} diverged"
+        assert done[i].prompt_len == len(prefix) + len(t)
+    # a prefix-cached request mixing with plain requests stays invisible
+    engine2 = ContinuousBatchingEngine(
+        model, params, num_slots=2, max_len=96, eos_token_ids=EOS,
+        pad_token_id=0, prefill_buckets=(16, 32), cache_dtype=jnp.float32,
+    )
+    pid2 = engine2.register_prefix(prefix, pixels)
+    plain = rng.integers(1, 400, (7,)).astype(np.int32)
+    mixed = {c.uid: c for c in engine2.run([
+        Request(uid=0, input_ids=tails[0], max_new_tokens=MAX_NEW,
+                prefix_id=pid2),
+        Request(uid=1, input_ids=plain, max_new_tokens=MAX_NEW),
+    ])}
+    assert mixed[0].token_ids == _sequential_oracle(
+        model, params, np.concatenate([prefix, tails[0]]), pixels)
+    assert mixed[1].token_ids == _sequential_oracle(model, params, plain)
+    engine2.release_prefix(pid2)
+
+
 def test_sampled_request_matches_solo_sampled_decode(vlm):
     """A sampled request (temperature/top_k/top_p/seed) through the engine
     emits the same tokens as a solo make_generate_fn run with those params

@@ -201,6 +201,43 @@ def test_qa_parse_and_generate(tmp_path):
     assert kept[0]["quality_score"] == 9.0
 
 
+def test_qa_generate_all_kinds(tmp_path):
+    """kind='all' asks every QA kind per frame; the shared_image_fn fast
+    path (one image prefill, K prompts — EngineChat.batch_chat_shared_image
+    shape) writes the same items as the plain batched path."""
+    def fake_gen(images, prompts):
+        assert len(images) == len(prompts)
+        return [f"Question: q{hash(p) % 97}?\nAnswer: a." for p in prompts]
+
+    frames = lambda: [
+        {"image": np.full((8, 8, 3), i, np.uint8), "instruction": f"task {i}"}
+        for i in range(2)
+    ]
+    gen = QAGenerator(fake_gen, QAGenConfig(
+        kind="all", images_dir=str(tmp_path / "i1"), batch_size=2))
+    out1 = str(tmp_path / "qa1.jsonl")
+    assert gen.generate(frames(), out1) == 6  # 2 frames x 3 kinds
+
+    calls = []
+
+    def shared_fn(prompts, image):
+        calls.append(len(prompts))
+        return fake_gen([image] * len(prompts), prompts)
+
+    gen2 = QAGenerator(fake_gen, QAGenConfig(
+        kind="all", images_dir=str(tmp_path / "i2"), batch_size=2),
+        shared_image_fn=shared_fn)
+    out2 = str(tmp_path / "qa2.jsonl")
+    assert gen2.generate(frames(), out2) == 6
+    assert calls == [3, 3]  # one shared-prefix run per frame
+    rows1 = [json.loads(l) for l in open(out1)]
+    rows2 = [json.loads(l) for l in open(out2)]
+    assert [r["conversations"] for r in rows1] == \
+        [r["conversations"] for r in rows2]
+    # each frame's items share one saved image file
+    assert len({r["image"] for r in rows2}) == 2
+
+
 def test_reasoning_pipeline_end_to_end(tmp_path):
     """MMPR correctness pipeline: rollouts -> pos/neg buckets -> preference
     pairs consumable by the MPO PreferenceDataset."""

@@ -89,7 +89,7 @@ def parse_score(text: str) -> Optional[float]:
 
 @dataclass
 class QAGenConfig:
-    kind: str = "general"  # general | grounding | spatial
+    kind: str = "general"  # general | grounding | spatial | all
     images_dir: str = "qa_images"
     batch_size: int = 16
 
@@ -102,11 +102,20 @@ PROMPTS = {
 
 
 class QAGenerator:
-    """generate_fn(images [B,H,W,3] uint8, prompts [B]) -> responses [B]."""
+    """generate_fn(images [B,H,W,3] uint8, prompts [B]) -> responses [B].
 
-    def __init__(self, generate_fn: Callable, cfg: QAGenConfig):
+    shared_image_fn(prompts [K], image [H,W,3]) -> responses [K]: optional
+    fast path for kind="all" — K kind-prompts about ONE frame (the
+    reference runs general/spatial/grounding generators as separate vLLM
+    jobs over the same episodes; data-pipeline/slurm/data_generator.sh).
+    EngineChat.batch_chat_shared_image prefills the frame's image block
+    once and serves all K prompts against the cached prefix."""
+
+    def __init__(self, generate_fn: Callable, cfg: QAGenConfig,
+                 shared_image_fn: Optional[Callable] = None):
         self.generate_fn = generate_fn
         self.cfg = cfg
+        self.shared_image_fn = shared_image_fn
         os.makedirs(cfg.images_dir, exist_ok=True)
         self._idx = 0
 
@@ -119,35 +128,60 @@ class QAGenerator:
 
         written = 0
         buf_imgs, buf_meta = [], []
-        template = PROMPTS[self.cfg.kind]
+        kinds = (
+            tuple(PROMPTS) if self.cfg.kind == "all" else (self.cfg.kind,)
+        )
 
-        def flush(fout):
+        def write_item(fout, img, fname, resp):
             nonlocal written
-            if not buf_imgs:
-                return
-            prompts = [template.format(instruction=m["instruction"]) for m in buf_meta]
-            responses = self.generate_fn(np.stack(buf_imgs), prompts)
-            for img, meta, resp in zip(buf_imgs, buf_meta, responses):
-                qa = parse_qa_response(resp)
-                if qa is None:
-                    continue
+            qa = parse_qa_response(resp)
+            if qa is None:
+                return fname
+            if fname is None:
                 fname = f"qa_{self._idx:06d}.jpg"
                 Image.fromarray(img).save(
                     os.path.join(self.cfg.images_dir, fname)
                 )
-                item = {
-                    "id": self._idx,
-                    "image": fname,
-                    "width": int(img.shape[1]),
-                    "height": int(img.shape[0]),
-                    "conversations": [
-                        {"from": "human", "value": f"<image>\n{qa['question']}"},
-                        {"from": "gpt", "value": qa["answer"]},
-                    ],
-                }
-                fout.write(json.dumps(item) + "\n")
-                self._idx += 1
-                written += 1
+            item = {
+                "id": self._idx,
+                "image": fname,
+                "width": int(img.shape[1]),
+                "height": int(img.shape[0]),
+                "conversations": [
+                    {"from": "human", "value": f"<image>\n{qa['question']}"},
+                    {"from": "gpt", "value": qa["answer"]},
+                ],
+            }
+            fout.write(json.dumps(item) + "\n")
+            self._idx += 1
+            written += 1
+            return fname
+
+        def flush(fout):
+            if not buf_imgs:
+                return
+            if self.shared_image_fn is not None and len(kinds) > 1:
+                # one image prefill per frame, all kind-prompts against it
+                for img, meta in zip(buf_imgs, buf_meta):
+                    prompts = [PROMPTS[k].format(instruction=meta["instruction"])
+                               for k in kinds]
+                    fname = None
+                    for resp in self.shared_image_fn(prompts, img):
+                        fname = write_item(fout, img, fname, resp)
+            else:
+                prompts, imgs = [], []
+                for img, meta in zip(buf_imgs, buf_meta):
+                    for k in kinds:
+                        prompts.append(
+                            PROMPTS[k].format(instruction=meta["instruction"])
+                        )
+                        imgs.append(img)
+                responses = self.generate_fn(np.stack(imgs), prompts)
+                for i, img in enumerate(buf_imgs):
+                    fname = None
+                    for j in range(len(kinds)):
+                        resp = responses[i * len(kinds) + j]
+                        fname = write_item(fout, img, fname, resp)
             buf_imgs.clear()
             buf_meta.clear()
 

@@ -55,6 +55,24 @@ model output), while `make_generate_fn`'s output-length accounting uses
 pad as the done-sentinel and truncates there. Greedy eval prompts never
 argmax onto pad in practice; sampled requests should use an eos set that
 covers their stop tokens.
+
+Prefix caching (vLLM's automatic-prefix-caching role, made explicit the
+static-shape way): QA generation asks many questions about ONE frame
+(data-pipeline RoboTwin-QA/GeneralQA.py builds general/spatial/grounding
+prompts over the same episode images), so the expensive part of every
+prompt — the system text + 256-token image block — is identical across
+requests. `register_prefix(ids, pixels)` prefills that shared prefix
+once and keeps its [L, 1, bucket, KVH, D] KV on device; a request with
+`prefix_id` carries only its tail tokens, and admission runs ONE
+multi-token cached forward of the tail against the stored prefix KV
+(the same write_meta + q_offset block step speculative decoding uses:
+tail queries take positions prefix_len+i while prefix keys sit at slots
+< prefix_len, so the causal rule composes exactly), then inserts the
+combined row. Prefill cost per request drops from O((P+m)^2) attention +
+P+m MLP rows to O(m*(P+m)) + m rows — for a 300-token image prefix and a
+20-token question that is ~15x less prefill compute, and the ViT never
+reruns. Token identity with the full-prompt decode is exact (same
+arithmetic, fp32) and pinned by tests/test_engine.py.
 """
 
 from __future__ import annotations
@@ -84,6 +102,10 @@ class Request:
     top_k: int = 0
     top_p: float = 1.0
     seed: int = 0
+    # id from engine.register_prefix(); when set, input_ids holds ONLY the
+    # tail after the shared prefix (text-only — the image lives in the
+    # prefix) and the engine reuses the prefix KV instead of re-prefilling
+    prefix_id: Optional[int] = None
 
 
 @dataclasses.dataclass
@@ -99,6 +121,7 @@ class _Slot:
     last_token: int
     generated: List[int]
     rng: Optional[np.ndarray] = None  # [2] uint32, sampled requests only
+    prompt_len: int = 0  # prefix_len + tail for prefix-cached requests
 
 
 def _pick_bucket(n: int, buckets: Sequence[int]) -> int:
@@ -175,6 +198,43 @@ class ContinuousBatchingEngine:
 
         # one compile per (bucket, tile-bucket); cheap enough to share one jit
         self._prefill = jax.jit(prefill)
+
+        def prefill_suffix(params, pk, pv, pseg, plev, plen, ids, seg,
+                           true_m):
+            """Prefill a text tail against a stored prefix KV: ONE cached
+            multi-token forward. The combined row cache is
+            [prefix_bucket + tail_bucket] wide; the prefix occupies slots
+            [0, prefix_bucket) (seg 0 beyond plen), length starts at plen so
+            tail K/V land at slots plen.. and take rope positions plen+i —
+            identical arithmetic to a full prefill of prefix+tail."""
+            nbt = pk.shape[2] + ids.shape[1]
+            cache = KVCache.create(
+                llm.num_layers, 1, nbt, llm.num_kv_heads, llm.head_dim,
+                dtype=cache_dtype,
+            )
+            cache = cache.replace(
+                k=jax.lax.dynamic_update_slice(
+                    cache.k, pk.astype(cache.k.dtype), (0, 0, 0, 0, 0)
+                ),
+                v=jax.lax.dynamic_update_slice(
+                    cache.v, pv.astype(cache.v.dtype), (0, 0, 0, 0, 0)
+                ),
+                seg=jax.lax.dynamic_update_slice(cache.seg, pseg, (0, 0)),
+                lev=jax.lax.dynamic_update_slice(cache.lev, plev, (0, 0)),
+                length=plen,
+            )
+            logits, _, cache = model.apply(
+                params, ids, cache, None, seg, method=model.decode_step,
+            )
+            last = jnp.take_along_axis(
+                logits, (true_m - 1)[None, None, None], axis=1
+            )[0, 0]
+            token = jnp.argmax(last).astype(jnp.int32)
+            return cache.k, cache.v, cache.seg, cache.lev, token, last
+
+        self._prefill_suffix = jax.jit(prefill_suffix)
+        self._prefixes: Dict[int, dict] = {}
+        self._next_prefix_id = 0
 
         def insert(cache, k1, v1, seg1, lev1, row, true_len):
             k = jax.lax.dynamic_update_slice(
@@ -306,6 +366,49 @@ class ContinuousBatchingEngine:
     def reset(self) -> None:
         self.cache = self._fresh_cache()
 
+    def _prep_pixels(self, pixel_values):
+        """Tile-bucket padding + image_flags (shared by full prefill and
+        prefix registration)."""
+        if pixel_values is None:
+            return None, None
+        px = np.asarray(pixel_values)
+        flags = None
+        if self.tile_buckets is not None:
+            t = px.shape[0]
+            tb = _pick_bucket(t, self.tile_buckets)
+            if tb > t:
+                pad = np.zeros((tb - t,) + px.shape[1:], px.dtype)
+                px = np.concatenate([px, pad], axis=0)
+            flags = jnp.asarray((np.arange(tb) < t).astype(np.int32))
+        return jnp.asarray(px), flags
+
+    # -- prefix caching ---------------------------------------------------------
+
+    def register_prefix(self, input_ids, pixel_values=None) -> int:
+        """Prefill a shared prompt prefix once; returns a prefix_id for
+        `Request.prefix_id`. The prefix KV ([L, 1, bucket, KVH, D] per
+        buffer, ~2*L*bucket*KVH*D bytes) stays on device until
+        release_prefix()."""
+        ids_np = np.asarray(input_ids, np.int32)
+        n = int(ids_np.shape[-1])
+        nb = _pick_bucket(n, self.prefill_buckets)
+        ids = np.full((1, nb), self.pad_token_id, np.int32)
+        ids[0, :n] = ids_np.reshape(-1)
+        seg = np.zeros((1, nb), np.int32)
+        seg[0, :n] = 1
+        pixels, flags = self._prep_pixels(pixel_values)
+        k1, v1, seg1, lev1, _, _ = self._prefill(
+            self.params, jnp.asarray(ids), jnp.asarray(seg), pixels, flags,
+            jnp.asarray(n, jnp.int32),
+        )
+        pid = self._next_prefix_id
+        self._next_prefix_id += 1
+        self._prefixes[pid] = dict(k=k1, v=v1, seg=seg1, lev=lev1, n=n)
+        return pid
+
+    def release_prefix(self, prefix_id: int) -> None:
+        del self._prefixes[prefix_id]
+
     # -- serving loop ---------------------------------------------------------
 
     def run(self, requests: Sequence[Request]) -> List[Completion]:
@@ -335,7 +438,7 @@ class ContinuousBatchingEngine:
                 if t in self.eos:
                     break
                 out.append(t)
-            done.append(Completion(st.req.uid, out, len(st.req.input_ids)))
+            done.append(Completion(st.req.uid, out, st.prompt_len))
             slots[row] = None
 
         while queue or any(s is not None for s in slots):
@@ -344,33 +447,48 @@ class ContinuousBatchingEngine:
                 if slots[row] is not None or not queue:
                     continue
                 req = queue.popleft()
-                n = int(len(req.input_ids))
+                m = int(len(req.input_ids))
+                if req.prefix_id is not None:
+                    pref = self._prefixes[req.prefix_id]
+                    assert req.pixel_values is None, (
+                        f"request {req.uid}: a prefix_id tail is text-only "
+                        "(put the image in the registered prefix)"
+                    )
+                    n = pref["n"] + m
+                    sb = _pick_bucket(m, self.prefill_buckets)
+                    assert pref["k"].shape[2] + sb <= self.max_len, (
+                        f"request {req.uid}: prefix bucket "
+                        f"{pref['k'].shape[2]} + tail bucket {sb} exceeds "
+                        f"max_len {self.max_len}"
+                    )
+                else:
+                    n = m
                 assert n + req.max_new_tokens <= self.max_len, (
                     f"request {req.uid}: {n}+{req.max_new_tokens} exceeds "
                     f"max_len {self.max_len}"
                 )
-                nb = _pick_bucket(n, self.prefill_buckets)
-                ids = np.full((1, nb), self.pad_token_id, np.int32)
-                ids[0, :n] = req.input_ids
-                seg = np.zeros((1, nb), np.int32)
-                seg[0, :n] = 1
-                pixels, flags = None, None
-                if req.pixel_values is not None:
-                    px = np.asarray(req.pixel_values)
-                    if self.tile_buckets is not None:
-                        t = px.shape[0]
-                        tb = _pick_bucket(t, self.tile_buckets)
-                        if tb > t:
-                            pad = np.zeros((tb - t,) + px.shape[1:], px.dtype)
-                            px = np.concatenate([px, pad], axis=0)
-                        flags = jnp.asarray(
-                            (np.arange(tb) < t).astype(np.int32)
-                        )
-                    pixels = jnp.asarray(px)
-                k1, v1, seg1, lev1, tok, last = self._prefill(
-                    self.params, jnp.asarray(ids), jnp.asarray(seg), pixels,
-                    flags, jnp.asarray(n, jnp.int32),
-                )
+                if req.prefix_id is not None:
+                    ids = np.full((1, sb), self.pad_token_id, np.int32)
+                    ids[0, :m] = req.input_ids
+                    seg = np.zeros((1, sb), np.int32)
+                    seg[0, :m] = 1
+                    k1, v1, seg1, lev1, tok, last = self._prefill_suffix(
+                        self.params, pref["k"], pref["v"], pref["seg"],
+                        pref["lev"], jnp.asarray(pref["n"], jnp.int32),
+                        jnp.asarray(ids), jnp.asarray(seg),
+                        jnp.asarray(m, jnp.int32),
+                    )
+                else:
+                    nb = _pick_bucket(n, self.prefill_buckets)
+                    ids = np.full((1, nb), self.pad_token_id, np.int32)
+                    ids[0, :n] = req.input_ids
+                    seg = np.zeros((1, nb), np.int32)
+                    seg[0, :n] = 1
+                    pixels, flags = self._prep_pixels(req.pixel_values)
+                    k1, v1, seg1, lev1, tok, last = self._prefill(
+                        self.params, jnp.asarray(ids), jnp.asarray(seg),
+                        pixels, flags, jnp.asarray(n, jnp.int32),
+                    )
                 self.cache = self._insert(
                     self.cache, k1, v1, seg1, lev1,
                     jnp.asarray(row, jnp.int32), jnp.asarray(n, jnp.int32),
@@ -384,7 +502,7 @@ class ContinuousBatchingEngine:
                         jnp.asarray(req.top_p, jnp.float32),
                     )
                     rng = np.asarray(rng)
-                slots[row] = _Slot(req, int(tok), [], rng)
+                slots[row] = _Slot(req, int(tok), [], rng, prompt_len=n)
                 if int(tok) in self.eos or req.max_new_tokens <= 1:
                     finish(row, include_last=True)
 

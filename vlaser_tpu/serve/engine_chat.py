@@ -175,3 +175,66 @@ class EngineChat:
         reqs = self._requests(queries, chunks)
         uids = [r.uid for r in reqs]
         return self._decode_texts(self._run(reqs), uids)
+
+    def batch_chat_shared_image(
+        self,
+        questions: Sequence[str],
+        pixel_values: Optional[np.ndarray] = None,  # ONE image's tiles
+    ) -> List[str]:
+        """QA-generation fast path: N questions about the SAME image
+        (data-pipeline's per-frame general/spatial/grounding prompt sets).
+        The common prompt head — system turn + <img> block, found as the
+        longest common prefix of the TOKENIZED queries, so tokenizer merge
+        boundaries can't split it wrong — prefills once via
+        engine.register_prefix; each question admits only its tail tokens.
+        Output is token-identical to batch_chat (pinned in
+        tests/test_engine_chat.py)."""
+        num_patches = (
+            [pixel_values.shape[0]] if pixel_values is not None else []
+        )
+        queries = []
+        for q in questions:
+            if pixel_values is not None and "<image>" not in q:
+                q = "<image>\n" + q
+            queries.append(build_chat_query(
+                self.cfg.template, q, num_patches,
+                self.cfg.num_image_token, system_message=self.system_message,
+            ))
+        ids = [
+            np.asarray(
+                self.tokenizer(q, add_special_tokens=False)["input_ids"],
+                np.int32,
+            )
+            for q in queries
+        ]
+        lcp = min(len(a) for a in ids) - 1  # every tail keeps >= 1 token
+        for a in ids[1:]:
+            n = min(lcp, len(a))
+            diff = np.nonzero(a[:n] != ids[0][:n])[0]
+            if diff.size:
+                lcp = int(diff[0])
+        if pixel_values is not None:
+            # the pixel scatter happens in the prefix prefill, so the whole
+            # <IMG_CONTEXT> block must sit inside the common prefix
+            want = self.cfg.num_image_token * pixel_values.shape[0]
+            got = int((ids[0][:lcp] == self.cfg.img_context_token_id).sum())
+            if got != want:
+                raise ValueError(
+                    f"shared-image prefix covers {got}/{want} image tokens; "
+                    "questions must not diverge before the <image> block"
+                )
+        pid = self.engine.register_prefix(ids[0][:lcp], pixel_values)
+        try:
+            reqs = []
+            for a in ids:
+                reqs.append(Request(
+                    uid=self._uid, input_ids=a[lcp:], prefix_id=pid,
+                    max_new_tokens=self.max_new_tokens,
+                    temperature=self.temperature, top_k=self.top_k,
+                    top_p=self.top_p, seed=self._uid,
+                ))
+                self._uid += 1
+            uids = [r.uid for r in reqs]
+            return self._decode_texts(self.engine.run(reqs), uids)
+        finally:
+            self.engine.release_prefix(pid)
