@@ -64,6 +64,10 @@ def main():
                     help="like --engine but the whole schedule compiles onto "
                          "the device (serve/offline.py): one host dispatch "
                          "per batch, greedy only")
+    ap.add_argument("--spec_draft", type=int, default=0,
+                    help="speculative decode through the engine: prompt-"
+                         "lookup drafts of this length verify per slot "
+                         "(--engine only; greedy token-identical)")
     ap.add_argument("--out", default=None, help="results json path")
     args = ap.parse_args()
 
@@ -102,7 +106,8 @@ def main():
                           max_new_tokens=args.max_new_tokens,
                           num_slots=args.num_slots,
                           max_len=args.engine_max_len,
-                          backend="offline" if args.offline else "engine")
+                          backend="offline" if args.offline else "engine",
+                          speculative_draft_len=args.spec_draft)
     else:
         chat = VlaserChat(model, params, tokenizer,
                           max_new_tokens=args.max_new_tokens,

@@ -42,6 +42,10 @@ def main():
                          "compiles onto the device (serve/offline.py): one "
                          "host dispatch per batch, greedy only")
     ap.add_argument("--num_slots", type=int, default=8)
+    ap.add_argument("--spec_draft", type=int, default=0,
+                    help="speculative decode through the engine (prompt-"
+                         "lookup drafts; greedy token-identical, --engine "
+                         "only)")
     ap.add_argument("--temperature", type=float, default=0.0,
                     help="sampling temperature for QA generation "
                          "(engine mode: per-request sampling params)")
@@ -78,7 +82,8 @@ def main():
         chat = EngineChat(model, params, tokenizer, max_new_tokens=512,
                           num_slots=args.num_slots,
                           temperature=args.temperature, top_p=args.top_p,
-                          backend="offline" if args.offline else "engine")
+                          backend="offline" if args.offline else "engine",
+                          speculative_draft_len=args.spec_draft)
     else:
         assert args.temperature == 0.0, (
             "sampled QA generation runs through --engine (per-request "

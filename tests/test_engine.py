@@ -243,13 +243,19 @@ def test_admission_and_bucket_validation(vlm):
         engine.run([bad])
 
 
-def test_per_row_write_meta_rejects_multitoken():
-    """Per-row cache offsets advance by nonzero-seg count but write S
-    contiguous slots; S>1 would desynchronize — the cache refuses it."""
+def test_per_row_write_meta_multitoken_blocks():
+    """Widened per-row write_meta (the engine's speculative verify step):
+    each row writes S contiguous slots at its own offset and advances by its
+    count of nonzero incoming seg ids — an all-nonzero (alive) row advances
+    by S, an all-zero (dead) row neither writes attendable metadata nor
+    advances."""
     cache = KVCache.create(1, 2, 16, 1, 4, dtype=jnp.float32)
-    cache = cache.replace(length=jnp.zeros((2,), jnp.int32))
-    with pytest.raises(ValueError, match="S==1"):
-        cache.write_meta(jnp.ones((2, 3), jnp.int32))
+    cache = cache.replace(length=jnp.asarray([2, 5], jnp.int32))
+    seg = jnp.asarray([[1, 1, 1], [0, 0, 0]], jnp.int32)
+    out = cache.write_meta(seg)
+    assert out.length.tolist() == [5, 5]
+    np.testing.assert_array_equal(np.asarray(out.seg[0, 2:5]), [1, 1, 1])
+    assert int(np.asarray(out.seg).sum()) == 3  # dead row wrote nothing
 
 
 def test_per_row_cache_decode_matches_scalar(vlm):
@@ -280,3 +286,156 @@ def test_per_row_cache_decode_matches_scalar(vlm):
         return np.asarray(step_logits[:, 0])
 
     np.testing.assert_allclose(run(True), run(False), rtol=2e-5, atol=2e-5)
+
+
+# -- speculative decode through the engine ---------------------------------
+
+def _spec_pair(model, params, *, num_slots=3, max_len=96, draft_len=4,
+               chunk_size=4, buckets=(16, 32), eos=EOS):
+    kwargs = dict(max_len=max_len, eos_token_ids=eos, pad_token_id=0,
+                  prefill_buckets=buckets, cache_dtype=jnp.float32,
+                  chunk_size=chunk_size)
+    plain = ContinuousBatchingEngine(model, params, num_slots=num_slots,
+                                     **kwargs)
+    spec = ContinuousBatchingEngine(model, params, num_slots=num_slots,
+                                    speculative_draft_len=draft_len,
+                                    **kwargs)
+    return plain, spec
+
+
+@pytest.mark.parametrize("chunk_size,draft_len", [(1, 4), (4, 2), (4, 6)])
+def test_spec_engine_token_identity(vlm, chunk_size, draft_len):
+    """Speculative engine output is token-for-token identical to the
+    non-speculative engine (and hence the sequential oracle) on a staggered
+    mixed-length workload — acceptance only changes pass counts, never
+    tokens. max_new 24 lets random-weight greedy chains cycle, so drafts DO
+    get accepted (>1 token/pass) and the accept path is exercised, not just
+    the reject path."""
+    cfg, model, params = vlm
+    rng = np.random.default_rng(13)
+    prompts = [rng.integers(1, 400, (n,)).astype(np.int32)
+               for n in (4, 9, 5, 13, 7)]
+    plain, spec = _spec_pair(model, params, chunk_size=chunk_size,
+                             draft_len=draft_len)
+    reqs = lambda: [Request(uid=i, input_ids=p, max_new_tokens=24)
+                    for i, p in enumerate(prompts)]
+    want = {c.uid: c.token_ids for c in plain.run(reqs())}
+    got = {c.uid: c.token_ids for c in spec.run(reqs())}
+    assert got == want
+
+
+def test_spec_engine_eos_mid_block(vlm):
+    """EOS landing inside a verify block cuts the stream exactly where the
+    sequential rules would. The EOS set is chosen from tokens the plain run
+    actually emits, so the cut genuinely happens mid-decode."""
+    cfg, model, params = vlm
+    rng = np.random.default_rng(17)
+    prompts = [rng.integers(1, 400, (n,)).astype(np.int32) for n in (6, 11)]
+    probe, _ = _spec_pair(model, params)
+    emitted = [c.token_ids for c in probe.run(
+        [Request(uid=i, input_ids=p, max_new_tokens=24)
+         for i, p in enumerate(prompts)]
+    )]
+    # pick a token from the middle of a stream as EOS -> mid-stream stop
+    mid = [t for toks in emitted for t in toks[1:-1]]
+    assert mid, "probe run emitted too few tokens to pick a mid-stream EOS"
+    eos = [int(mid[len(mid) // 2])]
+    plain, spec = _spec_pair(model, params, eos=eos)
+    reqs = lambda: [Request(uid=i, input_ids=p, max_new_tokens=24)
+                    for i, p in enumerate(prompts)]
+    want = {c.uid: c.token_ids for c in plain.run(reqs())}
+    got = {c.uid: c.token_ids for c in spec.run(reqs())}
+    assert got == want
+    assert any(len(t) < 23 for t in got.values()), (
+        "chosen EOS never cut a stream - the mid-block path was not hit"
+    )
+
+
+def test_spec_engine_budget_cut_and_image(vlm):
+    """Tight max_new budgets (cut lands mid verify block) + an image request
+    + slot reuse, all token-identical to the plain engine."""
+    cfg, model, params = vlm
+    rng = np.random.default_rng(19)
+    npt = cfg.num_image_token
+    img_ids = rng.integers(1, 400, (6 + npt,)).astype(np.int32)
+    img_ids[2 : 2 + npt] = cfg.img_context_token_id
+    pixels = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    texts = [rng.integers(1, 400, (n,)).astype(np.int32)
+             for n in (5, 8, 3, 10)]
+    plain, spec = _spec_pair(model, params, num_slots=2, max_len=128,
+                             buckets=(16, 64), draft_len=5)
+
+    def reqs():
+        out = [Request(uid=0, input_ids=img_ids, pixel_values=pixels,
+                       max_new_tokens=7)]
+        out += [Request(uid=i + 1, input_ids=t,
+                        max_new_tokens=(2, 3, 7, 5)[i])
+                for i, t in enumerate(texts)]
+        return out
+
+    want = {c.uid: c.token_ids for c in plain.run(reqs())}
+    got = {c.uid: c.token_ids for c in spec.run(reqs())}
+    assert got == want
+    assert all(len(got[i + 1]) <= (2, 3, 7, 5)[i] for i in range(4))
+
+
+def test_spec_engine_prefix_cached(vlm):
+    """Prefix-cached tails decode identically under speculation; the
+    prompt-lookup window covers the registered prefix ids too."""
+    cfg, model, params = vlm
+    rng = np.random.default_rng(23)
+    npt = cfg.num_image_token
+    prefix = rng.integers(1, 400, (4 + npt,)).astype(np.int32)
+    prefix[2 : 2 + npt] = cfg.img_context_token_id
+    pixels = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    tails = [rng.integers(1, 400, (n,)).astype(np.int32) for n in (5, 9, 3)]
+    plain, spec = _spec_pair(model, params, num_slots=2, max_len=128,
+                             buckets=(16, 32))
+    pid_p = plain.register_prefix(prefix, pixels)
+    pid_s = spec.register_prefix(prefix, pixels)
+    want = {c.uid: c.token_ids for c in plain.run(
+        [Request(uid=i, input_ids=t, max_new_tokens=16, prefix_id=pid_p)
+         for i, t in enumerate(tails)]
+    )}
+    got = {c.uid: c.token_ids for c in spec.run(
+        [Request(uid=i, input_ids=t, max_new_tokens=16, prefix_id=pid_s)
+         for i, t in enumerate(tails)]
+    )}
+    assert got == want
+
+
+def test_spec_engine_sampled_run_falls_back(vlm):
+    """A run containing sampled requests takes the sampled chunk path:
+    outputs equal the non-speculative engine's sampled run (speculation
+    only accelerates greedy workloads)."""
+    cfg, model, params = vlm
+    rng = np.random.default_rng(31)
+    prompts = [rng.integers(1, 400, (n,)).astype(np.int32) for n in (6, 9)]
+    plain, spec = _spec_pair(model, params)
+
+    def reqs():
+        return [
+            Request(uid=0, input_ids=prompts[0], max_new_tokens=10,
+                    temperature=0.8, top_k=7, seed=5),
+            Request(uid=1, input_ids=prompts[1], max_new_tokens=10),
+        ]
+
+    want = {c.uid: c.token_ids for c in plain.run(reqs())}
+    got = {c.uid: c.token_ids for c in spec.run(reqs())}
+    assert got == want
+
+
+def test_spec_engine_admission_margin(vlm):
+    """The speculative cache margin is enforced at admission: a request that
+    fits the plain engine but whose verify blocks would overrun max_len is
+    rejected with a clear error."""
+    cfg, model, params = vlm
+    _, spec = _spec_pair(model, params, max_len=32, draft_len=4,
+                         buckets=(16,))
+    ids = np.arange(2, 14, dtype=np.int32)
+    with pytest.raises(AssertionError, match="speculative margin"):
+        spec.run([Request(uid=0, input_ids=ids, max_new_tokens=17)])

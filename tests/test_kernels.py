@@ -412,3 +412,42 @@ def test_sliding_window_forward_and_grad_parity():
         q, k, v, q_segment_ids=seg, kv_segment_ids=seg, causal=True,
         window=W, impl="reference", interpret=True,
     )).max()) > 1e-3
+
+
+def test_per_row_q_offset_matches_scalar_rows():
+    """Vector q_offset (the engine's speculative verify blocks): a [B] offset
+    builds per-row causal masks — each row must equal a solo scalar-offset
+    call at that row's own offset."""
+    from vlaser_tpu.kernels.flash_attention import attention
+
+    key = jax.random.PRNGKey(9)
+    B, Sq, Skv, H, KVH, D = 3, 5, 32, 4, 2, 16
+    ks = jax.random.split(key, 3)
+    q = _rand(ks[0], (B, Sq, H, D))
+    k = _rand(ks[1], (B, Skv, KVH, D))
+    v = _rand(ks[2], (B, Skv, KVH, D))
+    offs = jnp.asarray([7, 12, 20], jnp.int32)
+    kv_seg = (jnp.arange(Skv)[None, :] < (offs + Sq)[:, None]).astype(
+        jnp.int32
+    )
+    got = attention(q, k, v, kv_segment_ids=kv_seg, q_offset=offs,
+                    causal=True)
+    for b in range(B):
+        solo = attention(
+            q[b : b + 1], k[b : b + 1], v[b : b + 1],
+            kv_segment_ids=kv_seg[b : b + 1],
+            q_offset=jnp.int32(offs[b]), causal=True, impl="reference",
+        )
+        np.testing.assert_allclose(np.asarray(got[b]), np.asarray(solo[0]),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"row {b} diverged")
+
+
+def test_per_row_q_offset_rejects_pallas():
+    from vlaser_tpu.kernels.flash_attention import attention
+
+    q = jnp.zeros((2, 4, 2, 8))
+    kv = jnp.zeros((2, 16, 2, 8))
+    with np.testing.assert_raises(AssertionError):
+        attention(q, kv, kv, q_offset=jnp.zeros((2,), jnp.int32),
+                  causal=True, impl="pallas")

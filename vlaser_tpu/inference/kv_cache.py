@@ -58,17 +58,15 @@ class KVCache:
         """
         s = seg_ids.shape[1]
         if self.length.ndim == 1:
-            if s != 1:
-                # per-row offsets advance by the count of NONZERO incoming
-                # seg ids, but the kv/meta writes are S contiguous slots —
-                # interior padding would desynchronize them. Only the
-                # engine's one-token decode uses per-row lengths today;
-                # widen this deliberately if a multi-token per-row step
-                # ever exists (e.g. speculative decode through the engine).
-                raise ValueError(
-                    "per-row KV cache write_meta supports S==1 steps only, "
-                    f"got S={s}"
-                )
+            # Per-row offsets advance by the count of NONZERO incoming seg
+            # ids while the kv/meta writes are S contiguous slots, so the
+            # caller contract for S>1 is: each row's nonzero seg ids must be
+            # a contiguous PREFIX of the S slots (all-or-nothing per row in
+            # practice). The engine's speculative decode step writes full
+            # [B, K+1] blocks for alive rows and all-zero rows for dead
+            # ones, then rolls `length` back to base+accepted itself
+            # (serve/engine.py); interior padding would desynchronize the
+            # offsets and is a caller bug.
             new_seg = _write_rows_2d(self.seg, seg_ids, self.length)
             new_lev = self.lev
             if levels is not None:

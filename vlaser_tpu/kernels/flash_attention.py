@@ -637,6 +637,15 @@ def attention(
         kv_segment_ids = jnp.ones((b, skv), jnp.int32)
     q_meta = pack_meta(q_segment_ids, q_levels)
     kv_meta = pack_meta(kv_segment_ids, kv_levels)
+    if getattr(q_offset, "ndim", 0) == 1:
+        # per-row q offsets (engine speculative decode blocks): the Pallas
+        # kernel reads a scalar offset, so this shape routes to the XLA
+        # reference path — the right call anyway at its [B, K+1, max_len]
+        # logit sizes.
+        assert impl != "pallas", (
+            "per-row q_offset is unsupported by the Pallas kernel"
+        )
+        impl = "reference"
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
         # Measured on v5e (round 1): XLA's fused attention wins when the

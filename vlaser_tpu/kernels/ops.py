@@ -144,7 +144,9 @@ def make_attention_mask(
 ) -> Optional[jax.Array]:
     """Boolean [B, Sq, Skv] mask (True = attend) from composable rules.
 
-    - causal: global q position (q_offset + i) >= kv position j
+    - causal: global q position (q_offset + i) >= kv position j.
+      q_offset may be a [B] vector (per-row fill depths — the engine's
+      multi-token speculative decode step); the mask is then built per row.
     - segment ids: equal ids attend; id 0 is padding (masked as K)
     - levels: kv_level <= q_level — encodes the VLA block mask
       (pizero_internvl.py:517-587): img/text=0, proprio=1, action=2
@@ -156,13 +158,18 @@ def make_attention_mask(
         return b if a is None else jnp.logical_and(a, b)
 
     if causal or window is not None:
-        qpos = q_offset + jnp.arange(q_len)[:, None]
-        kpos = jnp.arange(kv_len)[None, :]
+        if getattr(q_offset, "ndim", 0) == 1:
+            # per-row offsets: [B, Sq, 1] global q positions
+            qpos = q_offset[:, None, None] + jnp.arange(q_len)[None, :, None]
+            kpos = jnp.arange(kv_len)[None, None, :]
+        else:
+            qpos = (q_offset + jnp.arange(q_len)[:, None])[None]
+            kpos = jnp.arange(kv_len)[None, None, :]
         if causal:
-            allowed = _and(allowed, (qpos >= kpos)[None])
+            allowed = _and(allowed, qpos >= kpos)
         if window is not None:
             # flash-attn left-window: k allowed iff q_pos - k_pos <= window
-            allowed = _and(allowed, (qpos - kpos <= window)[None])
+            allowed = _and(allowed, qpos - kpos <= window)
     if q_segment_ids is not None or kv_segment_ids is not None:
         assert q_segment_ids is not None and kv_segment_ids is not None
         same = q_segment_ids[:, :, None] == kv_segment_ids[:, None, :]

@@ -89,7 +89,10 @@ class Qwen2Attention(nn.Module):
                 # depth. With a single query token per row, "causal" reduces
                 # to the kv segment mask (every valid cached slot is in the
                 # past), so no per-row offset needs to reach the kernel.
-                assert s == 1, "per-row KV offsets are a 1-token decode path"
+                # Multi-token per-row blocks (the engine's speculative
+                # verify step) DO need causality among the block's own
+                # freshly written slots — the vector q_offset reaches
+                # make_attention_mask, which builds per-row positions.
                 assert cfg.sliding_window is None, (
                     "sliding window + per-row decode offsets is unsupported"
                 )
@@ -97,7 +100,8 @@ class Qwen2Attention(nn.Module):
                     q, k_buf.astype(q.dtype), v_buf.astype(q.dtype),
                     q_segment_ids=seg_ids, kv_segment_ids=kv_seg,
                     q_levels=levels, kv_levels=kv_levels,
-                    causal=False, impl=attn_impl,
+                    q_offset=q_offset if s > 1 else 0,
+                    causal=s > 1, impl=attn_impl,
                     scale=scale, softcap=cfg.attn_softcap,
                 )
             else:

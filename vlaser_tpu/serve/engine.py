@@ -56,6 +56,17 @@ pad as the done-sentinel and truncates there. Greedy eval prompts never
 argmax onto pad in practice; sampled requests should use an eos set that
 covers their stop tokens.
 
+Speculative decoding (vLLM's spec-decode role) rides the same decode
+batch when `speculative_draft_len > 0`: each pass verifies one
+[num_slots, K+1] block — per-slot prompt-lookup drafts from each
+request's own token history (inference/speculative.lookup_draft), the
+multi-token per-row cache step (write_meta contiguous blocks + per-row
+q_offset causal masks), and per-row rollback of rejected slots. Committed
+tokens are always the verified argmaxes, so outputs stay token-identical
+to the non-speculative engine; acceptance only changes how many passes a
+request needs. Greedy runs only — a run containing sampled requests takes
+the sampled chunk path unchanged.
+
 Prefix caching (vLLM's automatic-prefix-caching role, made explicit the
 static-shape way): QA generation asks many questions about ONE frame
 (data-pipeline RoboTwin-QA/GeneralQA.py builds general/spatial/grounding
@@ -87,6 +98,7 @@ import numpy as np
 
 from ..inference.kv_cache import KVCache
 from ..inference.sampling import sample_per_row
+from ..inference.speculative import lookup_draft
 
 
 @dataclasses.dataclass
@@ -122,6 +134,9 @@ class _Slot:
     generated: List[int]
     rng: Optional[np.ndarray] = None  # [2] uint32, sampled requests only
     prompt_len: int = 0  # prefix_len + tail for prefix-cached requests
+    # full prompt ids (prefix + tail for prefix-cached rows) — the
+    # speculative chunk's prompt-lookup draft window
+    hist: Optional[np.ndarray] = None
 
 
 def _pick_bucket(n: int, buckets: Sequence[int]) -> int:
@@ -147,6 +162,8 @@ class ContinuousBatchingEngine:
         tile_buckets: Optional[Sequence[int]] = None,
         cache_dtype=jnp.bfloat16,
         chunk_size: int = 16,
+        speculative_draft_len: int = 0,
+        speculative_ngram: int = 2,
     ):
         llm = model.cfg.llm
         assert llm.sliding_window is None, (
@@ -353,6 +370,126 @@ class ContinuousBatchingEngine:
 
         self._sample_first = jax.jit(sample_first)
 
+        # --- batched speculative decode (prompt-lookup drafts per slot) ---
+        # vLLM integrates spec decode into continuous batching; this is the
+        # static-shape equivalent: every pass verifies a [B, Kd+1] block
+        # (per-row draft from each slot's own token history), each row
+        # accepts its own 1..Kd+1 tokens, and per-row cache rollback rides
+        # the same per-row `length` vector the engine already decodes with.
+        # Greedy only — committed tokens are always the verified argmax, so
+        # outputs are token-identical to the non-speculative engine (pinned
+        # by tests/test_engine.py); sampled runs take the sampled chunk.
+        self.spec_draft_len = Kd = int(speculative_draft_len)
+        self.spec_ngram = int(speculative_ngram)
+        if Kd > 0:
+            assert self.spec_ngram >= 1
+            W = self.max_len + Kd + 1  # per-row token-history width
+            self._spec_buf_width = W
+            idx = jnp.arange(Kd + 1, dtype=jnp.int32)
+
+            def decode_chunk_spec(params, cache, buf, totals, tokens, alive,
+                                  budget):
+                """-> (targets [P, B, Kd+1], counts [P, B], cache, buf).
+                Runs up to P=chunk_size verify passes; pass p commits
+                counts[p, b] tokens for row b, which are targets[p, b, :m]
+                (acceptance + EOS-cut + budget-cap are all prefix rules).
+                Dead rows write seg-0 blocks (masked, no metadata advance)
+                and report count 0."""
+                B = tokens.shape[0]
+                tg0 = jnp.zeros((K, B, Kd + 1), jnp.int32)
+                ct0 = jnp.zeros((K, B), jnp.int32)
+
+                def cond(state):
+                    p, _, _, _, _, alive, _, _, _ = state
+                    return jnp.logical_and(p < K, jnp.any(alive))
+
+                def body(state):
+                    p, cache, buf, totals, tokens, alive, budget, tg, ct = \
+                        state
+                    draft = jax.vmap(
+                        lambda b_, t_: lookup_draft(
+                            b_, t_, self.spec_ngram, Kd
+                        )[0]
+                    )(buf, totals)
+                    block = jnp.concatenate([tokens[:, None], draft], axis=1)
+                    positions = (totals - 1)[:, None] + idx[None, :]
+                    seg = jnp.broadcast_to(
+                        alive.astype(jnp.int32)[:, None], (B, Kd + 1)
+                    )
+                    base = cache.length
+                    logits, _, cache = model.apply(
+                        params, block, cache, positions, seg,
+                        method=model.decode_step,
+                    )
+                    targets = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    match = draft == targets[:, :Kd]
+                    a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1),
+                                axis=1)
+                    committed = idx[None, :] <= a[:, None]
+                    is_eos = jnp.any(
+                        targets[:, :, None] == eos_arr[None, None, :], axis=-1
+                    )
+                    eos_hit = jnp.logical_and(is_eos, committed)
+                    prior = jnp.cumsum(eos_hit.astype(jnp.int32), axis=1) \
+                        - eos_hit.astype(jnp.int32)
+                    committed = jnp.logical_and(committed, prior == 0)
+                    committed = jnp.logical_and(
+                        committed, idx[None, :] < budget[:, None]
+                    )
+                    committed = jnp.logical_and(committed, alive[:, None])
+                    m = jnp.sum(committed.astype(jnp.int32), axis=1)
+                    # token-history update at per-row totals
+                    old = jax.vmap(
+                        lambda b_, t_: jax.lax.dynamic_slice(
+                            b_, (t_,), (Kd + 1,)
+                        )
+                    )(buf, totals)
+                    upd = jnp.where(committed, targets, old)
+                    buf = jax.vmap(
+                        lambda b_, u_, t_: jax.lax.dynamic_update_slice(
+                            b_, u_, (t_,)
+                        )
+                    )(buf, upd, totals)
+                    # per-row rollback: keep m of the Kd+1 written slots
+                    slot = jnp.arange(cache.max_len, dtype=jnp.int32)[None, :]
+                    stale = jnp.logical_and(
+                        slot >= (base + m)[:, None],
+                        slot < (base + Kd + 1)[:, None],
+                    )
+                    cache = cache.replace(
+                        length=base + m,
+                        seg=jnp.where(stale, 0, cache.seg),
+                    )
+                    last = jnp.take_along_axis(
+                        targets, jnp.clip(m - 1, 0)[:, None], axis=1
+                    )[:, 0]
+                    tokens = jnp.where(m > 0, last, tokens)
+                    totals = totals + m
+                    budget = budget - m
+                    alive = jnp.logical_and(
+                        alive,
+                        jnp.logical_and(
+                            ~jnp.any(jnp.logical_and(is_eos, committed),
+                                     axis=1),
+                            budget > 0,
+                        ),
+                    )
+                    tg = jax.lax.dynamic_update_slice(tg, targets[None],
+                                                      (p, 0, 0))
+                    ct = jax.lax.dynamic_update_slice(ct, m[None], (p, 0))
+                    return (p + 1, cache, buf, totals, tokens, alive, budget,
+                            tg, ct)
+
+                _, cache, buf, _, _, _, _, tg, ct = jax.lax.while_loop(
+                    cond, body,
+                    (jnp.int32(0), cache, buf, totals, tokens, alive, budget,
+                     tg0, ct0),
+                )
+                return tg, ct, cache
+
+            self._decode_chunk_spec = jax.jit(decode_chunk_spec,
+                                              donate_argnums=(1,))
+
     # -- cache/slot management ------------------------------------------------
 
     def _fresh_cache(self) -> KVCache:
@@ -403,7 +540,8 @@ class ContinuousBatchingEngine:
         )
         pid = self._next_prefix_id
         self._next_prefix_id += 1
-        self._prefixes[pid] = dict(k=k1, v=v1, seg=seg1, lev=lev1, n=n)
+        self._prefixes[pid] = dict(k=k1, v=v1, seg=seg1, lev=lev1, n=n,
+                                   ids=ids_np.reshape(-1))
         return pid
 
     def release_prefix(self, prefix_id: int) -> None:
@@ -421,6 +559,9 @@ class ContinuousBatchingEngine:
                     f"got {req.max_new_tokens}"
                 )
         sampled_run = any(r.temperature > 0.0 for r in requests)
+        # speculation accelerates greedy decode only (committed tokens are
+        # verified argmaxes); a sampled run takes the sampled chunk path
+        use_spec = self.spec_draft_len > 0 and not sampled_run
         queue = deque(requests)
         slots: List[Optional[_Slot]] = [None] * self.num_slots
         done: List[Completion] = []
@@ -463,9 +604,12 @@ class ContinuousBatchingEngine:
                     )
                 else:
                     n = m
-                assert n + req.max_new_tokens <= self.max_len, (
-                    f"request {req.uid}: {n}+{req.max_new_tokens} exceeds "
-                    f"max_len {self.max_len}"
+                # speculative runs write Kd+1-token blocks at fill depths up
+                # to n+max_new-1, so the cache needs a draft_len margin
+                margin = self.spec_draft_len if use_spec else 0
+                assert n + req.max_new_tokens + margin <= self.max_len, (
+                    f"request {req.uid}: {n}+{req.max_new_tokens}+{margin} "
+                    f"(speculative margin) exceeds max_len {self.max_len}"
                 )
                 if req.prefix_id is not None:
                     ids = np.full((1, sb), self.pad_token_id, np.int32)
@@ -502,7 +646,18 @@ class ContinuousBatchingEngine:
                         jnp.asarray(req.top_p, jnp.float32),
                     )
                     rng = np.asarray(rng)
-                slots[row] = _Slot(req, int(tok), [], rng, prompt_len=n)
+                hist = None
+                if use_spec:
+                    hist = (
+                        np.concatenate([
+                            self._prefixes[req.prefix_id]["ids"],
+                            np.asarray(req.input_ids, np.int32),
+                        ])
+                        if req.prefix_id is not None
+                        else np.asarray(req.input_ids, np.int32)
+                    )
+                slots[row] = _Slot(req, int(tok), [], rng, prompt_len=n,
+                                   hist=hist)
                 if int(tok) in self.eos or req.max_new_tokens <= 1:
                     finish(row, include_last=True)
 
@@ -523,6 +678,49 @@ class ContinuousBatchingEngine:
                     budget[row] = st.req.max_new_tokens - (
                         len(st.generated) + 1
                     )
+            if use_spec:
+                # assemble per-row token history (prompt + committed) on
+                # host — a few KB per chunk, no resident device state
+                W = self._spec_buf_width
+                buf = np.full((self.num_slots, W), self.pad_token_id,
+                              np.int32)
+                totals = np.zeros((self.num_slots,), np.int32)
+                for row, st in enumerate(slots):
+                    if st is None:
+                        continue
+                    hist = np.concatenate([
+                        st.hist,
+                        np.asarray(st.generated, np.int32),
+                        np.asarray([st.last_token], np.int32),
+                    ])
+                    buf[row, : len(hist)] = hist
+                    totals[row] = len(hist)
+                tg, ct, self.cache = self._decode_chunk_spec(
+                    self.params, self.cache, jnp.asarray(buf),
+                    jnp.asarray(totals), jnp.asarray(tokens),
+                    jnp.asarray(alive), jnp.asarray(budget),
+                )
+                tg, ct = np.asarray(tg), np.asarray(ct)
+                # replay: pass p committed ct[p, row] tokens tg[p, row, :m]
+                # through the same retirement rules as the device
+                for p in range(tg.shape[0]):
+                    for row, st in enumerate(slots):
+                        if st is None or not alive[row]:
+                            continue
+                        for j in range(int(ct[p, row])):
+                            t = int(tg[p, row, j])
+                            st.generated.append(st.last_token)
+                            st.last_token = t
+                            if t in self.eos:
+                                finish(row, include_last=False)
+                                alive[row] = False
+                                break
+                            if len(st.generated) + 1 >= st.req.max_new_tokens:
+                                finish(row, include_last=True)
+                                alive[row] = False
+                                break
+                continue
+
             if sampled_run:
                 keys = np.zeros((self.num_slots, 2), np.uint32)
                 temps = np.zeros((self.num_slots,), np.float32)

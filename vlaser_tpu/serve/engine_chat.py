@@ -46,6 +46,7 @@ class EngineChat:
         cache_dtype=jnp.bfloat16,
         chunk_size: int = 16,
         backend: str = "engine",
+        speculative_draft_len: int = 0,
     ):
         """backend: "engine" = host-driven continuous batching (per-chunk
         host sync; supports per-request sampling). "offline" = the one-jit
@@ -75,6 +76,7 @@ class EngineChat:
             tile_buckets=tile_buckets,
             cache_dtype=cache_dtype,
             chunk_size=chunk_size,
+            speculative_draft_len=speculative_draft_len,
         )
         self._uid = 0
 
