@@ -583,7 +583,12 @@ class ContinuousBatchingEngine:
             slots[row] = None
 
         while queue or any(s is not None for s in slots):
-            # 1) admit waiting requests into free slots
+            # 1) admit waiting requests into free slots. All device work
+            # (prefill, insert, first-token sample) dispatches
+            # asynchronously; the wave's first tokens come back in ONE
+            # host sync at the end — per-request readbacks each paid a
+            # full host<->device round trip.
+            admitted = []  # (row, req, tok_dev, rng_dev_or_None, n)
             for row in range(self.num_slots):
                 if slots[row] is not None or not queue:
                     continue
@@ -645,7 +650,19 @@ class ContinuousBatchingEngine:
                         jnp.asarray(req.top_k, jnp.int32),
                         jnp.asarray(req.top_p, jnp.float32),
                     )
-                    rng = np.asarray(rng)
+                admitted.append((row, req, tok, rng, n))
+            if admitted:
+                # the wave's only host syncs: first tokens, then the
+                # sampled rows' advanced PRNG keys
+                wave_toks = np.asarray(jnp.stack([a[2] for a in admitted]))
+                rng_rows = [a[3] for a in admitted if a[3] is not None]
+                wave_rngs = (
+                    iter(np.asarray(jnp.stack(rng_rows))) if rng_rows
+                    else None
+                )
+            for i, (row, req, _, rng_dev, n) in enumerate(admitted):
+                tok = int(wave_toks[i])
+                rng = next(wave_rngs) if rng_dev is not None else None
                 hist = None
                 if use_spec:
                     hist = (
@@ -656,9 +673,9 @@ class ContinuousBatchingEngine:
                         if req.prefix_id is not None
                         else np.asarray(req.input_ids, np.int32)
                     )
-                slots[row] = _Slot(req, int(tok), [], rng, prompt_len=n,
+                slots[row] = _Slot(req, tok, [], rng, prompt_len=n,
                                    hist=hist)
-                if int(tok) in self.eos or req.max_new_tokens <= 1:
+                if tok in self.eos or req.max_new_tokens <= 1:
                     finish(row, include_last=True)
 
             if not any(s is not None for s in slots):
