@@ -58,20 +58,23 @@ _PARITY_TOLS = {
     "vit_prefix_kv_max_abs_diff": 2e-1,
     "vlm_decode_tok_mismatches": 0,
     "spec_decode_tok_mismatches": 0,
-    # engine (single prefill bucket, so accumulation widths match) vs the
-    # one-jit offline runner: greedy token identity is exact when both
-    # paths pad prompts to the same width. The MIXED-bucket engine is
-    # reported as engine_bucketed_drift_rows WITHOUT a tolerance: bucketed
-    # prefill changes bf16 reduction tiling, which legitimately flips
-    # near-tie argmaxes (measured 6/16 rows on random weights, 0/16 with
-    # aligned widths; vLLM diverges from HF generate the same way).
-    "engine_offline_aligned_token_mismatch_rows": 0,
-    # engine_spec_token_mismatch_rows is reported WITHOUT a tolerance:
-    # the speculative verify pass computes its logits in one [B, K+1]-row
-    # forward whose bf16 reduction tiling differs from the 1-token step,
-    # flipping near-tie argmaxes on random weights (measured 5/16 rows;
-    # same class as engine_bucketed_drift_rows). Semantic identity is
-    # pinned exactly at fp32 by tests/test_engine.py's spec suite.
+    # bf16 engine drift rows (engine_bucketed_drift_rows,
+    # engine_offline_token_mismatch_rows, engine_spec_token_mismatch_rows)
+    # are reported WITHOUT tolerances: bucketed/row-batched prefill and
+    # [B, K+1]-row verify forwards change bf16 reduction tiling, which
+    # legitimately flips near-tie argmaxes on random weights (vLLM
+    # diverges from HF generate the same way). The GATED identity check
+    # is the fp32 ON-CHIP pass below (_engine_fp32_gate): every serving
+    # path — bucketed engine, offline runner, speculative engine, prefix
+    # caching (explicit + automatic) — decodes the same workloads at fp32
+    # compute on the real chip against per-request solo decode, where a
+    # near-tie flip cannot happen and ANY mismatch is a real per-row
+    # indexing/rollback bug. Tolerance 0.
+    "engine_fp32_bucketed_mismatch_rows": 0,
+    "engine_fp32_offline_mismatch_rows": 0,
+    "engine_fp32_spec_mismatch_rows": 0,
+    "engine_fp32_prefix_cached_mismatch_rows": 0,
+    "engine_fp32_auto_prefix_mismatch_rows": 0,
 }
 
 
@@ -340,7 +343,41 @@ def _bench_spec_decode():
         ts_r.append(time.perf_counter() - t0)
     sec_r = max(float(np.median(ts_r)) - rtt, 1e-9)
     accept_r = emitted_r / max(float(np.asarray(out[3])), 1.0)
-    return emitted / sec, accept, emitted_r / sec_r, accept_r
+
+    # representative-corpus acceptance (round-3 VERDICT #5): a REAL
+    # templated grounding-QA prompt (tokenizer/conversation.py template,
+    # repeated entity mentions — the GroundingQA.py prompt shape) rendered
+    # through a deterministic byte-level tokenization, instead of uniform
+    # random ids. Under random weights the GENERATED stream still drives
+    # most lookups (documented above), so this is a corpus-shape
+    # sensitivity probe, not a checkpoint-accurate number — real
+    # checkpoints land between the floor and these.
+    from vlaser_tpu.tokenizer.conversation import get_conv_template
+
+    tmpl = get_conv_template("internvl2_5")
+    for q, a in (
+        ("Locate the red mug on the wooden table.",
+         "The red mug is at [120, 88, 210, 190] on the wooden table."),
+        ("Is the red mug left of the white plate?",
+         "Yes, the red mug sits left of the white plate."),
+        ("Report the white plate's bounding box.",
+         "The white plate is at [240, 96, 380, 210]."),
+    ):
+        tmpl.append_message(tmpl.roles[0], q)
+        tmpl.append_message(tmpl.roles[1], a)
+    tmpl.append_message(
+        tmpl.roles[0], "Report the red mug's bounding box again."
+    )
+    tmpl.append_message(tmpl.roles[1], None)
+    raw = tmpl.get_prompt().encode()
+    raw = (raw * (N // len(raw) + 1))[:N]  # text-only, full width
+    ids_t = (np.frombuffer(raw, np.uint8).astype(np.int32) + 256)[None]
+    out_t = spec.with_stats(params, jnp.asarray(ids_t), jnp.asarray(seg),
+                            None, jax.random.PRNGKey(0))
+    accept_t = float(np.asarray(out_t[2])) / max(
+        float(np.asarray(out_t[3])), 1.0
+    )
+    return emitted / sec, accept, emitted_r / sec_r, accept_r, accept_t
 
 
 def _make_random_quantized(shapes, patterns):
@@ -534,23 +571,27 @@ def _bench_engine():
     t_static = max(time.perf_counter() - t0 - rtt, 1e-9)
 
     # offline one-jit runner (serve/offline.py): the whole schedule on
-    # device, one host dispatch — the vLLM LLM.generate(prompts) mode.
-    # Token identity vs the engine is asserted via the parity gate.
+    # device, ONE width (pad to the widest bucket), one host dispatch —
+    # the vLLM LLM.generate(prompts) mode. Width-grouping was measured
+    # and REJECTED here: splitting 16 requests into 3 width groups runs
+    # 3 sequential device loops whose slots sit underfilled (611 vs 892
+    # static tok/s); one group keeps all 8 slots packed and the batched
+    # wave admission already fixed the serialized-prefill disease.
     from vlaser_tpu.serve.offline import run_offline
 
     def run_off():
         return run_offline(model, params, reqs, num_slots=8, max_len=448,
-                           eos_token_ids=[2], pad_token_id=0, chunk_size=16)
+                           eos_token_ids=[2], pad_token_id=0, chunk_size=32)
 
     off = run_off()  # compile
     by_uid = {c.uid: c for c in done}
     drift = sum(
         1 for c in off if c.token_ids != by_uid[c.uid].token_ids
     )
-    # informational only (no tolerance): bucketed prefill widths change
-    # bf16 accumulation, flipping near-tie argmaxes — see _PARITY_TOLS
+    # informational only (no tolerance): bucketed/row-batched prefill
+    # changes bf16 accumulation, flipping near-tie argmaxes — the GATED
+    # identity check is the fp32 on-chip pass (_engine_fp32_gate)
     _record_parity("engine_bucketed_drift_rows", float(drift))
-    # the gated identity check: same prefill width on both sides -> exact
     aligned = ContinuousBatchingEngine(
         model, params, num_slots=8, max_len=448, eos_token_ids=[2],
         pad_token_id=0, prefill_buckets=(N,),
@@ -559,8 +600,7 @@ def _bench_engine():
     mismatch = sum(
         1 for c in off if c.token_ids != by_uid_al[c.uid].token_ids
     )
-    _record_parity("engine_offline_aligned_token_mismatch_rows",
-                   float(mismatch))
+    _record_parity("engine_offline_token_mismatch_rows", float(mismatch))
     t0 = time.perf_counter()
     run_off()
     t_off = max(time.perf_counter() - t0 - rtt, 1e-9)
@@ -666,9 +706,154 @@ def _bench_engine():
     run_cached()
     t_pc = max(time.perf_counter() - t0 - rtt, 1e-9)
 
+    # AUTOMATIC prefix caching on the same QA workload: full prompts, no
+    # register_prefix anywhere — the engine block-hashes each admitted
+    # prompt, registers the first prefill's block-aligned prefix KV, and
+    # every later request admits through the suffix path (vLLM APC over
+    # filter.py-style repeated prompts). Steady state (warm cache, the
+    # product loop over a stream of frames) is what the timed run sees.
+    eng_auto = ContinuousBatchingEngine(
+        model, params, num_slots=8, max_len=448, eos_token_ids=[2],
+        pad_token_id=0, prefill_buckets=(64, 352, 384),
+        auto_prefix_block=16,
+    )
+    eng_auto.run(full_reqs)  # compile + cold-cache pass (registers)
+    assert eng_auto.auto_prefix_hits >= 1, "APC never hit on the QA shape"
+    t0 = time.perf_counter()
+    eng_auto.run(full_reqs)
+    t_auto = max(time.perf_counter() - t0 - rtt, 1e-9)
+
     return (n_tok / t_engine, n_tok / t_static, n_tok / t_off,
-            n_tok_qa / t_full, n_tok_qa / t_pc, n_tok / t_spec,
-            n_tok_rep / t_rep_spec, n_tok_rep / t_rep_plain)
+            n_tok_qa / t_full, n_tok_qa / t_pc, n_tok_qa / t_auto,
+            n_tok / t_spec, n_tok_rep / t_rep_spec, n_tok_rep / t_rep_plain)
+
+
+def _engine_fp32_gate():
+    """fp32 ON-CHIP token-identity gate for every serving path (round-3
+    VERDICT #4): at fp32 compute, bucketed/row-batched prefill reductions
+    cannot flip an argmax, so ANY mismatch vs per-request solo decode is a
+    real per-row indexing/rollback/grouping bug — gated at tolerance 0.
+    The bf16 drift rows recorded by _bench_engine stay informational (bf16
+    near-tie flips are legitimate); THIS pass is what distinguishes them
+    from real bugs, on the real chip, through the same engine code. Runs a
+    scaled-down mixed workload (staggered lengths, an image prompt, slot
+    reuse over 3 slots) through: the bucketed engine, the one-jit offline
+    runner, the speculative engine (adaptive off so every chunk takes the
+    verify path), explicit prefix caching, and automatic prefix caching."""
+    from vlaser_tpu.core.config import tiny_vlm
+    from vlaser_tpu.inference.sampling import make_generate_fn, trim_output
+    from vlaser_tpu.models.vlm import InternVLChatModel
+    from vlaser_tpu.serve.engine import ContinuousBatchingEngine, Request
+    from vlaser_tpu.serve.offline import run_offline
+
+    cfg = tiny_vlm()
+    model = InternVLChatModel(cfg, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(97)
+    npt = cfg.num_image_token
+    img = cfg.vision.image_size
+    ids0 = rng.integers(1, 400, (1, 8 + npt))
+    ids0[0, 2 : 2 + npt] = cfg.img_context_token_id
+    px0 = rng.standard_normal((1, img, img, 3)).astype(np.float32)
+    params = model.init(
+        jax.random.PRNGKey(3), jnp.asarray(ids0), jnp.asarray(px0),
+        jnp.asarray([1], np.int32),
+    )
+    EOS = [3]
+
+    gens = {}
+
+    def oracle(input_ids, pixels, max_new):
+        if max_new not in gens:
+            gens[max_new] = make_generate_fn(
+                model, max_new_tokens=max_new, eos_token_ids=EOS,
+                pad_token_id=0, cache_dtype=jnp.float32,
+            )
+        ids = np.asarray(input_ids, np.int32)[None]
+        seg = np.ones_like(ids, np.int32)
+        px = None if pixels is None else jnp.asarray(pixels)
+        toks, num = gens[max_new](params, jnp.asarray(ids),
+                                  jnp.asarray(seg), px,
+                                  jax.random.PRNGKey(0))
+        return trim_output(toks, num, EOS)[0]
+
+    def mk_reqs():
+        reqs = []
+        for i in range(16):
+            n = (8, 14, 20, 26, 32)[i % 5]
+            row = rng.integers(1, 400, (n,)).astype(np.int32)
+            px = None
+            if n >= 32:
+                row[2 : 2 + npt] = cfg.img_context_token_id
+                px = px0
+            reqs.append(Request(uid=i, input_ids=row, pixel_values=px,
+                                max_new_tokens=(4, 7, 11)[i % 3]))
+        return reqs
+
+    reqs = mk_reqs()
+    want = {r.uid: oracle(r.input_ids, r.pixel_values, r.max_new_tokens)
+            for r in reqs}
+
+    def mismatches(completions):
+        return float(sum(1 for c in completions
+                         if c.token_ids != want[c.uid]))
+
+    ekw = dict(num_slots=3, max_len=64, eos_token_ids=EOS, pad_token_id=0,
+               cache_dtype=jnp.float32)
+    _record_parity(
+        "engine_fp32_bucketed_mismatch_rows",
+        mismatches(ContinuousBatchingEngine(
+            model, params, prefill_buckets=(16, 32, 48), **ekw
+        ).run(reqs)),
+    )
+    _record_parity(
+        "engine_fp32_offline_mismatch_rows",
+        mismatches(run_offline(model, params, reqs, num_slots=3, max_len=64,
+                               eos_token_ids=EOS, pad_token_id=0,
+                               cache_dtype=jnp.float32)),
+    )
+    _record_parity(
+        "engine_fp32_spec_mismatch_rows",
+        mismatches(ContinuousBatchingEngine(
+            model, params, prefill_buckets=(16, 32, 48),
+            speculative_draft_len=4, speculative_adaptive=False, **ekw
+        ).run(reqs)),
+    )
+
+    # prefix caching, explicit: one registered image prefix, text tails
+    prefix = rng.integers(1, 400, (4 + npt,)).astype(np.int32)
+    prefix[2 : 2 + npt] = cfg.img_context_token_id
+    tails = [rng.integers(1, 400, ((5, 9, 3, 12)[i % 4],)).astype(np.int32)
+             for i in range(8)]
+    want_pc = {i: oracle(np.concatenate([prefix, t]), px0, 6)
+               for i, t in enumerate(tails)}
+    eng_pc = ContinuousBatchingEngine(model, params,
+                                      prefill_buckets=(16, 32), **ekw)
+    pid = eng_pc.register_prefix(prefix, px0)
+    got_pc = eng_pc.run([
+        Request(uid=i, input_ids=t, prefix_id=pid, max_new_tokens=6)
+        for i, t in enumerate(tails)
+    ])
+    _record_parity(
+        "engine_fp32_prefix_cached_mismatch_rows",
+        float(sum(1 for c in got_pc if c.token_ids != want_pc[c.uid])),
+    )
+
+    # prefix caching, AUTOMATIC: same workload as full prompts, no
+    # register_prefix — the engine must hit its block-hash cache AND stay
+    # token-identical
+    eng_apc = ContinuousBatchingEngine(model, params,
+                                       prefill_buckets=(16, 24, 32, 48),
+                                       auto_prefix_block=4, **ekw)
+    got_apc = eng_apc.run([
+        Request(uid=i, input_ids=np.concatenate([prefix, t]),
+                pixel_values=px0, max_new_tokens=6)
+        for i, t in enumerate(tails)
+    ])
+    apc_bad = float(sum(1 for c in got_apc
+                        if c.token_ids != want_pc[c.uid]))
+    if eng_apc.auto_prefix_hits < 1:
+        apc_bad += 100.0  # cache never hit: the APC path did not run
+    _record_parity("engine_fp32_auto_prefix_mismatch_rows", apc_bad)
 
 
 def _bench_sft_train():
@@ -752,7 +937,35 @@ def _bench_sft_train():
         lora, opt, loss = step(lora, opt, qvars, batch)
     np.asarray(loss)
     sec = (time.perf_counter() - t0 - rtt) / iters
-    return B * N / sec, sec
+
+    # per-phase breakdown (round-3 VERDICT #6): fixed RNG and batch; each
+    # phase jitted alone, so bwd = grad_step - fwd and optimizer =
+    # full_step - grad_step attribute the step to named phases (data is 0:
+    # the batch is synthetic and resident). remat makes fwd re-run inside
+    # bwd, so bwd-as-reported carries the rematerialized fwd — that is the
+    # phase the chip actually spends the time in.
+    fwd = jax.jit(loss_fn)
+    grad_only = jax.jit(
+        lambda lt, bv, b: jax.value_and_grad(loss_fn)(lt, bv, b)
+    )
+
+    def _time(fn, *a):
+        np.asarray(jax.tree_util.tree_leaves(fn(*a))[0])  # compile
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*a)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        return (time.perf_counter() - t0 - rtt) / iters
+
+    t_fwd = _time(fwd, lora, qvars, batch)
+    t_grad = _time(grad_only, lora, qvars, batch)
+    phases = {
+        "fwd_ms": round(t_fwd * 1e3, 2),
+        "bwd_ms": round(max(t_grad - t_fwd, 0.0) * 1e3, 2),
+        "optimizer_ms": round(max(sec - t_grad, 0.0) * 1e3, 2),
+        "data_ms": 0.0,
+    }
+    return B * N / sec, sec, phases
 
 
 def _bench_sft_16k():
@@ -1003,9 +1216,9 @@ def main():
     except Exception:
         decode_tok_s = float("nan")
     try:
-        sft_tok_s, sft_step_s = _bench_sft_train()
+        sft_tok_s, sft_step_s, sft_phases = _bench_sft_train()
     except Exception:
-        sft_tok_s, sft_step_s = float("nan"), float("nan")
+        sft_tok_s, sft_step_s, sft_phases = float("nan"), float("nan"), {}
     try:
         sft16k_tok_s = _bench_sft_16k()
     except Exception:
@@ -1019,20 +1232,27 @@ def main():
     except Exception:
         decode_8b_tok_s = float("nan")
     try:
-        spec_tok_s, spec_accept, spec_tok_s_floor, spec_accept_floor = (
-            _bench_spec_decode()
-        )
+        (spec_tok_s, spec_accept, spec_tok_s_floor, spec_accept_floor,
+         spec_accept_templated) = _bench_spec_decode()
     except Exception:
         spec_tok_s = spec_accept = float("nan")
         spec_tok_s_floor = spec_accept_floor = float("nan")
+        spec_accept_templated = float("nan")
     try:
         (engine_tok_s, static_tok_s, offline_tok_s, qa_full_tok_s,
-         qa_prefix_tok_s, engine_spec_tok_s, rep_spec_tok_s,
+         qa_prefix_tok_s, qa_auto_tok_s, engine_spec_tok_s, rep_spec_tok_s,
          rep_plain_tok_s) = _bench_engine()
     except Exception:
         engine_tok_s = static_tok_s = offline_tok_s = float("nan")
-        qa_full_tok_s = qa_prefix_tok_s = engine_spec_tok_s = float("nan")
+        qa_full_tok_s = qa_prefix_tok_s = qa_auto_tok_s = float("nan")
+        engine_spec_tok_s = float("nan")
         rep_spec_tok_s = rep_plain_tok_s = float("nan")
+    try:
+        _engine_fp32_gate()
+    except Exception:
+        # swallowing is safe: the gate's parity fields stay MISSING, which
+        # _parity_violations reports as a failure (nonzero exit)
+        pass
 
     print(
         json.dumps(
@@ -1064,6 +1284,12 @@ def main():
                     ),
                     "spec_accept_tok_per_pass_floor": round(
                         spec_accept_floor, 2
+                    ),
+                    # templated grounding-QA corpus through the real
+                    # conversation template (corpus-shape probe; see
+                    # _bench_spec_decode)
+                    "spec_accept_tok_per_pass_templated": round(
+                        spec_accept_templated, 2
                     ),
                     "vlm_decode_b8_tok_per_sec": round(decode_b8_tok_s, 1),
                     # mixed-length serving: engine vs static padded batch
@@ -1097,9 +1323,17 @@ def main():
                     "engine_qa_prefix_cached_tok_per_sec": round(
                         qa_prefix_tok_s, 1
                     ),
+                    # same workload, NO register_prefix call: automatic
+                    # prefix caching finds the shared prefix by block hash
+                    "engine_qa_auto_prefix_tok_per_sec": round(
+                        qa_auto_tok_s, 1
+                    ),
                     "vlm8b_decode_tok_per_sec": round(decode_8b_tok_s, 1),
                     "sft_train_tok_per_sec": round(sft_tok_s, 1),
                     "sft_step_ms": round(sft_step_s * 1e3, 2),
+                    # per-phase attribution (fixed RNG/batch; bwd includes
+                    # the rematerialized fwd — see _bench_sft_train)
+                    "sft_phase_ms": sft_phases,
                     "sft16k_tok_per_sec": round(sft16k_tok_s, 1),
                     "weights": "int8 weight-only (per-channel), bf16 compute",
                     "device": str(jax.devices()[0]),

@@ -68,6 +68,11 @@ def main():
                     help="speculative decode through the engine: prompt-"
                          "lookup drafts of this length verify per slot "
                          "(--engine only; greedy token-identical)")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel degree for --engine serving: "
+                         "params shard over a (1,1,tp) mesh and GSPMD "
+                         "inserts the collectives (the reference's "
+                         "vllm_tp role — RoboTwin-QA/*.yaml vllm_tp: 2)")
     ap.add_argument("--out", default=None, help="results json path")
     args = ap.parse_args()
 
@@ -102,12 +107,22 @@ def main():
             "--engine decodes greedy/sampled per slot; beams and "
             "repetition penalty run through the static batch_chat path"
         )
+        mesh = None
+        if args.tp > 1:
+            from vlaser_tpu.core.mesh import make_mesh
+
+            assert not args.offline, (
+                "--tp serves through the host-driven engine (the offline "
+                "one-jit schedule is single-device)"
+            )
+            mesh = make_mesh(dp=1, fsdp=1, tp=args.tp)
         chat = EngineChat(model, params, tokenizer,
                           max_new_tokens=args.max_new_tokens,
                           num_slots=args.num_slots,
                           max_len=args.engine_max_len,
                           backend="offline" if args.offline else "engine",
-                          speculative_draft_len=args.spec_draft)
+                          speculative_draft_len=args.spec_draft,
+                          mesh=mesh)
     else:
         chat = VlaserChat(model, params, tokenizer,
                           max_new_tokens=args.max_new_tokens,

@@ -173,6 +173,74 @@ def test_prefix_cached_requests_match_full_prompt(vlm):
     engine2.release_prefix(pid2)
 
 
+def test_auto_prefix_caching_transparent_identity(vlm):
+    """Automatic prefix caching (vLLM APC role): with auto_prefix_block
+    set and NO register_prefix call, requests sharing a long prompt prefix
+    hit the cache (the first request's prefill registers its block-aligned
+    prefix KV; later ones admit through the suffix path) and stay
+    token-identical to their solo full-prompt decodes."""
+    cfg, model, params = vlm
+    rng = np.random.default_rng(41)
+    npt = cfg.num_image_token
+    prefix = rng.integers(1, 400, (4 + npt,)).astype(np.int32)
+    prefix[2 : 2 + npt] = cfg.img_context_token_id
+    pixels = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    tails = [rng.integers(1, 400, (n,)).astype(np.int32)
+             for n in (5, 9, 3, 12)]
+    engine = ContinuousBatchingEngine(
+        model, params, num_slots=2, max_len=96, eos_token_ids=EOS,
+        pad_token_id=0, prefill_buckets=(16, 24, 32), cache_dtype=jnp.float32,
+        auto_prefix_block=4,
+    )
+    reqs = [Request(uid=i, input_ids=np.concatenate([prefix, t]),
+                    pixel_values=pixels, max_new_tokens=MAX_NEW)
+            for i, t in enumerate(tails)]
+    done = {c.uid: c for c in engine.run(reqs)}
+    assert engine.auto_prefix_hits >= 1, "shared prefix never hit the cache"
+    for i, t in enumerate(tails):
+        want = _sequential_oracle(
+            model, params, np.concatenate([prefix, t]), pixels
+        )
+        assert done[i].token_ids == want, f"request {i} diverged under APC"
+        assert done[i].prompt_len == len(prefix) + len(t)
+
+    # same text, DIFFERENT image: the pixel digest seeds the hash chain,
+    # so the cached prefix must NOT match (a match would decode against
+    # the wrong image's KV)
+    pixels2 = rng.standard_normal(pixels.shape).astype(np.float32)
+    hits0 = engine.auto_prefix_hits
+    done2 = {c.uid: c for c in engine.run([
+        Request(uid=0, input_ids=np.concatenate([prefix, tails[0]]),
+                pixel_values=pixels2, max_new_tokens=MAX_NEW)
+    ])}
+    assert engine.auto_prefix_hits == hits0, (
+        "prefix cache matched across different images"
+    )
+    assert done2[0].token_ids == _sequential_oracle(
+        model, params, np.concatenate([prefix, tails[0]]), pixels2
+    )
+
+    # text-only prompts sharing a prefix also cache, and LRU eviction
+    # keeps the store bounded
+    eng_t = ContinuousBatchingEngine(
+        model, params, num_slots=2, max_len=96, eos_token_ids=EOS,
+        pad_token_id=0, prefill_buckets=(16, 32), cache_dtype=jnp.float32,
+        auto_prefix_block=4, auto_prefix_max=2,
+    )
+    base = rng.integers(1, 400, (13,)).astype(np.int32)
+    treqs = [Request(uid=i, input_ids=np.concatenate(
+        [base, rng.integers(1, 400, (4,)).astype(np.int32)]),
+        max_new_tokens=MAX_NEW) for i in range(4)]
+    tdone = {c.uid: c for c in eng_t.run(treqs)}
+    assert eng_t.auto_prefix_hits >= 1
+    assert len(eng_t._auto_pids) <= 2  # cap = stored KV entries
+    for i in range(4):
+        want = _sequential_oracle(model, params, treqs[i].input_ids)
+        assert tdone[i].token_ids == want, f"text request {i} diverged"
+
+
 def test_sampled_request_matches_solo_sampled_decode(vlm):
     """A sampled request (temperature/top_k/top_p/seed) through the engine
     emits the same tokens as a solo make_generate_fn run with those params
@@ -297,10 +365,42 @@ def _spec_pair(model, params, *, num_slots=3, max_len=96, draft_len=4,
                   chunk_size=chunk_size)
     plain = ContinuousBatchingEngine(model, params, num_slots=num_slots,
                                      **kwargs)
+    # adaptive OFF: these tests pin the spec machinery itself, so every
+    # chunk must take the verify path (the adaptive policy has its own test)
     spec = ContinuousBatchingEngine(model, params, num_slots=num_slots,
                                     speculative_draft_len=draft_len,
+                                    speculative_adaptive=False,
                                     **kwargs)
     return plain, spec
+
+
+def test_spec_engine_adaptive_identity_and_fallback(vlm):
+    """Occupancy-adaptive speculation: outputs stay token-identical to the
+    plain engine while the engine decides per chunk whether to speculate.
+    On undraftable random prompts the acceptance EMA drops under the
+    break-even and plain chunks take over (with periodic re-probes); on a
+    draftable repetitive workload speculation stays on."""
+    cfg, model, params = vlm
+    rng = np.random.default_rng(23)
+    prompts = [rng.integers(1, 400, (n,)).astype(np.int32)
+               for n in (4, 9, 5, 13, 7, 6)]
+    plain = ContinuousBatchingEngine(
+        model, params, num_slots=3, max_len=96, eos_token_ids=EOS,
+        pad_token_id=0, prefill_buckets=(16, 32), cache_dtype=jnp.float32,
+        chunk_size=4,
+    )
+    adap = ContinuousBatchingEngine(
+        model, params, num_slots=3, max_len=96, eos_token_ids=EOS,
+        pad_token_id=0, prefill_buckets=(16, 32), cache_dtype=jnp.float32,
+        chunk_size=4, speculative_draft_len=4, spec_reprobe_every=2,
+    )
+    reqs = lambda: [Request(uid=i, input_ids=p, max_new_tokens=24)
+                    for i, p in enumerate(prompts)]
+    want = {c.uid: c.token_ids for c in plain.run(reqs())}
+    got = {c.uid: c.token_ids for c in adap.run(reqs())}
+    assert got == want
+    assert adap.spec_chunks_run >= 1  # probed at least once
+    assert adap.spec_last_ema is not None
 
 
 @pytest.mark.parametrize("chunk_size,draft_len", [(1, 4), (4, 2), (4, 6)])

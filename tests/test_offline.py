@@ -108,6 +108,27 @@ def test_offline_mixed_image_text(vlm):
     assert got[1].token_ids == _oracle(model, params, txt)
 
 
+def test_offline_width_groups_match_oracle(vlm):
+    """prefill_buckets splits the batch into width groups (one dispatch
+    each); grouping must neither reorder completions nor change tokens."""
+    cfg, model, params = vlm
+    rng = np.random.default_rng(31)
+    prompts = [rng.integers(1, 400, (n,)).astype(np.int32)
+               for n in (4, 30, 9, 17, 5, 28, 12, 3)]
+    reqs = [Request(uid=i, input_ids=p, max_new_tokens=5)
+            for i, p in enumerate(prompts)]
+    got = run_offline(
+        model, params, reqs, num_slots=3, max_len=64, eos_token_ids=EOS,
+        pad_token_id=0, chunk_size=4, cache_dtype=jnp.float32,
+        prefill_buckets=(8, 16, 32), max_width_groups=2,
+    )
+    assert [c.uid for c in got] == list(range(len(reqs)))
+    for c, p in zip(got, prompts):
+        assert c.token_ids == _oracle(model, params, p, max_new=5), (
+            f"request {c.uid} diverged"
+        )
+
+
 def test_offline_rejects_sampled_requests(vlm):
     cfg, model, params = vlm
     with pytest.raises(ValueError, match="greedy-only"):

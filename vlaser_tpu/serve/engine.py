@@ -139,6 +139,17 @@ class _Slot:
     hist: Optional[np.ndarray] = None
 
 
+class _PendingSlot:
+    """Row admitted on device (prefill/insert/merge dispatched) whose
+    first-token readback has not been replayed yet — occupies the slot so
+    the wave builder cannot double-admit."""
+
+    __slots__ = ("req",)
+
+    def __init__(self, req: Request):
+        self.req = req
+
+
 def _pick_bucket(n: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if n <= b:
@@ -161,16 +172,57 @@ class ContinuousBatchingEngine:
         prefill_buckets: Optional[Sequence[int]] = None,
         tile_buckets: Optional[Sequence[int]] = None,
         cache_dtype=jnp.bfloat16,
-        chunk_size: int = 16,
+        chunk_size: int = 32,
         speculative_draft_len: int = 0,
         speculative_ngram: int = 2,
+        speculative_adaptive: bool = True,
+        spec_threshold_base: float = 1.1,
+        spec_threshold_slope: float = 0.05,
+        spec_reprobe_every: int = 8,
+        mesh=None,
+        auto_prefix_block: Optional[int] = None,
+        auto_prefix_max: int = 8,
+        pipeline_depth: int = 2,
     ):
         llm = model.cfg.llm
+        # chunks the pipelined greedy loop keeps in flight beyond the one
+        # being replayed; 2 covers a tunnel RTT even when kcap is small
+        self.pipeline_depth = int(pipeline_depth)
+        assert self.pipeline_depth >= 1
         assert llm.sliding_window is None, (
             "continuous batching decodes with per-row offsets; "
             "sliding-window models are unsupported"
         )
         self.model = model
+        # Tensor-parallel serving (the reference's vllm_tp role:
+        # data-pipeline/RoboTwin-QA/GroundingQA.py:158 runs vLLM at
+        # tensor_parallel_size=2 for the 8B tier). Params shard over the
+        # mesh's 'tensor' axis via the SAME path rules training and the
+        # policy server use (core/mesh.default_param_rules); every jitted
+        # engine fn (prefill / insert / decode chunks) then runs under
+        # GSPMD, which inserts the all-reduces — no separate TP runtime.
+        # The persistent KV cache shards over the KV-head axis when the
+        # tp degree divides num_kv_heads (each chip holds its own heads'
+        # cache; attention is head-local so decode needs no cache
+        # collectives), else it is replicated. Host-side scheduling is
+        # unchanged: np.asarray readbacks gather transparently.
+        self.mesh = mesh
+        self._kv_shard = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..core.mesh import TENSOR_AXIS, default_param_rules, \
+                tree_shardings
+
+            params = jax.device_put(
+                params, tree_shardings(params, mesh, default_param_rules())
+            )
+            tp = mesh.shape.get(TENSOR_AXIS, 1)
+            t = TENSOR_AXIS if llm.num_kv_heads % max(tp, 1) == 0 else None
+            self._kv_shard = dict(
+                kv=NamedSharding(mesh, P(None, None, None, t, None)),
+                meta=NamedSharding(mesh, P()),
+            )
         self.params = params
         self.num_slots = num_slots
         self.max_len = max_len
@@ -191,16 +243,31 @@ class ContinuousBatchingEngine:
                 "padded to such a bucket cannot fit the decode cache"
             )
         self.prefill_buckets = tuple(sorted(set(prefill_buckets)))
+        # admission-group size buckets (powers of two up to num_slots):
+        # a wave's same-shape admissions prefill as ONE [k, bucket] batch,
+        # padded up to the nearest k-bucket to bound compile count
+        kb, ks = 1, []
+        while kb < num_slots:
+            ks.append(kb)
+            kb *= 2
+        ks.append(num_slots)
+        self._admit_kbuckets = tuple(sorted(set(ks)))
         self.tile_buckets = (
             None if tile_buckets is None else tuple(sorted(set(tile_buckets)))
         )
         self._llm = llm
         self.cache = self._fresh_cache()
 
-        def prefill(params, ids, seg, pixels, flags, true_len):
-            nb = ids.shape[1]
+        def prefill(params, ids, seg, pixels, flags, true_lens):
+            """Batched admission prefill: ids [k, nb] prefills a whole
+            admission-wave GROUP in one forward (k same-bucket requests
+            stacked — vLLM admits a prefill batch per scheduler step, and a
+            [k, nb] matmul feeds the MXU k-fold better than k serialized
+            [1, nb] calls). Per-request results are row-independent, so
+            tokens are identical to the k solo prefills."""
+            k, nb = ids.shape
             cache = KVCache.create(
-                llm.num_layers, 1, nb, llm.num_kv_heads, llm.head_dim,
+                llm.num_layers, k, nb, llm.num_kv_heads, llm.head_dim,
                 dtype=cache_dtype,
             )
             logits, _, cache = model.apply(
@@ -208,69 +275,116 @@ class ContinuousBatchingEngine:
                 method=model.prefill,
             )
             last = jnp.take_along_axis(
-                logits, (true_len - 1)[None, None, None], axis=1
-            )[0, 0]
-            token = jnp.argmax(last).astype(jnp.int32)
+                logits, (true_lens - 1)[:, None, None], axis=1
+            )[:, 0]
+            token = jnp.argmax(last, axis=-1).astype(jnp.int32)
             return cache.k, cache.v, cache.seg, cache.lev, token, last
 
-        # one compile per (bucket, tile-bucket); cheap enough to share one jit
+        # one compile per (k-bucket, bucket, tile-bucket); cheap enough to
+        # share one jit
         self._prefill = jax.jit(prefill)
 
         def prefill_suffix(params, pk, pv, pseg, plev, plen, ids, seg,
-                           true_m):
-            """Prefill a text tail against a stored prefix KV: ONE cached
-            multi-token forward. The combined row cache is
-            [prefix_bucket + tail_bucket] wide; the prefix occupies slots
+                           true_ms):
+            """Prefill text tails against a stored prefix KV: ONE cached
+            multi-token forward for a whole group of tails (ids [k, sb] —
+            QA generation admits many questions over the same frame at
+            once). Each combined row cache is [prefix_bucket + tail_bucket]
+            wide; the shared prefix KV is broadcast to every row at slots
             [0, prefix_bucket) (seg 0 beyond plen), length starts at plen so
             tail K/V land at slots plen.. and take rope positions plen+i —
             identical arithmetic to a full prefill of prefix+tail."""
-            nbt = pk.shape[2] + ids.shape[1]
+            k_rows, sb = ids.shape
+            pb = pk.shape[2]
+            nbt = pb + sb
             cache = KVCache.create(
-                llm.num_layers, 1, nbt, llm.num_kv_heads, llm.head_dim,
+                llm.num_layers, k_rows, nbt, llm.num_kv_heads, llm.head_dim,
                 dtype=cache_dtype,
             )
+            bshape = (pk.shape[0], k_rows, pb) + pk.shape[3:]
+            # mask the stored metadata at plen: one stored entry (APC
+            # registers the full block-aligned prefill) serves ANY matched
+            # prefix length — slots >= plen hold the storing request's own
+            # later tokens and must be unattendable here
+            pos = jnp.arange(pb, dtype=jnp.int32)[None, :]
+            pseg = jnp.where(pos < plen, pseg, 0)
+            plev = jnp.where(pos < plen, plev, 0)
             cache = cache.replace(
-                k=jax.lax.dynamic_update_slice(
-                    cache.k, pk.astype(cache.k.dtype), (0, 0, 0, 0, 0)
+                k=cache.k.at[:, :, :pb].set(
+                    jnp.broadcast_to(pk.astype(cache.k.dtype), bshape)
                 ),
-                v=jax.lax.dynamic_update_slice(
-                    cache.v, pv.astype(cache.v.dtype), (0, 0, 0, 0, 0)
+                v=cache.v.at[:, :, :pb].set(
+                    jnp.broadcast_to(pv.astype(cache.v.dtype), bshape)
                 ),
-                seg=jax.lax.dynamic_update_slice(cache.seg, pseg, (0, 0)),
-                lev=jax.lax.dynamic_update_slice(cache.lev, plev, (0, 0)),
+                seg=cache.seg.at[:, :pb].set(
+                    jnp.broadcast_to(pseg, (k_rows, pb))
+                ),
+                lev=cache.lev.at[:, :pb].set(
+                    jnp.broadcast_to(plev, (k_rows, pb))
+                ),
+                # scalar length: every row's tail writes at the same plen
+                # offset (KVCache's contiguous-slot write path)
                 length=plen,
             )
             logits, _, cache = model.apply(
                 params, ids, cache, None, seg, method=model.decode_step,
             )
             last = jnp.take_along_axis(
-                logits, (true_m - 1)[None, None, None], axis=1
-            )[0, 0]
-            token = jnp.argmax(last).astype(jnp.int32)
+                logits, (true_ms - 1)[:, None, None], axis=1
+            )[:, 0]
+            token = jnp.argmax(last, axis=-1).astype(jnp.int32)
             return cache.k, cache.v, cache.seg, cache.lev, token, last
 
         self._prefill_suffix = jax.jit(prefill_suffix)
         self._prefixes: Dict[int, dict] = {}
         self._next_prefix_id = 0
+        # Automatic prefix caching (vLLM APC role, the static-shape way):
+        # prompts are hashed in `auto_prefix_block`-token blocks, the chain
+        # seeded by a digest of the prompt's pixel tiles (so two prompts
+        # with identical text but different images never match, and
+        # text-only never matches image-bearing). Every full prefill
+        # REGISTERS its block-aligned prefix KV (sliced out of the batched
+        # prefill it already paid for — no extra forward) into an LRU
+        # store; a later prompt whose leading blocks hash-match admits
+        # through the suffix path against the stored KV, skipping the
+        # shared prefix's attention AND the ViT. Reference workload this
+        # serves: data-pipeline/src/agent/filter.py:383-393 scores
+        # near-identical prompts with no engine-aware plumbing.
+        self.auto_prefix_block = (
+            None if auto_prefix_block is None else int(auto_prefix_block)
+        )
+        assert self.auto_prefix_block is None or self.auto_prefix_block >= 1
+        self.auto_prefix_max = int(auto_prefix_max)
+        from collections import OrderedDict
 
-        def insert(cache, k1, v1, seg1, lev1, row, true_len):
-            k = jax.lax.dynamic_update_slice(
-                cache.k, k1.astype(cache.k.dtype), (0, row, 0, 0, 0)
+        self._auto: "OrderedDict[bytes, tuple]" = OrderedDict()
+        self._auto_pids: Dict[int, set] = {}
+        self.auto_prefix_hits = 0
+        self.auto_prefix_misses = 0
+
+        def insert(cache, kb, vb, segb, levb, rows, true_lens):
+            """Splice a batched prefill's k rows into the big cache at slot
+            indices `rows` ([k] int32). A row index == num_slots is a
+            group-padding row and is DROPPED by the scatter (out of
+            bounds, mode='drop'); real rows are distinct, so scatter order
+            is immaterial."""
+            kk = rows.shape[0]
+            nb = segb.shape[1]
+            k = cache.k.at[:, rows, :nb].set(
+                kb.astype(cache.k.dtype), mode="drop"
             )
-            v = jax.lax.dynamic_update_slice(
-                cache.v, v1.astype(cache.v.dtype), (0, row, 0, 0, 0)
+            v = cache.v.at[:, rows, :nb].set(
+                vb.astype(cache.v.dtype), mode="drop"
             )
             # clear the WHOLE row's metadata: a freed slot's stale seg ids
             # beyond this prompt must never be attendable again
-            row_seg = jnp.zeros((1, cache.seg.shape[1]), jnp.int32)
-            row_seg = jax.lax.dynamic_update_slice(row_seg, seg1, (0, 0))
-            seg = jax.lax.dynamic_update_slice(cache.seg, row_seg, (row, 0))
-            row_lev = jnp.zeros((1, cache.lev.shape[1]), jnp.int32)
-            row_lev = jax.lax.dynamic_update_slice(row_lev, lev1, (0, 0))
-            lev = jax.lax.dynamic_update_slice(cache.lev, row_lev, (row, 0))
-            length = jax.lax.dynamic_update_index_in_dim(
-                cache.length, true_len, row, axis=0
-            )
+            row_seg = jnp.zeros((kk, cache.seg.shape[1]), jnp.int32)
+            row_seg = row_seg.at[:, :nb].set(segb)
+            seg = cache.seg.at[rows].set(row_seg, mode="drop")
+            row_lev = jnp.zeros((kk, cache.lev.shape[1]), jnp.int32)
+            row_lev = row_lev.at[:, :nb].set(levb)
+            lev = cache.lev.at[rows].set(row_lev, mode="drop")
+            length = cache.length.at[rows].set(true_lens, mode="drop")
             return cache.replace(k=k, v=v, seg=seg, lev=lev, length=length)
 
         self._insert = jax.jit(insert, donate_argnums=(0,))
@@ -299,17 +413,22 @@ class ContinuousBatchingEngine:
             tokens = jnp.where(alive, nxt, tokens)
             return tokens, alive, budget
 
-        def decode_chunk(params, cache, tokens, alive, budget):
-            """-> (emitted [K, B] int32, cache). Runs up to K greedy steps
-            on device; exits early once every row is dead. Emitted rows
-            past a row's death repeat its frozen token — the host's own
-            bookkeeping never reads them."""
+        def decode_chunk(params, cache, tokens, alive, budget, kcap):
+            """-> (emitted [K, B] int32, cache, tokens, alive, budget).
+            Runs up to kcap (<= K, dynamic) greedy steps on device; exits
+            early once every row is dead. Emitted rows past a row's death
+            repeat its frozen token — the host's own bookkeeping never
+            reads them. The (tokens, alive, budget) row state is RETURNED
+            as device arrays so the host can chain chunk i+1 directly off
+            chunk i's output handles without a blocking readback — the
+            pipelined run loop keeps the chip busy through the scheduler's
+            host<->device RTT (~tens of ms over a tunnel)."""
             B = tokens.shape[0]
             buf0 = jnp.zeros((K, B), jnp.int32)
 
             def cond(state):
                 step, _, _, alive, _, _ = state
-                return jnp.logical_and(step < K, jnp.any(alive))
+                return jnp.logical_and(step < kcap, jnp.any(alive))
 
             def body(state):
                 step, cache, tokens, alive, budget, buf = state
@@ -320,16 +439,32 @@ class ContinuousBatchingEngine:
                 tokens, alive, budget = _advance(tokens, alive, budget, nxt)
                 return step + 1, cache, tokens, alive, budget, buf
 
-            _, cache, _, _, _, buf = jax.lax.while_loop(
+            _, cache, tokens, alive, budget, buf = jax.lax.while_loop(
                 cond, body, (jnp.int32(0), cache, tokens, alive, budget,
                              buf0)
             )
-            return buf, cache
+            return buf, cache, tokens, alive, budget
 
         self._decode_chunk = jax.jit(decode_chunk, donate_argnums=(1,))
 
+        def admit_merge(tokens, alive, budget, rows, toks_new, max_news):
+            """Splice a dispatched admission group's first tokens into the
+            device-resident row state (rows == num_slots are group padding,
+            dropped). A row whose FIRST token is EOS (or whose budget is
+            already spent) starts dead — the same rule the host replay
+            applies, so device and host never disagree."""
+            first_dead = jnp.any(
+                toks_new[:, None] == eos_arr[None, :], axis=-1
+            ) | (max_news <= 1)
+            tokens = tokens.at[rows].set(toks_new, mode="drop")
+            alive = alive.at[rows].set(~first_dead, mode="drop")
+            budget = budget.at[rows].set(max_news - 1, mode="drop")
+            return tokens, alive, budget
+
+        self._admit_merge = jax.jit(admit_merge)
+
         def decode_chunk_sampled(params, cache, tokens, alive, budget, keys,
-                                 temps, top_ks, top_ps):
+                                 temps, top_ks, top_ps, kcap):
             """Sampled twin: per-row PRNG chains advance once per step
             (matching make_generate_fn's split-per-step), riding the same
             early-exit loop."""
@@ -338,7 +473,7 @@ class ContinuousBatchingEngine:
 
             def cond(state):
                 step, _, _, alive, _, _, _ = state
-                return jnp.logical_and(step < K, jnp.any(alive))
+                return jnp.logical_and(step < kcap, jnp.any(alive))
 
             def body(state):
                 step, cache, tokens, alive, budget, keys, buf = state
@@ -381,6 +516,23 @@ class ContinuousBatchingEngine:
         # by tests/test_engine.py); sampled runs take the sampled chunk.
         self.spec_draft_len = Kd = int(speculative_draft_len)
         self.spec_ngram = int(speculative_ngram)
+        # Occupancy-adaptive speculation (the vLLM policy: spec decode
+        # subtracts value when acceptance is low and the batch is full —
+        # a [B, Kd+1] verify pass costs more than a [B, 1] step and
+        # commits ~1 token/row when drafts miss). The engine measures
+        # tokens-per-row-per-pass on its own traffic (EMA) and falls back
+        # to plain chunks whenever the EMA is under an occupancy-scaled
+        # break-even threshold, re-probing with one bounded 2-pass spec
+        # chunk every `spec_reprobe_every` plain chunks so it can turn
+        # itself back on when the text turns draftable.
+        self.speculative_adaptive = bool(speculative_adaptive)
+        self.spec_threshold_base = float(spec_threshold_base)
+        self.spec_threshold_slope = float(spec_threshold_slope)
+        self.spec_reprobe_every = int(spec_reprobe_every)
+        self.spec_chunks_run = 0
+        self.plain_chunks_run = 0
+        self.spec_last_ema: Optional[float] = None
+        self._spec_plain_streak = 0
         if Kd > 0:
             assert self.spec_ngram >= 1
             W = self.max_len + Kd + 1  # per-row token-history width
@@ -388,20 +540,20 @@ class ContinuousBatchingEngine:
             idx = jnp.arange(Kd + 1, dtype=jnp.int32)
 
             def decode_chunk_spec(params, cache, buf, totals, tokens, alive,
-                                  budget):
+                                  budget, kcap):
                 """-> (targets [P, B, Kd+1], counts [P, B], cache, buf).
-                Runs up to P=chunk_size verify passes; pass p commits
-                counts[p, b] tokens for row b, which are targets[p, b, :m]
-                (acceptance + EOS-cut + budget-cap are all prefix rules).
-                Dead rows write seg-0 blocks (masked, no metadata advance)
-                and report count 0."""
+                Runs up to kcap (<= P=chunk_size, dynamic) verify passes;
+                pass p commits counts[p, b] tokens for row b, which are
+                targets[p, b, :m] (acceptance + EOS-cut + budget-cap are
+                all prefix rules). Dead rows write seg-0 blocks (masked, no
+                metadata advance) and report count 0."""
                 B = tokens.shape[0]
                 tg0 = jnp.zeros((K, B, Kd + 1), jnp.int32)
                 ct0 = jnp.zeros((K, B), jnp.int32)
 
                 def cond(state):
                     p, _, _, _, _, alive, _, _, _ = state
-                    return jnp.logical_and(p < K, jnp.any(alive))
+                    return jnp.logical_and(p < kcap, jnp.any(alive))
 
                 def body(state):
                     p, cache, buf, totals, tokens, alive, budget, tg, ct = \
@@ -498,7 +650,17 @@ class ContinuousBatchingEngine:
             llm.num_layers, self.num_slots, self.max_len, llm.num_kv_heads,
             llm.head_dim, dtype=self.cache_dtype,
         )
-        return cache.replace(length=jnp.zeros((self.num_slots,), jnp.int32))
+        cache = cache.replace(length=jnp.zeros((self.num_slots,), jnp.int32))
+        if self._kv_shard is not None:
+            s = self._kv_shard
+            cache = cache.replace(
+                k=jax.device_put(cache.k, s["kv"]),
+                v=jax.device_put(cache.v, s["kv"]),
+                seg=jax.device_put(cache.seg, s["meta"]),
+                lev=jax.device_put(cache.lev, s["meta"]),
+                length=jax.device_put(cache.length, s["meta"]),
+            )
+        return cache
 
     def reset(self) -> None:
         self.cache = self._fresh_cache()
@@ -536,7 +698,7 @@ class ContinuousBatchingEngine:
         pixels, flags = self._prep_pixels(pixel_values)
         k1, v1, seg1, lev1, _, _ = self._prefill(
             self.params, jnp.asarray(ids), jnp.asarray(seg), pixels, flags,
-            jnp.asarray(n, jnp.int32),
+            jnp.asarray([n], jnp.int32),
         )
         pid = self._next_prefix_id
         self._next_prefix_id += 1
@@ -547,7 +709,420 @@ class ContinuousBatchingEngine:
     def release_prefix(self, prefix_id: int) -> None:
         del self._prefixes[prefix_id]
 
+    # -- automatic prefix caching (vLLM APC role) -----------------------------
+
+    @staticmethod
+    def _pixels_digest(pixel_values) -> bytes:
+        """Content digest of the prompt's image tiles — the hash-chain
+        seed, so prompts with identical text but different pixels can
+        never share a cached prefix."""
+        if pixel_values is None:
+            return b""
+        import hashlib
+
+        px = np.ascontiguousarray(np.asarray(pixel_values))
+        h = hashlib.blake2b(digest_size=16)
+        h.update(str(px.shape).encode() + str(px.dtype).encode())
+        h.update(px.tobytes())
+        return h.digest()
+
+    def _auto_keys(self, ids: np.ndarray, digest: bytes) -> List[bytes]:
+        """Cumulative block-hash chain: keys[j] identifies the first
+        (j+1)*block tokens (+ pixel digest). Only block-aligned prefixes
+        that leave >= 1 tail token are keyed."""
+        import hashlib
+
+        blk = self.auto_prefix_block
+        nblocks = (len(ids) - 1) // blk
+        h = hashlib.blake2b(digest, digest_size=16)
+        keys = []
+        for j in range(nblocks):
+            h.update(np.ascontiguousarray(
+                ids[j * blk:(j + 1) * blk]).tobytes())
+            keys.append(h.digest())
+        return keys
+
+    def _img_end(self, ids: np.ndarray, pixel_values) -> int:
+        """First position after the last <IMG_CONTEXT> token: a usable
+        cached prefix for an image prompt must cover the whole image block
+        (tails are text-only by the suffix-prefill contract)."""
+        if pixel_values is None:
+            return 0
+        tok = getattr(self.model.cfg, "img_context_token_id", None)
+        if tok is None:
+            return 0
+        pos = np.nonzero(ids == tok)[0]
+        return int(pos[-1]) + 1 if len(pos) else 0
+
+    def _auto_match(self, ids: np.ndarray, pixel_values):
+        """Longest registered block-aligned prefix of `ids` (same pixels),
+        or None. Returns (prefix_id, matched_len) — the entry's KV may be
+        wider than matched_len; the suffix prefill masks at plen."""
+        keys = self._auto_keys(ids, self._pixels_digest(pixel_values))
+        img_end = self._img_end(ids, pixel_values)
+        blk = self.auto_prefix_block
+        for j in range(len(keys) - 1, -1, -1):
+            P = (j + 1) * blk
+            if P < img_end:
+                break  # shorter prefixes cover even less of the image
+            hit = self._auto.get(keys[j])
+            if hit is None:
+                continue
+            pid, _ = hit
+            sb = _pick_bucket(len(ids) - P, self.prefill_buckets)
+            if self._prefixes[pid]["k"].shape[2] + sb > self.max_len:
+                continue
+            self._auto.move_to_end(keys[j])
+            return pid, P
+        return None
+
+    def _auto_store(self, ids: np.ndarray, pixel_values, k1, v1, seg1, lev1,
+                    row: int, n: int) -> None:
+        """Register row `row` of a batched full prefill's KV as ONE stored
+        entry keyed at EVERY block boundary (vLLM caches per block; here
+        the blocks share one KV slab and the suffix prefill masks at the
+        matched length) — sliced from compute already paid for, no extra
+        forward. LRU-evicts keys beyond auto_prefix_max entries; an entry
+        frees when its last key evicts."""
+        blk = self.auto_prefix_block
+        nblocks = (n - 1) // blk
+        Pmax = nblocks * blk
+        if Pmax < blk:
+            return
+        img_end = self._img_end(ids, pixel_values)
+        if Pmax < img_end:
+            return  # no aligned prefix covers the image block
+        keys = self._auto_keys(ids, self._pixels_digest(pixel_values))
+        fresh = [(j, k) for j, k in enumerate(keys) if k not in self._auto]
+        for k in keys:
+            if k in self._auto:
+                self._auto.move_to_end(k)
+        if not fresh:
+            return
+        pb = _pick_bucket(Pmax, self.prefill_buckets)
+        pid = self._next_prefix_id
+        self._next_prefix_id += 1
+        self._prefixes[pid] = dict(
+            k=k1[:, row:row + 1, :pb],
+            v=v1[:, row:row + 1, :pb],
+            # seg/lev stored full-width; the suffix prefill masks >= plen,
+            # so slots past the matched length are never attendable
+            seg=seg1[row:row + 1, :pb],
+            lev=lev1[row:row + 1, :pb],
+            n=Pmax, ids=np.asarray(ids[:Pmax], np.int32),
+        )
+        self._auto_pids[pid] = set()
+        for j, k in fresh:
+            self._auto[k] = (pid, (j + 1) * blk)
+            self._auto_pids[pid].add(k)
+        while len(self._auto_pids) > self.auto_prefix_max:
+            k_old, (pid_old, _) = self._auto.popitem(last=False)
+            refs = self._auto_pids[pid_old]
+            refs.discard(k_old)
+            if not refs:
+                del self._auto_pids[pid_old]
+                del self._prefixes[pid_old]
+
     # -- serving loop ---------------------------------------------------------
+
+    def _build_wave(self, queue, slots, use_spec: bool) -> list:
+        """Pop waiting requests into free slots: resolve explicit/automatic
+        prefix reuse and validate cache fit. Returns the admission wave as
+        (row, req, n_total, (prefix_id, plen) | None, tail | None) tuples."""
+        wave = []
+        for row in range(self.num_slots):
+            if slots[row] is not None or not queue:
+                continue
+            req = queue.popleft()
+            ids_np = np.asarray(req.input_ids, np.int32)
+            m = int(len(ids_np))
+            pk, tail = None, None  # pk = (prefix_id, plen)
+            if req.prefix_id is not None:
+                pref = self._prefixes[req.prefix_id]
+                pk, tail = (req.prefix_id, pref["n"]), ids_np
+                assert req.pixel_values is None, (
+                    f"request {req.uid}: a prefix_id tail is text-only "
+                    "(put the image in the registered prefix)"
+                )
+                n = pref["n"] + m
+                sb = _pick_bucket(m, self.prefill_buckets)
+                assert pref["k"].shape[2] + sb <= self.max_len, (
+                    f"request {req.uid}: prefix bucket "
+                    f"{pref['k'].shape[2]} + tail bucket {sb} exceeds "
+                    f"max_len {self.max_len}"
+                )
+            else:
+                n = m
+                if self.auto_prefix_block is not None:
+                    hit = self._auto_match(ids_np, req.pixel_values)
+                    if hit is not None:
+                        pid, P = hit
+                        pk, tail = (pid, P), ids_np[P:]
+                        self.auto_prefix_hits += 1
+                    else:
+                        self.auto_prefix_misses += 1
+            # speculative runs write Kd+1-token blocks at fill depths up
+            # to n+max_new-1, so the cache needs a draft_len margin
+            margin = self.spec_draft_len if use_spec else 0
+            assert n + req.max_new_tokens + margin <= self.max_len, (
+                f"request {req.uid}: {n}+{req.max_new_tokens}+{margin} "
+                f"(speculative margin) exceeds max_len {self.max_len}"
+            )
+            wave.append((row, req, n, pk, tail))
+        return wave
+
+    def _dispatch_wave(self, wave):
+        """Group a wave of admissions by compiled shape and dispatch ONE
+        batched [k, bucket] prefill + insert per group (vLLM's
+        batched-prefill scheduling): k same-bucket requests feed the MXU
+        one k-row matmul instead of k serialized single-row passes. All
+        device work dispatches asynchronously — nothing here blocks.
+        Returns (admitted, tok_parts, sample_jobs): the wave entries in
+        dispatch order, per-group first-token device arrays, and
+        (admitted_idx, tok_dev, rng_dev) jobs for sampled rows."""
+        groups: Dict[tuple, list] = {}
+        for entry in wave:
+            _, req, n, pk, tail = entry
+            if pk is not None:
+                sb = _pick_bucket(len(tail), self.prefill_buckets)
+                key = ("sfx", pk[0], pk[1], sb)
+            else:
+                nb = _pick_bucket(n, self.prefill_buckets)
+                if req.pixel_values is None:
+                    tk = 0
+                else:
+                    t = int(np.asarray(req.pixel_values).shape[0])
+                    tk = (t if self.tile_buckets is None
+                          else _pick_bucket(t, self.tile_buckets))
+                key = ("full", nb, tk)
+            groups.setdefault(key, []).append(entry)
+
+        admitted = []  # (row, req, n, pk, tail) in dispatch order
+        tok_parts = []  # per-group [k_real] first-token device arrays
+        sample_jobs = []  # (admitted_idx, tok_dev, rng_dev)
+        store_jobs = []  # deferred APC registrations (after all groups,
+        # so a store's LRU eviction can't invalidate a pid another
+        # group in this same wave matched)
+        for key, members in groups.items():
+            k_real = len(members)
+            kb = _pick_bucket(k_real, self._admit_kbuckets)
+            # pad the group by replicating its last request: the
+            # replica's output rows are DISCARDED (insert row ==
+            # num_slots scatters out of bounds); replicating a real
+            # row (vs an all-padding one) keeps every lane's softmax
+            # rows well-formed
+            padded = members + [members[-1]] * (kb - k_real)
+            rows = np.array(
+                [e[0] for e in members]
+                + [self.num_slots] * (kb - k_real), np.int32,
+            )
+            tns = np.array([e[2] for e in padded], np.int32)
+            if key[0] == "sfx":
+                _, pid, plen, sb = key
+                pref = self._prefixes[pid]
+                ids = np.full((kb, sb), self.pad_token_id, np.int32)
+                seg = np.zeros((kb, sb), np.int32)
+                tms = np.zeros((kb,), np.int32)
+                for i, (_, req, _, _, tail) in enumerate(padded):
+                    mi = len(tail)
+                    ids[i, :mi] = tail
+                    seg[i, :mi] = 1
+                    tms[i] = mi
+                k1, v1, seg1, lev1, toks, last = self._prefill_suffix(
+                    self.params, pref["k"], pref["v"], pref["seg"],
+                    pref["lev"], jnp.asarray(plen, jnp.int32),
+                    jnp.asarray(ids), jnp.asarray(seg),
+                    jnp.asarray(tms),
+                )
+            else:
+                _, nb, tk = key
+                ids = np.full((kb, nb), self.pad_token_id, np.int32)
+                seg = np.zeros((kb, nb), np.int32)
+                px_parts, fl_parts = [], []
+                for i, (_, req, n, _, _) in enumerate(padded):
+                    ids[i, :n] = req.input_ids
+                    seg[i, :n] = 1
+                    if tk:
+                        px = np.asarray(req.pixel_values)
+                        t = px.shape[0]
+                        if tk > t:
+                            px = np.concatenate([
+                                px,
+                                np.zeros((tk - t,) + px.shape[1:],
+                                         px.dtype),
+                            ], axis=0)
+                        px_parts.append(px)
+                        fl_parts.append(
+                            (np.arange(tk) < t).astype(np.int32)
+                        )
+                pixels = (jnp.asarray(np.concatenate(px_parts, 0))
+                          if tk else None)
+                flags = (jnp.asarray(np.concatenate(fl_parts, 0))
+                         if tk else None)
+                k1, v1, seg1, lev1, toks, last = self._prefill(
+                    self.params, jnp.asarray(ids), jnp.asarray(seg),
+                    pixels, flags, jnp.asarray(tns),
+                )
+                if self.auto_prefix_block is not None:
+                    for i, (_, req, n, _, _) in enumerate(members):
+                        store_jobs.append((
+                            np.asarray(req.input_ids, np.int32),
+                            req.pixel_values, k1, v1, seg1, lev1, i, n,
+                        ))
+            self.cache = self._insert(
+                self.cache, k1, v1, seg1, lev1, jnp.asarray(rows),
+                jnp.asarray(tns),
+            )
+            for i, (row, req, n, _, _) in enumerate(members):
+                if req.temperature > 0.0:
+                    tok_s, rng_s = self._sample_first(
+                        last[i], jax.random.PRNGKey(req.seed),
+                        jnp.asarray(req.temperature, jnp.float32),
+                        jnp.asarray(req.top_k, jnp.int32),
+                        jnp.asarray(req.top_p, jnp.float32),
+                    )
+                    sample_jobs.append((len(admitted) + i, tok_s, rng_s))
+            admitted.extend(members)
+            tok_parts.append(toks[:k_real])
+        for job in store_jobs:
+            self._auto_store(*job)
+        return admitted, tok_parts, sample_jobs
+
+    def _run_pipelined(self, requests: Sequence[Request]) -> List[Completion]:
+        """Greedy serving with a software-pipelined scheduler.
+
+        The non-pipelined loop blocks on every chunk readback: over a
+        tunneled link each host<->device round trip is tens of ms, and a
+        mixed workload takes several chunks, so the chip idles 30-40% of
+        wall clock waiting for the scheduler (measured: the r3 engine LOST
+        to naive static batching, 715 vs 893 tok/s). Here all scheduling
+        state the DEVICE needs (tokens/alive/budget + the cache) chains
+        from chunk to chunk as device arrays: the host dispatches chunk
+        i+1 before reading chunk i, then replays chunk i's emissions
+        through the retirement rules while the chip is busy. Aliveness
+        (EOS/budget) is enforced on device, so a chunk dispatched before
+        the host knows about a retirement simply carries frozen dead rows
+        — token streams are unchanged (identity pinned by
+        tests/test_engine.py, which runs this loop for every greedy case).
+        Admission lags one chunk (a freed slot refills after the replay
+        that discovers it) — the price of never stalling the chip."""
+        queue = deque(requests)
+        B = self.num_slots
+        slots: list = [None] * B  # None | _PendingSlot | _Slot
+        done: List[Completion] = []
+        self.reset()
+        tokens = jnp.full((B,), self.pad_token_id, jnp.int32)
+        alive = jnp.zeros((B,), bool)
+        budget = jnp.zeros((B,), jnp.int32)
+        # host mirror of row state, exact as of the last REPLAYED event
+        h_alive = np.zeros((B,), bool)
+        inflight: deque = deque()  # ("adm", admitted, tok_parts) |
+        #                            ("chunk", buf_dev, kcap)
+
+        def finish(row: int, include_last: bool) -> None:
+            st = slots[row]
+            toks = list(st.generated)
+            if include_last:
+                toks.append(st.last_token)
+            out = []
+            for t in toks:
+                if t in self.eos:
+                    break
+                out.append(t)
+            done.append(Completion(st.req.uid, out, st.prompt_len))
+            slots[row] = None
+
+        def replay(ev) -> None:
+            if ev[0] == "adm":
+                _, admitted, tok_parts = ev
+                toks_h = np.asarray(jnp.concatenate(tok_parts))
+                for i, (row, req, n, pk, tail) in enumerate(admitted):
+                    slots[row] = _Slot(req, int(toks_h[i]), [],
+                                       prompt_len=n)
+                    if slots[row].last_token in self.eos or \
+                            req.max_new_tokens <= 1:
+                        finish(row, include_last=True)
+                    else:
+                        h_alive[row] = True
+                return
+            _, buf_dev, kcap = ev
+            buf = np.asarray(buf_dev)  # blocks; later chunks already queued
+            for k in range(min(buf.shape[0], kcap)):
+                for row, st in enumerate(slots):
+                    if st is None or isinstance(st, _PendingSlot) or \
+                            not h_alive[row]:
+                        continue
+                    st.generated.append(st.last_token)
+                    st.last_token = int(buf[k, row])
+                    if st.last_token in self.eos:
+                        finish(row, include_last=False)
+                        h_alive[row] = False
+                    elif len(st.generated) + 1 >= st.req.max_new_tokens:
+                        finish(row, include_last=True)
+                        h_alive[row] = False
+
+        def chunks_in_flight() -> int:
+            return sum(1 for ev in inflight if ev[0] == "chunk")
+
+        while queue or any(s is not None for s in slots) or inflight:
+            # 1) keep the pipeline bounded: replay oldest events while
+            # newer chunks keep the device busy through the readback
+            while chunks_in_flight() > self.pipeline_depth:
+                replay(inflight.popleft())
+
+            # 2) admit into host-known-free slots (device work is async;
+            # the first-token readback happens at this event's replay)
+            wave = self._build_wave(queue, slots, use_spec=False)
+            if wave:
+                admitted, tok_parts, _ = self._dispatch_wave(wave)
+                # merge each group's first tokens into the device row state
+                off = 0
+                for toks in tok_parts:
+                    k_real = int(toks.shape[0])
+                    grp = admitted[off:off + k_real]
+                    rows = jnp.asarray([e[0] for e in grp], jnp.int32)
+                    mnews = jnp.asarray(
+                        [e[1].max_new_tokens for e in grp], jnp.int32
+                    )
+                    tokens, alive, budget = self._admit_merge(
+                        tokens, alive, budget, rows, toks, mnews
+                    )
+                    off += k_real
+                for row, req, n, pk, tail in admitted:
+                    slots[row] = _PendingSlot(req)
+                inflight.append(("adm", admitted, tok_parts))
+
+            # 3) dispatch the next decode chunk off the device-resident
+            # state. Pending admissions count as presumed-alive (their
+            # device merge applied the same first-token retirement rule
+            # the replay will).
+            rems, any_live = [], False
+            for row, st in enumerate(slots):
+                if isinstance(st, _PendingSlot):
+                    any_live = True
+                    rems.append(st.req.max_new_tokens - 1)
+                elif st is not None and h_alive[row]:
+                    any_live = True
+                    rems.append(
+                        st.req.max_new_tokens - (len(st.generated) + 1)
+                    )
+            if any_live:
+                caps = [r for r in rems if r >= 1]
+                # with requests waiting, sync near the earliest possible
+                # retirement so freed slots refill promptly (admission
+                # already lags one chunk); otherwise run full chunks
+                kcap_host = max(1, min(min(caps) if (queue and caps)
+                                       else self.chunk_size,
+                                       self.chunk_size))
+                buf, self.cache, tokens, alive, budget = self._decode_chunk(
+                    self.params, self.cache, tokens, alive, budget,
+                    jnp.asarray(kcap_host, jnp.int32),
+                )
+                inflight.append(("chunk", buf, kcap_host))
+            elif inflight:
+                # nothing runnable until an event lands — drain one
+                replay(inflight.popleft())
+        return done
 
     def run(self, requests: Sequence[Request]) -> List[Completion]:
         """Serve all requests to completion; returns completions in the
@@ -562,6 +1137,11 @@ class ContinuousBatchingEngine:
         # speculation accelerates greedy decode only (committed tokens are
         # verified argmaxes); a sampled run takes the sampled chunk path
         use_spec = self.spec_draft_len > 0 and not sampled_run
+        if not sampled_run and not use_spec:
+            # the hot serving shape (greedy eval/QA) takes the pipelined
+            # loop: chunk i+1 chains off chunk i's device-resident row
+            # state, so host replay/admission hides behind device compute
+            return self._run_pipelined(requests)
         queue = deque(requests)
         slots: List[Optional[_Slot]] = [None] * self.num_slots
         done: List[Completion] = []
@@ -583,88 +1163,38 @@ class ContinuousBatchingEngine:
             slots[row] = None
 
         while queue or any(s is not None for s in slots):
-            # 1) admit waiting requests into free slots. All device work
-            # (prefill, insert, first-token sample) dispatches
-            # asynchronously; the wave's first tokens come back in ONE
-            # host sync at the end — per-request readbacks each paid a
-            # full host<->device round trip.
-            admitted = []  # (row, req, tok_dev, rng_dev_or_None, n)
-            for row in range(self.num_slots):
-                if slots[row] is not None or not queue:
-                    continue
-                req = queue.popleft()
-                m = int(len(req.input_ids))
-                if req.prefix_id is not None:
-                    pref = self._prefixes[req.prefix_id]
-                    assert req.pixel_values is None, (
-                        f"request {req.uid}: a prefix_id tail is text-only "
-                        "(put the image in the registered prefix)"
-                    )
-                    n = pref["n"] + m
-                    sb = _pick_bucket(m, self.prefill_buckets)
-                    assert pref["k"].shape[2] + sb <= self.max_len, (
-                        f"request {req.uid}: prefix bucket "
-                        f"{pref['k'].shape[2]} + tail bucket {sb} exceeds "
-                        f"max_len {self.max_len}"
-                    )
-                else:
-                    n = m
-                # speculative runs write Kd+1-token blocks at fill depths up
-                # to n+max_new-1, so the cache needs a draft_len margin
-                margin = self.spec_draft_len if use_spec else 0
-                assert n + req.max_new_tokens + margin <= self.max_len, (
-                    f"request {req.uid}: {n}+{req.max_new_tokens}+{margin} "
-                    f"(speculative margin) exceeds max_len {self.max_len}"
-                )
-                if req.prefix_id is not None:
-                    ids = np.full((1, sb), self.pad_token_id, np.int32)
-                    ids[0, :m] = req.input_ids
-                    seg = np.zeros((1, sb), np.int32)
-                    seg[0, :m] = 1
-                    k1, v1, seg1, lev1, tok, last = self._prefill_suffix(
-                        self.params, pref["k"], pref["v"], pref["seg"],
-                        pref["lev"], jnp.asarray(pref["n"], jnp.int32),
-                        jnp.asarray(ids), jnp.asarray(seg),
-                        jnp.asarray(m, jnp.int32),
-                    )
-                else:
-                    nb = _pick_bucket(n, self.prefill_buckets)
-                    ids = np.full((1, nb), self.pad_token_id, np.int32)
-                    ids[0, :n] = req.input_ids
-                    seg = np.zeros((1, nb), np.int32)
-                    seg[0, :n] = 1
-                    pixels, flags = self._prep_pixels(req.pixel_values)
-                    k1, v1, seg1, lev1, tok, last = self._prefill(
-                        self.params, jnp.asarray(ids), jnp.asarray(seg),
-                        pixels, flags, jnp.asarray(n, jnp.int32),
-                    )
-                self.cache = self._insert(
-                    self.cache, k1, v1, seg1, lev1,
-                    jnp.asarray(row, jnp.int32), jnp.asarray(n, jnp.int32),
-                )
-                rng = None
-                if req.temperature > 0.0:
-                    tok, rng = self._sample_first(
-                        last, jax.random.PRNGKey(req.seed),
-                        jnp.asarray(req.temperature, jnp.float32),
-                        jnp.asarray(req.top_k, jnp.int32),
-                        jnp.asarray(req.top_p, jnp.float32),
-                    )
-                admitted.append((row, req, tok, rng, n))
+            # 1) admit waiting requests into free slots. Admissions are
+            # GROUPED by compiled shape and every group prefills as ONE
+            # batched [k, bucket] forward (vLLM's batched-prefill
+            # scheduling): k same-bucket requests feed the MXU one k-row
+            # matmul instead of k serialized single-row passes. All device
+            # work (group prefills, inserts, first-token samples)
+            # dispatches asynchronously; the wave's first tokens come back
+            # in ONE host sync at the end — per-request readbacks each
+            # paid a full host<->device round trip.
+            wave = self._build_wave(queue, slots, use_spec)
+            admitted, tok_parts, sample_jobs = self._dispatch_wave(wave)
+
+            wave_toks = wave_rngs = None
             if admitted:
                 # the wave's only host syncs: first tokens, then the
-                # sampled rows' advanced PRNG keys
-                wave_toks = np.asarray(jnp.stack([a[2] for a in admitted]))
-                rng_rows = [a[3] for a in admitted if a[3] is not None]
-                wave_rngs = (
-                    iter(np.asarray(jnp.stack(rng_rows))) if rng_rows
-                    else None
-                )
-            for i, (row, req, _, rng_dev, n) in enumerate(admitted):
+                # sampled rows' tokens + advanced PRNG keys
+                wave_toks = np.array(jnp.concatenate(tok_parts))
+                if sample_jobs:
+                    st = np.asarray(jnp.stack([j[1] for j in sample_jobs]))
+                    sr = np.asarray(jnp.stack([j[2] for j in sample_jobs]))
+                    wave_rngs = {}
+                    for (idx, _, _), t, r in zip(sample_jobs, st, sr):
+                        wave_toks[idx] = t
+                        wave_rngs[idx] = r
+            for i, (row, req, n, pk, tail) in enumerate(admitted):
                 tok = int(wave_toks[i])
-                rng = next(wave_rngs) if rng_dev is not None else None
+                rng = wave_rngs[i] if wave_rngs and i in wave_rngs else None
                 hist = None
                 if use_spec:
+                    # full prompt ids for the draft window: an explicit
+                    # prefix req carries only its tail; an auto-matched
+                    # req's input_ids ARE the full prompt already
                     hist = (
                         np.concatenate([
                             self._prefixes[req.prefix_id]["ids"],
@@ -695,7 +1225,31 @@ class ContinuousBatchingEngine:
                     budget[row] = st.req.max_new_tokens - (
                         len(st.generated) + 1
                     )
-            if use_spec:
+            # dynamic step cap: with requests waiting, sync exactly at the
+            # earliest budget retirement (so a freed slot refills at once);
+            # with an empty queue there is nothing to admit, so run to the
+            # LAST retirement — intermediate syncs would only add RTT.
+            # EOS can retire a row earlier than its budget; the chunk's
+            # early-exit + frozen dead rows bound the waste at chunk_size.
+            rem = budget[alive]
+            kcap_host = max(1, min(int(rem.min()) if queue
+                                   else int(rem.max()), self.chunk_size))
+            # adaptive speculation: skip the spec chunk when the measured
+            # acceptance EMA is under the occupancy-scaled break-even;
+            # re-probe with a 2-pass spec chunk every spec_reprobe_every
+            # plain chunks so recovery is cheap and automatic
+            run_spec = use_spec
+            if use_spec and self.speculative_adaptive and \
+                    self.spec_last_ema is not None:
+                thresh = self.spec_threshold_base + \
+                    self.spec_threshold_slope * int(np.sum(alive))
+                if self.spec_last_ema < thresh:
+                    if self._spec_plain_streak >= self.spec_reprobe_every:
+                        kcap_host = min(kcap_host, 2)  # bounded probe
+                    else:
+                        run_spec = False
+            kcap = jnp.asarray(kcap_host, jnp.int32)
+            if run_spec:
                 # assemble per-row token history (prompt + committed) on
                 # host — a few KB per chunk, no resident device state
                 W = self._spec_buf_width
@@ -715,12 +1269,20 @@ class ContinuousBatchingEngine:
                 tg, ct, self.cache = self._decode_chunk_spec(
                     self.params, self.cache, jnp.asarray(buf),
                     jnp.asarray(totals), jnp.asarray(tokens),
-                    jnp.asarray(alive), jnp.asarray(budget),
+                    jnp.asarray(alive), jnp.asarray(budget), kcap,
                 )
                 tg, ct = np.asarray(tg), np.asarray(ct)
                 # replay: pass p committed ct[p, row] tokens tg[p, row, :m]
-                # through the same retirement rules as the device
-                for p in range(tg.shape[0]):
+                # through the same retirement rules as the device;
+                # simultaneously measure acceptance (tokens per row-pass)
+                # for the adaptive policy
+                acc_toks = acc_rowpasses = 0
+                for p in range(min(tg.shape[0], kcap_host)):
+                    live_rows = [r for r, s in enumerate(slots)
+                                 if s is not None and alive[r]]
+                    if live_rows:
+                        acc_rowpasses += len(live_rows)
+                        acc_toks += int(sum(ct[p, r] for r in live_rows))
                     for row, st in enumerate(slots):
                         if st is None or not alive[row]:
                             continue
@@ -736,8 +1298,21 @@ class ContinuousBatchingEngine:
                                 finish(row, include_last=True)
                                 alive[row] = False
                                 break
+                if acc_rowpasses:
+                    a = acc_toks / acc_rowpasses
+                    self.spec_last_ema = (
+                        a if self.spec_last_ema is None
+                        else 0.5 * self.spec_last_ema + 0.5 * a
+                    )
+                self.spec_chunks_run += 1
+                self._spec_plain_streak = 0
                 continue
 
+            if use_spec:
+                # speculation adaptively skipped this chunk (EMA under the
+                # occupancy break-even); count toward the re-probe cadence
+                self._spec_plain_streak += 1
+                self.plain_chunks_run += 1
             if sampled_run:
                 keys = np.zeros((self.num_slots, 2), np.uint32)
                 temps = np.zeros((self.num_slots,), np.float32)
@@ -753,23 +1328,25 @@ class ContinuousBatchingEngine:
                     self.params, self.cache, jnp.asarray(tokens),
                     jnp.asarray(alive), jnp.asarray(budget),
                     jnp.asarray(keys), jnp.asarray(temps),
-                    jnp.asarray(top_ks), jnp.asarray(top_ps),
+                    jnp.asarray(top_ks), jnp.asarray(top_ps), kcap,
                 )
                 new_keys = np.asarray(new_keys)
                 for row, st in enumerate(slots):
                     if st is not None and st.rng is not None:
                         st.rng = new_keys[row]
             else:
-                toks, self.cache = self._decode_chunk(
+                toks, self.cache, _, _, _ = self._decode_chunk(
                     self.params, self.cache, jnp.asarray(tokens),
-                    jnp.asarray(alive), jnp.asarray(budget),
+                    jnp.asarray(alive), jnp.asarray(budget), kcap,
                 )
             toks = np.asarray(toks)  # [K, B]
 
             # 3) replay the chunk through the retirement rules (identical
             # to the device's _advance, so a retired row's later chunk
-            # entries are never read)
-            for k in range(toks.shape[0]):
+            # entries are never read). Only the kcap rows the device
+            # actually ran are replayed — rows past the dynamic cap are
+            # unwritten buffer zeros.
+            for k in range(min(toks.shape[0], kcap_host)):
                 for row, st in enumerate(slots):
                     if st is None or not alive[row]:
                         continue

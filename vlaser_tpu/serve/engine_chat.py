@@ -47,6 +47,7 @@ class EngineChat:
         chunk_size: int = 16,
         backend: str = "engine",
         speculative_draft_len: int = 0,
+        mesh=None,
     ):
         """backend: "engine" = host-driven continuous batching (per-chunk
         host sync; supports per-request sampling). "offline" = the one-jit
@@ -77,7 +78,11 @@ class EngineChat:
             cache_dtype=cache_dtype,
             chunk_size=chunk_size,
             speculative_draft_len=speculative_draft_len,
+            mesh=mesh,
         )
+        # the engine TP-shards its own param copy; offline fallback and
+        # prompt assembly reuse the sharded tree
+        self.params = self.engine.params
         self._uid = 0
 
     def _run(self, reqs):

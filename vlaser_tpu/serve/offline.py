@@ -18,8 +18,16 @@ serve/engine.ContinuousBatchingEngine and to per-request
 `make_generate_fn` (pinned by tests/test_offline.py).
 
 Trade-offs vs the host-driven engine (both deliberate):
-- one prompt width: every prompt pads to the widest (the engine buckets
-  prefill widths instead). Wasted prefill FLOPs buy zero scheduler RTTs.
+- admission prefills every vacant slot in ONE batched [B, W] forward
+  (the fori-loop-of-[1, W]-prefills it replaces serialized B MXU-starved
+  passes per wave — measured as the module losing to static batching).
+- ONE prompt width by default: every prompt pads to the widest. Width
+  grouping (max_width_groups > 1) was measured and loses on mixed
+  batches: each group runs its own sequential device loop with
+  underfilled slots (611 vs 892 static tok/s at 3 groups), while the
+  wasted padded-prefill FLOPs it saves are minor next to keeping all
+  slots decoding. It remains available for workloads with huge width
+  spreads and group sizes >= num_slots.
 - pixels are a dense [R, T, ...] buffer with per-tile flags; text-only
   rows run the ViT on zero tiles whose features are masked out of the
   scatter. Static shapes are what let the whole loop compile once.
@@ -63,55 +71,75 @@ def make_offline_runner(
     B = int(num_slots)
     K = int(chunk_size)
 
-    def _admit_one(b, params, prompts, seg, max_new, pixels, image_flags, S):
-        """Prefill prompt `next_req` into vacant slot b (runs under cond)."""
+    def _admit_wave(params, prompts, seg, max_new, pixels, image_flags, S):
+        """Prefill a waiting request into EVERY vacant slot in ONE batched
+        [B, W] forward (the device twin of engine.run's grouped admission:
+        k serialized [1, W] prefills starve the MXU; one [B, W] pass does
+        not). Vacant slot b takes request next_req + rank(b among vacant);
+        lanes with nothing to admit replicate a clipped request row (well-
+        formed softmax rows) and are masked out of every merge."""
         (next_req, cache, slot_req, last_tok, budget, alive, out_buf,
          out_len) = S
-        r = next_req
-        ids1 = jax.lax.dynamic_slice_in_dim(prompts, r, 1, 0)  # [1, W]
-        seg1 = jax.lax.dynamic_slice_in_dim(seg, r, 1, 0)
-        true_len = jnp.sum((seg1[0] != 0).astype(jnp.int32))
+        R = prompts.shape[0]
+        W = prompts.shape[1]
+        vac = ~alive
+        vaci = vac.astype(jnp.int32)
+        rank = jnp.cumsum(vaci) - vaci  # exclusive rank among vacant slots
+        r_idx = next_req + rank  # [B] candidate request per lane
+        admit = jnp.logical_and(vac, r_idx < R)
+        r_safe = jnp.clip(r_idx, 0, R - 1)
+        ids = jnp.take(prompts, r_safe, axis=0)  # [B, W]
+        segw = jnp.take(seg, r_safe, axis=0)
+        true_len = jnp.sum((segw != 0).astype(jnp.int32), axis=1)  # [B]
         px = flags = None
         if pixels is not None:
-            px = jax.lax.dynamic_slice_in_dim(pixels, r, 1, 0)[0]  # [T,...]
-            flags = jax.lax.dynamic_slice_in_dim(image_flags, r, 1, 0)[0]
-        W = prompts.shape[1]
-        small = KVCache.create(llm.num_layers, 1, W, llm.num_kv_heads,
+            px = jnp.take(pixels, r_safe, axis=0)  # [B, T, ...]
+            px = px.reshape((-1,) + px.shape[2:])  # [B*T, ...]
+            flags = jnp.take(image_flags, r_safe, axis=0)
+            # a non-admitting lane's tiles must not claim scatter slots
+            flags = jnp.where(admit[:, None], flags, 0).reshape(-1)
+        small = KVCache.create(llm.num_layers, B, W, llm.num_kv_heads,
                                llm.head_dim, dtype=cache_dtype)
         logits, _, c1 = model.apply(
-            params, ids1, px, seg1, small, image_flags=flags,
+            params, ids, px, segw, small, image_flags=flags,
             method=model.prefill,
         )
-        first = jnp.argmax(logits[0, true_len - 1]).astype(jnp.int32)
+        first = jnp.argmax(
+            jnp.take_along_axis(logits, (true_len - 1)[:, None, None],
+                                axis=1)[:, 0],
+            axis=-1,
+        ).astype(jnp.int32)
 
-        # splice the [1, W] cache into slot b of the big cache (the same
-        # metadata-clearing insert as engine.insert)
-        k = jax.lax.dynamic_update_slice(
-            cache.k, c1.k.astype(cache.k.dtype), (0, b, 0, 0, 0))
-        v = jax.lax.dynamic_update_slice(
-            cache.v, c1.v.astype(cache.v.dtype), (0, b, 0, 0, 0))
-        row_seg = jnp.zeros((1, cache.seg.shape[1]), jnp.int32)
-        row_seg = jax.lax.dynamic_update_slice(row_seg, c1.seg, (0, 0))
-        segc = jax.lax.dynamic_update_slice(cache.seg, row_seg, (b, 0))
-        row_lev = jnp.zeros((1, cache.lev.shape[1]), jnp.int32)
-        row_lev = jax.lax.dynamic_update_slice(row_lev, c1.lev, (0, 0))
-        levc = jax.lax.dynamic_update_slice(cache.lev, row_lev, (b, 0))
-        length = jax.lax.dynamic_update_index_in_dim(
-            cache.length, true_len, b, axis=0)
+        # merge admitted lanes into the big cache (the same metadata-
+        # clearing insert as engine.insert, masked per lane)
+        adm5 = admit[None, :, None, None, None]
+        k = cache.k.at[:, :, :W].set(
+            jnp.where(adm5, c1.k.astype(cache.k.dtype), cache.k[:, :, :W]))
+        v = cache.v.at[:, :, :W].set(
+            jnp.where(adm5, c1.v.astype(cache.v.dtype), cache.v[:, :, :W]))
+        row_seg = jnp.zeros((B, cache.seg.shape[1]), jnp.int32)
+        row_seg = row_seg.at[:, :W].set(c1.seg)
+        segc = jnp.where(admit[:, None], row_seg, cache.seg)
+        row_lev = jnp.zeros((B, cache.lev.shape[1]), jnp.int32)
+        row_lev = row_lev.at[:, :W].set(c1.lev)
+        levc = jnp.where(admit[:, None], row_lev, cache.lev)
+        length = jnp.where(admit, true_len, cache.length)
         cache = cache.replace(k=k, v=v, seg=segc, lev=levc, length=length)
 
-        mn = max_new[r]
-        is_eos = jnp.any(first == eos)
+        mn = jnp.take(max_new, r_safe)
+        is_eos = jnp.any(first[:, None] == eos[None, :], axis=1)
         done1 = is_eos | (mn <= 1)
-        out_buf = out_buf.at[r, 0].set(jnp.where(is_eos, out_buf[r, 0],
-                                                 first))
-        out_len = out_len.at[r].set(jnp.where(is_eos, 0, 1))
-        slot_req = slot_req.at[b].set(jnp.where(done1, -1, r))
-        last_tok = last_tok.at[b].set(first)
-        budget = budget.at[b].set(mn - 1)
-        alive = alive.at[b].set(~done1)
-        return (next_req + 1, cache, slot_req, last_tok, budget, alive,
-                out_buf, out_len)
+        commit0 = jnp.logical_and(admit, ~is_eos)
+        out_buf = out_buf.at[jnp.where(commit0, r_idx, R), 0].set(
+            first, mode="drop")
+        out_len = out_len.at[jnp.where(admit, r_idx, R)].set(
+            jnp.where(is_eos, 0, 1), mode="drop")
+        slot_req = jnp.where(admit, jnp.where(done1, -1, r_idx), slot_req)
+        last_tok = jnp.where(admit, first, last_tok)
+        budget = jnp.where(admit, mn - 1, budget)
+        alive = jnp.where(admit, ~done1, alive)
+        return (next_req + jnp.sum(admit.astype(jnp.int32)), cache,
+                slot_req, last_tok, budget, alive, out_buf, out_len)
 
     @functools.partial(jax.jit, static_argnames=())
     def run(params, prompts, seg, max_new, pixels=None, image_flags=None):
@@ -140,19 +168,17 @@ def make_offline_runner(
             return jnp.logical_or(next_req < R, jnp.any(alive))
 
         def outer_body(S):
-            # 1) admission: one pass over the slots, prefilling a waiting
-            # request into each vacant one
-            def admit(b, S):
-                do = jnp.logical_and(~S[5][b], S[0] < R)
-                return jax.lax.cond(
-                    do,
-                    lambda S: _admit_one(b, params, prompts, seg, max_new,
-                                         pixels, image_flags, S),
-                    lambda S: S,
-                    S,
-                )
-
-            S = jax.lax.fori_loop(0, B, admit, S, unroll=False)
+            # 1) admission: fill EVERY vacant slot from the waiting queue
+            # in one batched prefill (skipped entirely when no slot is
+            # vacant or the queue is drained)
+            need = jnp.logical_and(jnp.any(~S[5]), S[0] < R)
+            S = jax.lax.cond(
+                need,
+                lambda S: _admit_wave(params, prompts, seg, max_new,
+                                      pixels, image_flags, S),
+                lambda S: S,
+                S,
+            )
             (next_req, cache, slot_req, last_tok, budget, alive, out_buf,
              out_len) = S
 
@@ -222,6 +248,28 @@ def _cached_runner(model, **kw):
     return _RUNNER_CACHE[key]
 
 
+def _width_groups(requests, prefill_buckets, max_groups):
+    """Partition requests by prefill-bucket width, then merge adjacent
+    buckets (cheapest extra padding first) until at most max_groups remain.
+    Each group becomes one device dispatch at its own compiled width, so
+    short prompts stop paying the widest prompt's padded prefill FLOPs."""
+    if not prefill_buckets or max_groups <= 1:
+        return [list(requests)]
+    groups: dict = {}
+    for r in requests:
+        b = _pick_bucket(len(r.input_ids), prefill_buckets)
+        groups.setdefault(b, []).append(r)
+    while len(groups) > max_groups:
+        bs = sorted(groups)
+        cost, i = min(
+            ((bs[j + 1] - bs[j]) * len(groups[bs[j]]), j)
+            for j in range(len(bs) - 1)
+        )
+        groups[bs[i + 1]] = groups[bs[i]] + groups[bs[i + 1]]
+        del groups[bs[i]]
+    return [groups[b] for b in sorted(groups)]
+
+
 def run_offline(
     model,
     params,
@@ -234,22 +282,17 @@ def run_offline(
     chunk_size: int = 32,
     cache_dtype=jnp.bfloat16,
     prefill_buckets: Optional[Sequence[int]] = None,
+    max_width_groups: int = 1,
 ) -> List[Completion]:
     """Engine-API convenience wrapper: pad the request list into the dense
     device buffers, run the one-jit schedule, unpack Completions (sorted by
-    uid like sorted(engine.run(...)))."""
+    uid like sorted(engine.run(...))).
+
+    With prefill_buckets, requests split into up to max_width_groups
+    width groups, one dispatch each; every dispatch is asynchronous and
+    results are read back together, so the extra dispatches cost no extra
+    host round trips."""
     assert requests
-    lens = [len(r.input_ids) for r in requests]
-    W = _pick_bucket(max(lens), prefill_buckets) if prefill_buckets \
-        else max(lens)
-    cap = max(r.max_new_tokens for r in requests)
-    # bucket the new-token cap to a power of two: the outer loop retires
-    # rows by budget, so a larger cap costs only output-buffer width — and
-    # buys compile reuse across batches with different max_new mixes
-    cap_b = 16
-    while cap_b < cap:
-        cap_b *= 2
-    cap = min(cap_b, max(max_len - W, cap))
     for r in requests:
         if r.max_new_tokens < 1:
             raise ValueError(f"request {r.uid}: max_new_tokens must be >= 1")
@@ -258,44 +301,67 @@ def run_offline(
                              "ContinuousBatchingEngine for sampled requests")
         assert len(r.input_ids) + r.max_new_tokens <= max_len
 
-    R = len(requests)
-    prompts = np.full((R, W), pad_token_id, np.int32)
-    seg = np.zeros((R, W), np.int32)
-    max_new = np.zeros((R,), np.int32)
-    tiles = [0 if r.pixel_values is None else np.asarray(r.pixel_values).shape[0]
-             for r in requests]
-    T = max(tiles)
-    pixels = flags = None
-    if T > 0:
-        sample = next(np.asarray(r.pixel_values) for r in requests
-                      if r.pixel_values is not None)
-        pixels = np.zeros((R, T) + sample.shape[1:], sample.dtype)
-        flags = np.zeros((R, T), np.int32)
-    for i, r in enumerate(requests):
-        n = len(r.input_ids)
-        prompts[i, :n] = r.input_ids
-        seg[i, :n] = 1
-        max_new[i] = r.max_new_tokens
-        if pixels is not None and r.pixel_values is not None:
-            t = tiles[i]
-            pixels[i, :t] = np.asarray(r.pixel_values)
-            flags[i, :t] = 1
+    order = {id(r): i for i, r in enumerate(requests)}
+    pending = []  # (group, toks_dev, lens_dev)
+    for group in _width_groups(requests, prefill_buckets, max_width_groups):
+        lens = [len(r.input_ids) for r in group]
+        W = _pick_bucket(max(lens), prefill_buckets) if prefill_buckets \
+            else max(lens)
+        cap = max(r.max_new_tokens for r in group)
+        # bucket the new-token cap to a power of two: the outer loop
+        # retires rows by budget, so a larger cap costs only output-buffer
+        # width — and buys compile reuse across batches with different
+        # max_new mixes
+        cap_b = 16
+        while cap_b < cap:
+            cap_b *= 2
+        cap = min(cap_b, max(max_len - W, cap))
 
-    run = _cached_runner(
-        model, num_slots=num_slots, max_len=max_len, max_new_cap=int(cap),
-        eos_token_ids=tuple(int(e) for e in eos_token_ids),
-        pad_token_id=pad_token_id, chunk_size=chunk_size,
-        cache_dtype=cache_dtype,
-    )
-    toks, lens_out = run(
-        params, jnp.asarray(prompts), jnp.asarray(seg), jnp.asarray(max_new),
-        None if pixels is None else jnp.asarray(pixels),
-        None if flags is None else jnp.asarray(flags),
-    )
-    toks = np.asarray(toks)
-    lens_out = np.asarray(lens_out)
-    return [
-        Completion(r.uid, [int(t) for t in toks[i, : lens_out[i]]],
-                   len(r.input_ids))
-        for i, r in enumerate(requests)
-    ]
+        R = len(group)
+        prompts = np.full((R, W), pad_token_id, np.int32)
+        seg = np.zeros((R, W), np.int32)
+        max_new = np.zeros((R,), np.int32)
+        tiles = [0 if r.pixel_values is None
+                 else np.asarray(r.pixel_values).shape[0] for r in group]
+        T = max(tiles)
+        pixels = flags = None
+        if T > 0:
+            sample = next(np.asarray(r.pixel_values) for r in group
+                          if r.pixel_values is not None)
+            pixels = np.zeros((R, T) + sample.shape[1:], sample.dtype)
+            flags = np.zeros((R, T), np.int32)
+        for i, r in enumerate(group):
+            n = len(r.input_ids)
+            prompts[i, :n] = r.input_ids
+            seg[i, :n] = 1
+            max_new[i] = r.max_new_tokens
+            if pixels is not None and r.pixel_values is not None:
+                t = tiles[i]
+                pixels[i, :t] = np.asarray(r.pixel_values)
+                flags[i, :t] = 1
+
+        run = _cached_runner(
+            model, num_slots=num_slots, max_len=max_len,
+            max_new_cap=int(cap),
+            eos_token_ids=tuple(int(e) for e in eos_token_ids),
+            pad_token_id=pad_token_id, chunk_size=chunk_size,
+            cache_dtype=cache_dtype,
+        )
+        toks, lens_out = run(
+            params, jnp.asarray(prompts), jnp.asarray(seg),
+            jnp.asarray(max_new),
+            None if pixels is None else jnp.asarray(pixels),
+            None if flags is None else jnp.asarray(flags),
+        )
+        pending.append((group, toks, lens_out))
+
+    out: List[Optional[Completion]] = [None] * len(requests)
+    for group, toks, lens_out in pending:
+        toks = np.asarray(toks)
+        lens_out = np.asarray(lens_out)
+        for i, r in enumerate(group):
+            out[order[id(r)]] = Completion(
+                r.uid, [int(t) for t in toks[i, : lens_out[i]]],
+                len(r.input_ids),
+            )
+    return out
