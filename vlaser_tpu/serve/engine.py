@@ -134,9 +134,6 @@ class _Slot:
     generated: List[int]
     rng: Optional[np.ndarray] = None  # [2] uint32, sampled requests only
     prompt_len: int = 0  # prefix_len + tail for prefix-cached requests
-    # full prompt ids (prefix + tail for prefix-cached rows) — the
-    # speculative chunk's prompt-lookup draft window
-    hist: Optional[np.ndarray] = None
 
 
 class _PendingSlot:
@@ -182,6 +179,7 @@ class ContinuousBatchingEngine:
         mesh=None,
         auto_prefix_block: Optional[int] = None,
         auto_prefix_max: int = 8,
+        auto_prefix_min_gain: Optional[int] = None,
         pipeline_depth: int = 2,
     ):
         llm = model.cfg.llm
@@ -256,6 +254,7 @@ class ContinuousBatchingEngine:
             None if tile_buckets is None else tuple(sorted(set(tile_buckets)))
         )
         self._llm = llm
+        self.stats: Dict[str, int] = {}
         self.cache = self._fresh_cache()
 
         def prefill(params, ids, seg, pixels, flags, true_lens):
@@ -355,6 +354,21 @@ class ContinuousBatchingEngine:
         )
         assert self.auto_prefix_block is None or self.auto_prefix_block >= 1
         self.auto_prefix_max = int(auto_prefix_max)
+        # Store an entry only when it extends the best EXISTING aligned
+        # coverage by >= min_gain tokens. Without this, a QA-shaped stream
+        # (one shared 300-token prefix, per-request tails) stores one
+        # near-duplicate full-width KV slab PER REQUEST — each covering
+        # the shared blocks plus a few tokens of its own tail — and the
+        # LRU churns every entry out before it can be reused (measured:
+        # the APC path ran 4x SLOWER than no caching at all). vLLM shares
+        # per-block KV so a unique tail block costs one block; this
+        # engine's unit is a prompt-wide slab, so marginal tail coverage
+        # is not worth a slab. min_gain defaults to 4 blocks.
+        self.auto_prefix_min_gain = (
+            None if self.auto_prefix_block is None
+            else (int(auto_prefix_min_gain) if auto_prefix_min_gain
+                  is not None else 4 * self.auto_prefix_block)
+        )
         from collections import OrderedDict
 
         self._auto: "OrderedDict[bytes, tuple]" = OrderedDict()
@@ -541,12 +555,16 @@ class ContinuousBatchingEngine:
 
             def decode_chunk_spec(params, cache, buf, totals, tokens, alive,
                                   budget, kcap):
-                """-> (targets [P, B, Kd+1], counts [P, B], cache, buf).
-                Runs up to kcap (<= P=chunk_size, dynamic) verify passes;
-                pass p commits counts[p, b] tokens for row b, which are
-                targets[p, b, :m] (acceptance + EOS-cut + budget-cap are
-                all prefix rules). Dead rows write seg-0 blocks (masked, no
-                metadata advance) and report count 0."""
+                """-> (targets [P, B, Kd+1], counts [P, B], cache, buf,
+                totals, tokens, alive, budget). Runs up to kcap (<=
+                P=chunk_size, dynamic) verify passes; pass p commits
+                counts[p, b] tokens for row b, which are targets[p, b, :m]
+                (acceptance + EOS-cut + budget-cap are all prefix rules).
+                Dead rows write seg-0 blocks (masked, no metadata advance)
+                and report count 0. The full row state INCLUDING the
+                token-history (buf, totals) returns as device arrays so
+                the pipelined loop can chain spec chunks without a host
+                readback, exactly like the plain chunk."""
                 B = tokens.shape[0]
                 tg0 = jnp.zeros((K, B, Kd + 1), jnp.int32)
                 ct0 = jnp.zeros((K, B), jnp.int32)
@@ -632,15 +650,77 @@ class ContinuousBatchingEngine:
                     return (p + 1, cache, buf, totals, tokens, alive, budget,
                             tg, ct)
 
-                _, cache, buf, _, _, _, _, tg, ct = jax.lax.while_loop(
+                (_, cache, buf, totals, tokens, alive, budget, tg,
+                 ct) = jax.lax.while_loop(
                     cond, body,
                     (jnp.int32(0), cache, buf, totals, tokens, alive, budget,
                      tg0, ct0),
                 )
-                return tg, ct, cache
+                return tg, ct, cache, buf, totals, tokens, alive, budget
 
             self._decode_chunk_spec = jax.jit(decode_chunk_spec,
-                                              donate_argnums=(1,))
+                                              donate_argnums=(1, 2))
+
+            def spec_admit_merge(buf, totals, rows, hists, hlens, first):
+                """Splice admitted rows' token histories into the
+                device-resident draft window: the prompt is host-assembled
+                ([k, W]); the prefill's first token (`first`, a device
+                array — not host-known at dispatch time) is appended on
+                device. Padding rows (== num_slots) drop."""
+                buf = buf.at[rows].set(hists, mode="drop")
+                buf = buf.at[rows, hlens].set(first, mode="drop")
+                totals = totals.at[rows].set(hlens + 1, mode="drop")
+                return buf, totals
+
+            self._spec_admit_merge = jax.jit(spec_admit_merge,
+                                             donate_argnums=(0,))
+
+            def decode_chunk_hist(params, cache, buf, totals, tokens, alive,
+                                  budget, kcap):
+                """Plain greedy chunk that ALSO appends committed tokens to
+                the draft history — dispatched when adaptive speculation
+                falls back to 1-token steps, so a later spec chunk drafts
+                from a current window. Token semantics identical to
+                decode_chunk (pinned by the engine identity tests, which
+                run the spec engine across the adaptive fallback)."""
+                B = tokens.shape[0]
+                buf0 = jnp.zeros((K, B), jnp.int32)
+
+                def cond(state):
+                    step, _, _, _, _, alive, _, _ = state
+                    return jnp.logical_and(step < kcap, jnp.any(alive))
+
+                def body(state):
+                    step, cache, buf, totals, tokens, alive, budget, out = \
+                        state
+                    lg, cache = _one_step(params, cache, tokens, alive)
+                    nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                    out = jax.lax.dynamic_update_slice(out, nxt[None],
+                                                       (step, 0))
+                    # history append for rows that fed this step (their
+                    # emission commits; dead rows don't advance totals, so
+                    # their stale write is invisible to lookup_draft)
+                    buf = jax.vmap(
+                        lambda b_, v_, t_: jax.lax.dynamic_update_slice(
+                            b_, v_[None], (t_,)
+                        )
+                    )(buf, nxt, totals)
+                    totals = totals + alive.astype(jnp.int32)
+                    tokens, alive, budget = _advance(tokens, alive, budget,
+                                                     nxt)
+                    return (step + 1, cache, buf, totals, tokens, alive,
+                            budget, out)
+
+                (_, cache, buf, totals, tokens, alive, budget,
+                 out) = jax.lax.while_loop(
+                    cond, body,
+                    (jnp.int32(0), cache, buf, totals, tokens, alive,
+                     budget, buf0),
+                )
+                return out, cache, buf, totals, tokens, alive, budget
+
+            self._decode_chunk_hist = jax.jit(decode_chunk_hist,
+                                              donate_argnums=(1, 2))
 
     # -- cache/slot management ------------------------------------------------
 
@@ -798,6 +878,15 @@ class ContinuousBatchingEngine:
             if k in self._auto:
                 self._auto.move_to_end(k)
         if not fresh:
+            return
+        # min-gain policy (see __init__): the longest aligned prefix the
+        # store already covers is everything below the first fresh key; a
+        # new slab must beat it by >= min_gain tokens to be worth the
+        # storage + the LRU pressure on heavily-shared entries. A prompt
+        # with NO covered prefix always stores (it seeds a new family —
+        # the first frame of a QA stream, a new image).
+        covered = fresh[0][0] * blk
+        if covered > 0 and Pmax - covered < self.auto_prefix_min_gain:
             return
         pb = _pick_bucket(Pmax, self.prefill_buckets)
         pid = self._next_prefix_id
@@ -988,7 +1077,8 @@ class ContinuousBatchingEngine:
             self._auto_store(*job)
         return admitted, tok_parts, sample_jobs
 
-    def _run_pipelined(self, requests: Sequence[Request]) -> List[Completion]:
+    def _run_pipelined(self, requests: Sequence[Request],
+                       use_spec: bool = False) -> List[Completion]:
         """Greedy serving with a software-pipelined scheduler.
 
         The non-pipelined loop blocks on every chunk readback: over a
@@ -996,28 +1086,46 @@ class ContinuousBatchingEngine:
         mixed workload takes several chunks, so the chip idles 30-40% of
         wall clock waiting for the scheduler (measured: the r3 engine LOST
         to naive static batching, 715 vs 893 tok/s). Here all scheduling
-        state the DEVICE needs (tokens/alive/budget + the cache) chains
-        from chunk to chunk as device arrays: the host dispatches chunk
-        i+1 before reading chunk i, then replays chunk i's emissions
-        through the retirement rules while the chip is busy. Aliveness
-        (EOS/budget) is enforced on device, so a chunk dispatched before
-        the host knows about a retirement simply carries frozen dead rows
-        — token streams are unchanged (identity pinned by
-        tests/test_engine.py, which runs this loop for every greedy case).
+        state the DEVICE needs (tokens/alive/budget + the cache, plus the
+        draft-history window when speculating) chains from chunk to chunk
+        as device arrays: the host dispatches chunk i+1 before reading
+        chunk i, then replays chunk i's emissions through the retirement
+        rules while the chip is busy. Aliveness (EOS/budget) is enforced
+        on device, so a chunk dispatched before the host knows about a
+        retirement simply carries frozen dead rows — token streams are
+        unchanged (identity pinned by tests/test_engine.py, which runs
+        this loop for every greedy case).
         Admission lags one chunk (a freed slot refills after the replay
-        that discovers it) — the price of never stalling the chip."""
+        that discovers it) — the price of never stalling the chip.
+
+        With use_spec, chunks are [B, Kd+1] verify passes
+        (decode_chunk_spec) and the per-row token history rides along on
+        device; the adaptive policy decides per chunk from the EMA as of
+        the last REPLAYED spec chunk (pipeline-depth stale — the
+        break-even moves slowly), falling back to history-carrying plain
+        chunks so a later re-probe drafts from a current window."""
         queue = deque(requests)
         B = self.num_slots
         slots: list = [None] * B  # None | _PendingSlot | _Slot
         done: List[Completion] = []
         self.reset()
+        # scheduling statistics for the last run (throughput forensics:
+        # waves/groups say how batched admission really was, kcap_sum
+        # bounds device decode steps dispatched)
+        self.stats = dict(waves=0, groups=0, admitted_rows=0, chunks=0,
+                          kcap_sum=0, spec_chunks=0)
         tokens = jnp.full((B,), self.pad_token_id, jnp.int32)
         alive = jnp.zeros((B,), bool)
         budget = jnp.zeros((B,), jnp.int32)
+        if use_spec:
+            W = self._spec_buf_width
+            sbuf = jnp.full((B, W), self.pad_token_id, jnp.int32)
+            stotals = jnp.zeros((B,), jnp.int32)
         # host mirror of row state, exact as of the last REPLAYED event
         h_alive = np.zeros((B,), bool)
         inflight: deque = deque()  # ("adm", admitted, tok_parts) |
-        #                            ("chunk", buf_dev, kcap)
+        #                            ("chunk", buf_dev, kcap) |
+        #                            ("spec", tg_dev, ct_dev, kcap)
 
         def finish(row: int, include_last: bool) -> None:
             st = slots[row]
@@ -1032,6 +1140,20 @@ class ContinuousBatchingEngine:
             done.append(Completion(st.req.uid, out, st.prompt_len))
             slots[row] = None
 
+        def commit(row, tok) -> bool:
+            """One committed token through the retirement rules (the host
+            mirror of the device's _advance); returns row-still-alive."""
+            st = slots[row]
+            st.generated.append(st.last_token)
+            st.last_token = int(tok)
+            if st.last_token in self.eos:
+                finish(row, include_last=False)
+                h_alive[row] = False
+            elif len(st.generated) + 1 >= st.req.max_new_tokens:
+                finish(row, include_last=True)
+                h_alive[row] = False
+            return h_alive[row]
+
         def replay(ev) -> None:
             if ev[0] == "adm":
                 _, admitted, tok_parts = ev
@@ -1045,6 +1167,28 @@ class ContinuousBatchingEngine:
                     else:
                         h_alive[row] = True
                 return
+            if ev[0] == "spec":
+                _, tg_dev, ct_dev, kcap = ev
+                tg, ct = np.asarray(tg_dev), np.asarray(ct_dev)
+                acc_toks = acc_rowpasses = 0
+                for p in range(min(tg.shape[0], kcap)):
+                    live = [r for r in range(B)
+                            if isinstance(slots[r], _Slot) and h_alive[r]]
+                    if live:
+                        acc_rowpasses += len(live)
+                        acc_toks += int(sum(ct[p, r] for r in live))
+                    for row in live:
+                        for j in range(int(ct[p, row])):
+                            if not commit(row, tg[p, row, j]):
+                                break
+                if acc_rowpasses:
+                    a = acc_toks / acc_rowpasses
+                    self.spec_last_ema = (
+                        a if self.spec_last_ema is None
+                        else 0.5 * self.spec_last_ema + 0.5 * a
+                    )
+                self.spec_chunks_run += 1
+                return
             _, buf_dev, kcap = ev
             buf = np.asarray(buf_dev)  # blocks; later chunks already queued
             for k in range(min(buf.shape[0], kcap)):
@@ -1052,17 +1196,10 @@ class ContinuousBatchingEngine:
                     if st is None or isinstance(st, _PendingSlot) or \
                             not h_alive[row]:
                         continue
-                    st.generated.append(st.last_token)
-                    st.last_token = int(buf[k, row])
-                    if st.last_token in self.eos:
-                        finish(row, include_last=False)
-                        h_alive[row] = False
-                    elif len(st.generated) + 1 >= st.req.max_new_tokens:
-                        finish(row, include_last=True)
-                        h_alive[row] = False
+                    commit(row, buf[k, row])
 
         def chunks_in_flight() -> int:
-            return sum(1 for ev in inflight if ev[0] == "chunk")
+            return sum(1 for ev in inflight if ev[0] in ("chunk", "spec"))
 
         while queue or any(s is not None for s in slots) or inflight:
             # 1) keep the pipeline bounded: replay oldest events while
@@ -1072,9 +1209,12 @@ class ContinuousBatchingEngine:
 
             # 2) admit into host-known-free slots (device work is async;
             # the first-token readback happens at this event's replay)
-            wave = self._build_wave(queue, slots, use_spec=False)
+            wave = self._build_wave(queue, slots, use_spec=use_spec)
             if wave:
                 admitted, tok_parts, _ = self._dispatch_wave(wave)
+                self.stats["waves"] += 1
+                self.stats["groups"] += len(tok_parts)
+                self.stats["admitted_rows"] += len(admitted)
                 # merge each group's first tokens into the device row state
                 off = 0
                 for toks in tok_parts:
@@ -1087,6 +1227,27 @@ class ContinuousBatchingEngine:
                     tokens, alive, budget = self._admit_merge(
                         tokens, alive, budget, rows, toks, mnews
                     )
+                    if use_spec:
+                        # draft-history rows: full prompt on host (the
+                        # prefix ids for prefix-cached tails), first token
+                        # appended ON DEVICE (it is not host-known yet)
+                        hists = np.full((k_real, W), self.pad_token_id,
+                                        np.int32)
+                        hlens = np.zeros((k_real,), np.int32)
+                        for i, (_, req, n, pk, tail) in enumerate(grp):
+                            full = (
+                                np.concatenate([
+                                    self._prefixes[pk[0]]["ids"][:pk[1]],
+                                    np.asarray(tail, np.int32),
+                                ]) if pk is not None
+                                else np.asarray(req.input_ids, np.int32)
+                            )
+                            hists[i, :len(full)] = full
+                            hlens[i] = len(full)
+                        sbuf, stotals = self._spec_admit_merge(
+                            sbuf, stotals, rows, jnp.asarray(hists),
+                            jnp.asarray(hlens), toks,
+                        )
                     off += k_real
                 for row, req, n, pk, tail in admitted:
                     slots[row] = _PendingSlot(req)
@@ -1114,11 +1275,44 @@ class ContinuousBatchingEngine:
                 kcap_host = max(1, min(min(caps) if (queue and caps)
                                        else self.chunk_size,
                                        self.chunk_size))
-                buf, self.cache, tokens, alive, budget = self._decode_chunk(
-                    self.params, self.cache, tokens, alive, budget,
-                    jnp.asarray(kcap_host, jnp.int32),
-                )
-                inflight.append(("chunk", buf, kcap_host))
+                run_spec = use_spec
+                if use_spec and self.speculative_adaptive and \
+                        self.spec_last_ema is not None:
+                    thresh = self.spec_threshold_base + \
+                        self.spec_threshold_slope * len(caps)
+                    if self.spec_last_ema < thresh:
+                        if self._spec_plain_streak >= self.spec_reprobe_every:
+                            kcap_host = min(kcap_host, 2)  # bounded probe
+                        else:
+                            run_spec = False
+                kcap = jnp.asarray(kcap_host, jnp.int32)
+                self.stats["chunks"] += 1
+                self.stats["kcap_sum"] += kcap_host
+                if run_spec:
+                    self.stats["spec_chunks"] += 1
+                    (tg, ct, self.cache, sbuf, stotals, tokens, alive,
+                     budget) = self._decode_chunk_spec(
+                        self.params, self.cache, sbuf, stotals, tokens,
+                        alive, budget, kcap,
+                    )
+                    self._spec_plain_streak = 0
+                    inflight.append(("spec", tg, ct, kcap_host))
+                elif use_spec:
+                    self._spec_plain_streak += 1
+                    self.plain_chunks_run += 1
+                    (buf, self.cache, sbuf, stotals, tokens, alive,
+                     budget) = self._decode_chunk_hist(
+                        self.params, self.cache, sbuf, stotals, tokens,
+                        alive, budget, kcap,
+                    )
+                    inflight.append(("chunk", buf, kcap_host))
+                else:
+                    buf, self.cache, tokens, alive, budget = \
+                        self._decode_chunk(
+                            self.params, self.cache, tokens, alive, budget,
+                            kcap,
+                        )
+                    inflight.append(("chunk", buf, kcap_host))
             elif inflight:
                 # nothing runnable until an event lands — drain one
                 replay(inflight.popleft())
@@ -1137,11 +1331,12 @@ class ContinuousBatchingEngine:
         # speculation accelerates greedy decode only (committed tokens are
         # verified argmaxes); a sampled run takes the sampled chunk path
         use_spec = self.spec_draft_len > 0 and not sampled_run
-        if not sampled_run and not use_spec:
-            # the hot serving shape (greedy eval/QA) takes the pipelined
+        if not sampled_run:
+            # every greedy run (speculative or not) takes the pipelined
             # loop: chunk i+1 chains off chunk i's device-resident row
-            # state, so host replay/admission hides behind device compute
-            return self._run_pipelined(requests)
+            # state (including the draft-history window when speculating),
+            # so host replay/admission hides behind device compute
+            return self._run_pipelined(requests, use_spec=use_spec)
         queue = deque(requests)
         slots: List[Optional[_Slot]] = [None] * self.num_slots
         done: List[Completion] = []
@@ -1190,21 +1385,7 @@ class ContinuousBatchingEngine:
             for i, (row, req, n, pk, tail) in enumerate(admitted):
                 tok = int(wave_toks[i])
                 rng = wave_rngs[i] if wave_rngs and i in wave_rngs else None
-                hist = None
-                if use_spec:
-                    # full prompt ids for the draft window: an explicit
-                    # prefix req carries only its tail; an auto-matched
-                    # req's input_ids ARE the full prompt already
-                    hist = (
-                        np.concatenate([
-                            self._prefixes[req.prefix_id]["ids"],
-                            np.asarray(req.input_ids, np.int32),
-                        ])
-                        if req.prefix_id is not None
-                        else np.asarray(req.input_ids, np.int32)
-                    )
-                slots[row] = _Slot(req, tok, [], rng, prompt_len=n,
-                                   hist=hist)
+                slots[row] = _Slot(req, tok, [], rng, prompt_len=n)
                 if tok in self.eos or req.max_new_tokens <= 1:
                     finish(row, include_last=True)
 
@@ -1234,85 +1415,7 @@ class ContinuousBatchingEngine:
             rem = budget[alive]
             kcap_host = max(1, min(int(rem.min()) if queue
                                    else int(rem.max()), self.chunk_size))
-            # adaptive speculation: skip the spec chunk when the measured
-            # acceptance EMA is under the occupancy-scaled break-even;
-            # re-probe with a 2-pass spec chunk every spec_reprobe_every
-            # plain chunks so recovery is cheap and automatic
-            run_spec = use_spec
-            if use_spec and self.speculative_adaptive and \
-                    self.spec_last_ema is not None:
-                thresh = self.spec_threshold_base + \
-                    self.spec_threshold_slope * int(np.sum(alive))
-                if self.spec_last_ema < thresh:
-                    if self._spec_plain_streak >= self.spec_reprobe_every:
-                        kcap_host = min(kcap_host, 2)  # bounded probe
-                    else:
-                        run_spec = False
             kcap = jnp.asarray(kcap_host, jnp.int32)
-            if run_spec:
-                # assemble per-row token history (prompt + committed) on
-                # host — a few KB per chunk, no resident device state
-                W = self._spec_buf_width
-                buf = np.full((self.num_slots, W), self.pad_token_id,
-                              np.int32)
-                totals = np.zeros((self.num_slots,), np.int32)
-                for row, st in enumerate(slots):
-                    if st is None:
-                        continue
-                    hist = np.concatenate([
-                        st.hist,
-                        np.asarray(st.generated, np.int32),
-                        np.asarray([st.last_token], np.int32),
-                    ])
-                    buf[row, : len(hist)] = hist
-                    totals[row] = len(hist)
-                tg, ct, self.cache = self._decode_chunk_spec(
-                    self.params, self.cache, jnp.asarray(buf),
-                    jnp.asarray(totals), jnp.asarray(tokens),
-                    jnp.asarray(alive), jnp.asarray(budget), kcap,
-                )
-                tg, ct = np.asarray(tg), np.asarray(ct)
-                # replay: pass p committed ct[p, row] tokens tg[p, row, :m]
-                # through the same retirement rules as the device;
-                # simultaneously measure acceptance (tokens per row-pass)
-                # for the adaptive policy
-                acc_toks = acc_rowpasses = 0
-                for p in range(min(tg.shape[0], kcap_host)):
-                    live_rows = [r for r, s in enumerate(slots)
-                                 if s is not None and alive[r]]
-                    if live_rows:
-                        acc_rowpasses += len(live_rows)
-                        acc_toks += int(sum(ct[p, r] for r in live_rows))
-                    for row, st in enumerate(slots):
-                        if st is None or not alive[row]:
-                            continue
-                        for j in range(int(ct[p, row])):
-                            t = int(tg[p, row, j])
-                            st.generated.append(st.last_token)
-                            st.last_token = t
-                            if t in self.eos:
-                                finish(row, include_last=False)
-                                alive[row] = False
-                                break
-                            if len(st.generated) + 1 >= st.req.max_new_tokens:
-                                finish(row, include_last=True)
-                                alive[row] = False
-                                break
-                if acc_rowpasses:
-                    a = acc_toks / acc_rowpasses
-                    self.spec_last_ema = (
-                        a if self.spec_last_ema is None
-                        else 0.5 * self.spec_last_ema + 0.5 * a
-                    )
-                self.spec_chunks_run += 1
-                self._spec_plain_streak = 0
-                continue
-
-            if use_spec:
-                # speculation adaptively skipped this chunk (EMA under the
-                # occupancy break-even); count toward the re-probe cadence
-                self._spec_plain_streak += 1
-                self.plain_chunks_run += 1
             if sampled_run:
                 keys = np.zeros((self.num_slots, 2), np.uint32)
                 temps = np.zeros((self.num_slots,), np.float32)
