@@ -49,12 +49,13 @@ PARITY: dict = {}
 _PARITY_TOLS = {
     "policy_infer_b1_max_abs_diff": 2e-2,
     "policy_infer_b8_max_abs_diff": 2e-2,
-    # end-to-end int8-vs-bf16 QUANTIZATION error (not kernel parity): the
-    # gate catches scale/transpose/pattern bugs, which produce O(1) garbage
-    # on the clipped [-1, 1] actions. Measured on v5e (2026-08, random
-    # 0.02-std weights, 10 Euler steps): 2.6e-4; bound ~20x that and still
-    # ~400x below the garbage floor.
-    "policy_int8_vs_bf16_max_abs_diff": 5e-3,
+    # end-to-end QUANTIZATION error vs the pure-bf16 model (not kernel
+    # parity): catches scale/transpose/pattern bugs, which produce O(1)
+    # garbage on the clipped [-1, 1] actions. Round-3 weight-only int8
+    # measured 2.6e-4; round 4 adds w8a8 (per-token int8 activations on
+    # the ViT + prefix matmuls), which legitimately moves outputs more —
+    # bound sized ~5x the w8a8 measurement, still far below garbage.
+    "policy_int8_vs_bf16_max_abs_diff": 2.5e-2,
     "vit_prefix_kv_max_abs_diff": 2e-1,
     "vlm_decode_tok_mismatches": 0,
     "spec_decode_tok_mismatches": 0,
@@ -536,9 +537,18 @@ def _bench_engine():
             px = np.full((1, img, img, 3), 0.5, np.float32)
         reqs.append(Request(uid=i, input_ids=row, pixel_values=px,
                             max_new_tokens=(16, 32, 64)[i % 3]))
+    # Engine scheduling config (swept on-chip, round 4): 16 slots — the
+    # vLLM max_num_seqs role; continuous batching's edge IS a deeper
+    # running batch (at 8 slots the 16-request workload fragments into 4
+    # admission waves / 13 prefill groups / 9 chunks and LOSES to static;
+    # at 16 it is 1 wave / 5 batched groups / 2 chunks) — chunk_size 64,
+    # pipeline_depth 1 (deeper pipelines delay retirement discovery more
+    # than they hide RTT). The static baseline stays the reference's own
+    # batch-8 generate shape.
+    ekw = dict(num_slots=16, max_len=448, eos_token_ids=[2],
+               pad_token_id=0, chunk_size=64, pipeline_depth=1)
     engine = ContinuousBatchingEngine(
-        model, params, num_slots=8, max_len=448, eos_token_ids=[2],
-        pad_token_id=0, prefill_buckets=(64, 128, 192, 256, 320),
+        model, params, prefill_buckets=(64, 128, 192, 256, 320), **ekw,
     )
     done = engine.run(reqs)  # compile every bucket + the decode step
     n_tok = sum(len(c.token_ids) for c in done)
@@ -580,8 +590,8 @@ def _bench_engine():
     from vlaser_tpu.serve.offline import run_offline
 
     def run_off():
-        return run_offline(model, params, reqs, num_slots=8, max_len=448,
-                           eos_token_ids=[2], pad_token_id=0, chunk_size=32)
+        return run_offline(model, params, reqs, num_slots=16, max_len=448,
+                           eos_token_ids=[2], pad_token_id=0, chunk_size=64)
 
     off = run_off()  # compile
     by_uid = {c.uid: c for c in done}
@@ -593,8 +603,7 @@ def _bench_engine():
     # identity check is the fp32 on-chip pass (_engine_fp32_gate)
     _record_parity("engine_bucketed_drift_rows", float(drift))
     aligned = ContinuousBatchingEngine(
-        model, params, num_slots=8, max_len=448, eos_token_ids=[2],
-        pad_token_id=0, prefill_buckets=(N,),
+        model, params, prefill_buckets=(N,), **ekw,
     ).run(reqs)
     by_uid_al = {c.uid: c for c in aligned}
     mismatch = sum(
@@ -619,8 +628,7 @@ def _bench_engine():
     # [B, K+1]-row verify reductions flip near-tie argmaxes on random
     # weights; fp32 identity is pinned by tests/test_engine.py).
     eng_spec = ContinuousBatchingEngine(
-        model, params, num_slots=8, max_len=448, eos_token_ids=[2],
-        pad_token_id=0, prefill_buckets=(N,), speculative_draft_len=8,
+        model, params, prefill_buckets=(N,), speculative_draft_len=8, **ekw,
     )
     done_spec = eng_spec.run(reqs)  # compile
     by_uid_sp = {c.uid: c for c in done_spec}
@@ -644,8 +652,7 @@ def _bench_engine():
     eng_spec.run(rep_reqs)
     t_rep_spec = max(time.perf_counter() - t0 - rtt, 1e-9)
     eng_aligned_plain = ContinuousBatchingEngine(
-        model, params, num_slots=8, max_len=448, eos_token_ids=[2],
-        pad_token_id=0, prefill_buckets=(N,),
+        model, params, prefill_buckets=(N,), **ekw,
     )
     eng_aligned_plain.run(rep_reqs)  # compile
     t0 = time.perf_counter()
@@ -670,8 +677,7 @@ def _bench_engine():
         for i, t in enumerate(tails)
     ]
     eng_full = ContinuousBatchingEngine(
-        model, params, num_slots=8, max_len=448, eos_token_ids=[2],
-        pad_token_id=0, prefill_buckets=buckets,
+        model, params, prefill_buckets=buckets, **ekw,
     )
     done_full = eng_full.run(full_reqs)  # compile
     n_tok_qa = sum(len(c.token_ids) for c in done_full)
@@ -680,8 +686,7 @@ def _bench_engine():
     t_full = max(time.perf_counter() - t0 - rtt, 1e-9)
 
     eng_pc = ContinuousBatchingEngine(
-        model, params, num_slots=8, max_len=448, eos_token_ids=[2],
-        pad_token_id=0, prefill_buckets=buckets,
+        model, params, prefill_buckets=buckets, **ekw,
     )
 
     def run_cached():
@@ -713,9 +718,8 @@ def _bench_engine():
     # filter.py-style repeated prompts). Steady state (warm cache, the
     # product loop over a stream of frames) is what the timed run sees.
     eng_auto = ContinuousBatchingEngine(
-        model, params, num_slots=8, max_len=448, eos_token_ids=[2],
-        pad_token_id=0, prefill_buckets=(64, 352, 384),
-        auto_prefix_block=16,
+        model, params, prefill_buckets=(64, 352, 384),
+        auto_prefix_block=16, **ekw,
     )
     eng_auto.run(full_reqs)  # compile + cold-cache pass (registers)
     assert eng_auto.auto_prefix_hits >= 1, "APC never hit on the QA shape"
@@ -739,7 +743,25 @@ def _engine_fp32_gate():
     scaled-down mixed workload (staggered lengths, an image prompt, slot
     reuse over 3 slots) through: the bucketed engine, the one-jit offline
     runner, the speculative engine (adaptive off so every chunk takes the
-    verify path), explicit prefix caching, and automatic prefix caching."""
+    verify path), explicit prefix caching, and automatic prefix caching.
+
+    The whole gate runs under default_matmul_precision("highest"): on TPU
+    an fp32 dot at DEFAULT precision still multiplies in bf16 (one-pass),
+    so without the override the "fp32" pass keeps bf16-class near-tie
+    argmax flips and the gate cannot distinguish them from real bugs —
+    the first gated run measured exactly one such flipped row here while
+    the same seeds at true fp32 on CPU matched on every path. HIGHEST
+    (6-pass bf16) restores fp32 products; the model is tiny, so the cost
+    is irrelevant."""
+    prev = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    try:
+        _engine_fp32_gate_impl()
+    finally:
+        jax.config.update("jax_default_matmul_precision", prev)
+
+
+def _engine_fp32_gate_impl():
     from vlaser_tpu.core.config import tiny_vlm
     from vlaser_tpu.inference.sampling import make_generate_fn, trim_output
     from vlaser_tpu.models.vlm import InternVLChatModel
@@ -1048,7 +1070,9 @@ def _bench_sft_16k():
 
 def main():
     from vlaser_tpu.core.config import vlaser_2b_vla
-    from vlaser_tpu.core.quant import POLICY_PATTERNS, quantize_variables
+    from vlaser_tpu.core.quant import (POLICY_W8A8_ACT_PATTERNS,
+                                       POLICY_W8A8_PATTERNS,
+                                       quantize_variables)
     from vlaser_tpu.policy.pizero import PiZeroVLA
     from vlaser_tpu.utils.benchmark import time_scanned
 
@@ -1084,13 +1108,18 @@ def main():
             shapes,
         )
 
-    # int8 weight-only quantization of the joint mixtures (core/quant.py):
-    # the 10-step denoise scan streams the expert stack from HBM every step,
-    # so int8 halves its bytes (measured 1.65x on the denoise step; the
-    # dequant fuses into the dot's HBM read). bf16 reference numbers are in
-    # BENCH_r01.json / docs/STATUS.md.
+    # Serving quantization (core/quant.py), two regimes in one params tree:
+    # - weight-only int8 on the streamed joint mixtures: the 10-step
+    #   denoise scan is HBM-bound, int8 halves its bytes (measured 1.65x;
+    #   dequant fuses into the dot's HBM read)
+    # - w8a8 (kernel_aq flags) on the ViT encoder + the joint prefix
+    #   matmuls: those are MXU-bound at serving shapes, so int8 MXU's 2x
+    #   peak is the win there; per-token activation quantization runs
+    #   in-kernel (fused ViT) / fused into the producer (XLA prefix).
+    #   Large-row call sites only — the denoise GEMVs keep weight-only.
     raw_params = mkparams()
-    params = quantize_variables(raw_params, POLICY_PATTERNS)
+    params = quantize_variables(raw_params, POLICY_W8A8_PATTERNS,
+                                act_quant_patterns=POLICY_W8A8_ACT_PATTERNS)
 
     # batch-1 denoise runs through the fused int8 expert-stack kernel
     # (policy/fused_infer.py): one pallas_call per Euler step with

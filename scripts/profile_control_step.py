@@ -24,7 +24,9 @@ import numpy as np
 
 def main():
     from vlaser_tpu.core.config import vlaser_2b_vla
-    from vlaser_tpu.core.quant import POLICY_PATTERNS, quantize_variables
+    from vlaser_tpu.core.quant import (POLICY_W8A8_ACT_PATTERNS,
+                                       POLICY_W8A8_PATTERNS,
+                                       quantize_variables)
     from vlaser_tpu.kernels.fused_vit import fused_vit_stack, pack_vit_stack
     from vlaser_tpu.policy.fused_infer import (make_batched_infer_action,
                                                make_fused_infer_action)
@@ -61,7 +63,8 @@ def main():
                                          jnp.float32) * 0.02).astype(s.dtype),
             shapes,
         ))(),
-        POLICY_PATTERNS,
+        POLICY_W8A8_PATTERNS,
+        act_quant_patterns=POLICY_W8A8_ACT_PATTERNS,
     )
 
     def ms(step_fn, carry0, iters=40, repeats=3):

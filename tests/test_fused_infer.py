@@ -100,3 +100,42 @@ def test_batched_infer_matches_xla_infer_action():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=0.05, atol=0.05
     )
+
+
+def test_fused_infer_w8a8_close_to_weight_only():
+    """Round-4 serving quantization: POLICY_W8A8_PATTERNS + act flags put
+    the ViT on the int8-MXU w8a8 kernel (pack_vit_stack auto-detect) and
+    flag the joint prefix for large-row act quant. End-to-end actions must
+    stay close to the weight-only path — w8a8 is an accuracy-bounded
+    serving mode, not an exact transform."""
+    from vlaser_tpu.core.quant import (POLICY_W8A8_ACT_PATTERNS,
+                                       POLICY_W8A8_PATTERNS)
+
+    cfg, model, _, args, noise = _setup()
+    rng2 = np.random.default_rng(3)
+    variables = model.init(
+        jax.random.PRNGKey(0), *args,
+        jnp.zeros((1, cfg.num_action_tokens, cfg.action_dim)),
+        jnp.zeros((1,)), noise,
+    )
+    q_wo = quantize_variables(variables, POLICY_PATTERNS)
+    # min_size=1: the tiny config's proj kernel is under the default
+    # floor, and pack_vit_stack only goes w8a8 when ALL FOUR encoder
+    # kernels are quantized
+    q_w8 = quantize_variables(variables, POLICY_W8A8_PATTERNS,
+                              act_quant_patterns=POLICY_W8A8_ACT_PATTERNS,
+                              min_size=1)
+    from vlaser_tpu.kernels.fused_vit import pack_vit_stack
+
+    assert pack_vit_stack(q_w8).get("act_quant") is True
+    want = model.apply(q_wo, *args, noise, method=model.infer_action)
+    fused = make_fused_infer_action(model, interpret=True)
+    got = fused(q_w8, *args, noise)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=0.08, atol=0.08
+    )
+    # and the XLA path accepts the w8a8 tree too (Dense flag path)
+    xla_w8 = model.apply(q_w8, *args, noise, method=model.infer_action)
+    np.testing.assert_allclose(
+        np.asarray(xla_w8), np.asarray(want), rtol=0.08, atol=0.08
+    )

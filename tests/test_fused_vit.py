@@ -109,3 +109,49 @@ def test_fused_vit_stack_batched():
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=0.05, atol=0.05,
     )
+
+def test_fused_vit_stack_w8a8():
+    """w8a8 mode: encoder kernels quantized into the quant collection
+    (core/quant VIT_W8A8_PATTERNS); pack_vit_stack flips the kernel to
+    act_quant automatically. Both sides consume the SAME int8 weights
+    (the flax encoder dequantizes them inline), so the diff isolates the
+    in-kernel per-token activation quantization — bounded, not exact."""
+    from vlaser_tpu.core.quant import VIT_W8A8_PATTERNS, quantize_variables
+
+    cfg = _tiny_vision()
+    model = InternVisionModel(cfg, param_dtype=jnp.bfloat16,
+                              compute_dtype=jnp.bfloat16,
+                              attn_impl="reference")
+    rng = np.random.default_rng(5)
+    px = jnp.asarray(
+        rng.standard_normal((2, cfg.image_size, cfg.image_size, 3))
+        .astype(np.float32)
+    )
+    variables = jax.tree_util.tree_map(
+        lambda s: (jax.random.normal(jax.random.PRNGKey(6), s.shape,
+                                     jnp.float32) * 0.05).astype(s.dtype),
+        jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), px[:1])),
+    )
+    qvars = quantize_variables(variables, VIT_W8A8_PATTERNS)
+    assert "quant" in qvars, "encoder kernels did not match the patterns"
+    want = model.apply(qvars, px)  # weight-only int8, bf16 compute
+
+    emb = model.apply(qvars, px, method=model.embed)
+    stack = pack_vit_stack(qvars)
+    assert stack.get("act_quant") is True
+    assert stack["qkvw"].dtype == jnp.int8
+    got = fused_vit_stack(
+        emb.astype(jnp.bfloat16), **stack,
+        num_heads=cfg.num_heads, eps=cfg.layer_norm_eps,
+        qk_norm=cfg.qk_normalization, interpret=True,
+    )
+    # activation-quant error budget: per-token symmetric int8 on
+    # well-conditioned activations is ~1% per matmul; the residual
+    # stream keeps full precision so depth does not compound it
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=0.12, atol=0.12,
+    )
+    # unquantized packing still takes the bf16 path
+    stack_bf = pack_vit_stack(variables)
+    assert "act_quant" not in stack_bf

@@ -129,3 +129,40 @@ def test_quant_skips_vit_and_small_leaves():
     for key in qflat:
         path = "/".join(key)
         assert "vision_model" not in path, path
+
+def test_dense_act_quant_flag_and_row_threshold():
+    """kernel_aq-flagged Dense runs w8a8 at >=128 rows (close to the
+    weight-only dequant result, not exact) and stays EXACTLY on the
+    weight-only path below the threshold (GEMV regime)."""
+    import jax
+    import jax.numpy as jnp
+    from flax.core import freeze, unfreeze
+
+    from vlaser_tpu.core.quant import quantize_variables
+    from vlaser_tpu.models.layers import ACT_QUANT_MIN_ROWS, Dense
+
+    dense = Dense(features=96, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    x_big = jnp.asarray(
+        rng.standard_normal((ACT_QUANT_MIN_ROWS, 64)).astype(np.float32))
+    x_small = x_big[: ACT_QUANT_MIN_ROWS // 2]
+    variables = dense.init(jax.random.PRNGKey(0), x_big)
+    # the generic pattern matches the bare "kernel" path
+    qv_wo = quantize_variables(variables, (r"kernel$",))
+    qv_aq = quantize_variables(variables, (r"kernel$",),
+                               act_quant_patterns=(r"kernel$",))
+    assert "kernel_aq" in qv_aq["quant"] and \
+        "kernel_aq" not in qv_wo["quant"]
+
+    big_wo = dense.apply(qv_wo, x_big)
+    big_aq = dense.apply(qv_aq, x_big)
+    # w8a8 differs from weight-only by the activation rounding only
+    assert not np.allclose(np.asarray(big_wo), np.asarray(big_aq),
+                           atol=1e-7), "w8a8 path did not run"
+    np.testing.assert_allclose(np.asarray(big_aq), np.asarray(big_wo),
+                               rtol=0.05, atol=0.05)
+
+    small_wo = dense.apply(qv_wo, x_small)
+    small_aq = dense.apply(qv_aq, x_small)
+    np.testing.assert_allclose(np.asarray(small_aq), np.asarray(small_wo),
+                               atol=0)  # identical: flag ignored for GEMVs

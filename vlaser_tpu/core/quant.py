@@ -43,6 +43,34 @@ POLICY_PATTERNS: Tuple[str, ...] = (
     r"embed_tokens/embedding$",
 )
 
+# ViT encoder kernels for the w8a8 fused serving stack: the SAME int8
+# weights serve double duty — models/internvit's XLA encoder dequantizes
+# them inline (weight-only, bf16 compute: the measured-neutral mode), while
+# kernels/fused_vit runs TRUE int8 MXU matmuls against them with in-kernel
+# per-token activation quantization (int8 MXU peak is 2x bf16 on v5e; the
+# ViT base matmuls are MXU-bound, so weight-only was neutral but w8a8 is
+# not — measured in docs/STATUS.md round 4).
+VIT_W8A8_PATTERNS: Tuple[str, ...] = (
+    r"(^|/)encoder/(attn/(qkv|proj)|mlp/(fc1|fc2))/kernel$",
+)
+
+# Policy serving with the w8a8 fused ViT (the round-4 serving default).
+POLICY_W8A8_PATTERNS: Tuple[str, ...] = POLICY_PATTERNS + VIT_W8A8_PATTERNS
+
+# Kernels that should ALSO run int8 activation quantization (w8a8) at
+# large-row call sites (models/layers.Dense flips on the `kernel_aq` flag
+# leaf + a static rows >= ACT_QUANT_MIN_ROWS check, so prefix/prefill
+# matmuls get the 2x int8 MXU rate while 1..8-row decode/denoise GEMVs
+# keep weight-only streaming — the regime measured better for them):
+#  - policy serving: the joint mixtures' prefix pass + the fused-ViT stack
+#  - VLM serving: the LLM prefill (engine admission batches)
+POLICY_W8A8_ACT_PATTERNS: Tuple[str, ...] = (
+    r"(^|/)joint/layers/.*kernel$",
+) + VIT_W8A8_PATTERNS
+VLM_W8A8_ACT_PATTERNS: Tuple[str, ...] = (
+    r"(^|/)layers/.*kernel$",
+)
+
 
 def quantize_int8(w: jax.Array, reduce_axis: int) -> Tuple[jax.Array, jax.Array]:
     """Symmetric per-channel int8: w ~= q * scale, scale over `reduce_axis`."""
@@ -53,17 +81,28 @@ def quantize_int8(w: jax.Array, reduce_axis: int) -> Tuple[jax.Array, jax.Array]
     return q, scale
 
 
-def quantize_variables(variables: dict, patterns: Sequence[str] = DEFAULT_PATTERNS):
+def quantize_variables(variables: dict, patterns: Sequence[str] = DEFAULT_PATTERNS,
+                       act_quant_patterns: Sequence[str] = (),
+                       min_size: int = 4096):
     """params -> (variables with int8 'quant' collection, matched kernels
     removed from 'params').
 
     Kernels [..., in, out] get per-out-channel scales (reduce over in);
     embeddings [V, H] get per-row scales (reduce over H). Leaves that match a
-    pattern but are too small to matter (< 4096 elements) are left alone.
+    pattern but are too small to matter (< `min_size` elements) are left
+    alone.
+
+    A quantized kernel that ALSO matches `act_quant_patterns` gets a tiny
+    `kernel_aq` flag leaf: models/layers.Dense (and the fused-ViT packer)
+    see the flag and run TRUE int8 MXU matmuls with per-token activation
+    quantization at large-row call sites, instead of dequantize-to-bf16.
+    Encoding the mode in the collection keeps jit caching sound (different
+    tree structure -> different trace) with zero config plumbing.
     """
     params = variables["params"] if "params" in variables else variables
     flat = traverse_util.flatten_dict(params)
     regs = [re.compile(p) for p in patterns]
+    act_regs = [re.compile(p) for p in act_quant_patterns]
     new_params, quant = {}, {}
 
     @jax.jit
@@ -80,7 +119,7 @@ def quantize_variables(variables: dict, patterns: Sequence[str] = DEFAULT_PATTER
         matched = (
             leaf in ("kernel", "embedding")
             and getattr(val, "ndim", 0) >= 2
-            and val.size >= 4096
+            and val.size >= min_size
             and any(r.search(path) for r in regs)
         )
         if not matched:
@@ -89,6 +128,12 @@ def quantize_variables(variables: dict, patterns: Sequence[str] = DEFAULT_PATTER
         q, s = (q_embed if leaf == "embedding" else q_kernel)(val)
         quant[key[:-1] + (leaf + "_q",)] = q
         quant[key[:-1] + (leaf + "_scale",)] = s
+        if leaf == "kernel" and any(r.search(path) for r in act_regs):
+            # flag leaf shaped to ride the same scan axes as the kernel
+            # ([L, 1] under nn.scan -> [1] per layer slice)
+            quant[key[:-1] + ("kernel_aq",)] = jnp.zeros(
+                val.shape[:-2] + (1,), jnp.int8
+            )
 
     out = dict(variables) if "params" in variables else {}
     out["params"] = traverse_util.unflatten_dict(new_params)

@@ -20,9 +20,12 @@ buffers.
 Semantics match models/internvit.InternVisionLayer exactly (parity-tested):
 pre-LN blocks with layer-scale, fused-QKV projection, optional full-hidden
 QK-RMSNorm (modeling_intern_vit.py:216-219), non-causal multi-head
-attention, exact-erf GELU (in-kernel polynomial erf — Mosaic has no erf
-primitive; |err| <= 6e-6, see _gelu). LayerNorm statistics and softmax run
-in fp32; matmuls accumulate fp32 and round to bf16 like models/layers.Dense.
+attention, erf GELU (in-kernel polynomial erf — Mosaic has no erf
+primitive; abs err <= 1.9e-4, inside bf16 activation rounding, see _gelu).
+LayerNorm statistics and the softmax exponent/denominator run in fp32
+(shifted by a norm bound instead of the row max — exact in infinite
+precision, see the attention comment); matmuls accumulate fp32 and round
+to bf16 like models/layers.Dense.
 
 Scope: fixed sequence per tile (448px -> 1025 tokens), select_layer=-1
 (the Vlaser serving config); training and other select_layers stay on the
@@ -57,19 +60,21 @@ def _rms(x, w, eps):
 
 
 # Exact-GELU erf: erf(z) ~= z * P(t), t = 2 z^2/A^2 - 1, |z| clamped to A
-# (erf(A) = 1 - 4.3e-6, so the clamp is exact to that). P is a degree-11
-# Chebyshev least-squares fit evaluated by Horner in the shifted variable;
-# measured fp32 |erf error| <= 6e-6 and GELU abs error <= 2.4e-5 over
-# |x| < 8 (relative <= 1.8e-4 everywhere) — far inside bf16 activation
-# rounding (~4e-3 relative). Replaces the previous A&S 7.1.26 rational
-# form: pure multiply-add, no VPU reciprocal and no exp, measured ~2x
-# cheaper in-kernel (the GELU ablation in scripts/profile_control_step.py).
-_GELU_A = 3.25
+# (erf(2.9) = 1 - 4.1e-5, so the clamp contributes <= 4.1e-5). P is a
+# degree-8 Chebyshev least-squares fit evaluated by Horner in the shifted
+# variable; measured fp32 GELU abs error <= 1.9e-4 over |x| < 8 — inside
+# bf16 activation rounding (~4e-3 relative at the O(1) activation scale).
+# Degree/clamp chosen as the cheapest fit under a 2e-4 budget: each extra
+# coefficient is one more VPU multiply-add pass over the [Sp, inter/2]
+# block (the round-3 degree-11/A=3.25 form was 3 passes costlier for
+# accuracy bf16 rounding immediately discards). Pure multiply-add, no VPU
+# reciprocal and no exp (the GELU ablation in
+# scripts/profile_control_step.py measures the remaining cost).
+_GELU_A = 2.9
 _GELU_P = (
-    0.43464031973696543, -0.21445103956175698, 0.15327205599486016,
-    -0.1143730509310583, 0.082322492089922261, -0.055628370384091817,
-    0.035289982881279394, -0.019862196034020164, 0.0090013830274342718,
-    -0.0047249101491130107, 0.003507270815361369, -0.0013034086001326379,
+    0.48584439549216984, -0.23444016190745348, 0.1579984267706372,
+    -0.1078686426705889, 0.06872700308644857, -0.03567530740690796,
+    0.017603047748405837, -0.01377935783725388, 0.006434645091079945,
 )
 
 
@@ -84,29 +89,43 @@ def _gelu(x):
 
 
 def _make_kernel(*, L, B, S, Sp, hidden, inter, heads, head_dim, eps,
-                 qk_norm, ablate=""):
+                 qk_norm, act_quant=False, ablate=""):
     """`ablate` is a PROFILING-ONLY hook (scripts/profile_control_step.py)
     that voids one compute stage to locate where kernel time goes; every
     production call site passes the default "" (parity-gated on-chip in
-    bench.py). Values: nogelu | nosoftmax | noattn."""
+    bench.py). Values: nogelu | nosoftmax | noattn.
+
+    act_quant: w8a8 mode — weights arrive int8 (per-output-channel scales
+    in the 4 extra scale refs) and every base matmul (qkv/proj/fc1/fc2)
+    quantizes its activation rows to int8 in-kernel and runs an int8 MXU
+    dot (2x bf16 peak on v5e; the quantize is a few VPU passes over
+    VMEM-resident [Sp, K] data, which XLA-level w8a8 pays as HBM round
+    trips). Attention dots (QK^T, AV) stay bf16 — their head_dim-64
+    shapes cap MXU utilization regardless, and softmax precision is the
+    accuracy-sensitive part."""
     assert heads * head_dim == hidden
     assert ablate in ("", "nogelu", "nosoftmax", "noattn")
     npad = Sp - S  # padded key rows per sample (B>1 only; 16-row alignment)
 
-    def kernel(
-        x_ref,          # [B*Sp, hidden] bf16 (HBM; DMA'd into x_s)
-        ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref, ls1_ref, ls2_ref,
-        qnw_ref, knw_ref,
-        qkvb_ref, projb_ref, fc1b_ref, fc2b_ref,
-        qkvw_ref, projw_ref, fc1w_ref, fc2w_ref,  # HBM [L, ...] bf16
-        xo_ref,
-        x_s,       # [B*Sp, hidden] bf16 residual stream
-        w_qkv,     # [2, hidden, 3*hidden] bf16
-        w_proj,    # [2, hidden, hidden]
-        w_fc1,     # [2, hidden, inter]
-        w_fc2,     # [2, inter, hidden]
-        sem,
-    ):
+    def kernel(*refs):
+        # fixed leading inputs | optional scale inputs (act_quant) |
+        # weight inputs (HBM) | output | scratch
+        (x_ref,          # [B*Sp, hidden] bf16 (HBM; DMA'd into x_s)
+         ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref, ls1_ref, ls2_ref,
+         qnw_ref, knw_ref,
+         qkvb_ref, projb_ref, fc1b_ref, fc2b_ref) = refs[:13]
+        rest = refs[13:]
+        if act_quant:
+            qkvs_ref, projs_ref, fc1s_ref, fc2s_ref = rest[:4]
+            rest = rest[4:]
+        (qkvw_ref, projw_ref, fc1w_ref, fc2w_ref,  # HBM [L, ...]
+         xo_ref,
+         x_s,       # [B*Sp, hidden] bf16 residual stream
+         w_qkv,     # [2, hidden, 3*hidden] bf16 | int8
+         w_proj,    # [2, hidden, hidden]
+         w_fc1,     # [2, hidden, inter]
+         w_fc2,     # [2, inter, hidden]
+         sem) = rest
         # activations ride HBM<->VMEM DMAs so the in/out buffers don't
         # triple-count the [B*Sp, hidden] stream against the VMEM budget
         cp_in = pltpu.make_async_copy(x_ref, x_s, sem.at[SEM_N - 1])
@@ -128,7 +147,21 @@ def _make_kernel(*, L, B, S, Sp, hidden, inter, heads, head_dim, eps,
             c.start()
         cp_in.wait()
 
-        def dot(a, w):
+        def dot(a, w, srow=None):
+            """Base matmul: bf16 MXU, or (act_quant) per-row int8 activation
+            quantization -> int8 MXU -> fp32 rescale by row amax x `srow`
+            (the weight's per-output-channel scales, [1, N])."""
+            if act_quant:
+                af = a.astype(jnp.float32)
+                am = jnp.maximum(
+                    jnp.max(jnp.abs(af), axis=-1, keepdims=True), 1e-9
+                )
+                qa = jnp.round(af * (127.0 / am)).astype(jnp.int8)
+                o = jax.lax.dot_general(
+                    qa, w, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                return o.astype(jnp.float32) * ((am * (1.0 / 127.0)) * srow)
             return jax.lax.dot_general(
                 a.astype(jnp.bfloat16), w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -163,7 +196,10 @@ def _make_kernel(*, L, B, S, Sp, hidden, inter, heads, head_dim, eps,
                 rows = pl.ds(b * Sp, Sp)
                 x = x_s[rows, :]
                 h = _layer_norm(x, ln1w_ref[l], ln1b_ref[l], eps)
-                qkv = dot(h, w_qkv[slot]) + qkvb_ref[l].astype(jnp.float32)
+                qkv = dot(
+                    h, w_qkv[slot],
+                    qkvs_ref[l][None, :] if act_quant else None,
+                ) + qkvb_ref[l].astype(jnp.float32)
                 q, k = qkv[:, :hidden], qkv[:, hidden : 2 * hidden]
                 if qk_norm:
                     # full-flattened-dim QK-RMSNorm (the 6B variant;
@@ -182,17 +218,42 @@ def _make_kernel(*, L, B, S, Sp, hidden, inter, heads, head_dim, eps,
                 # this pipeline, and the freed staging buffers pay for the
                 # two live [Sp, Sp] f32 score blocks, ~8.7 MB at Sp=1040).
                 #
+                # The softmax itself is restructured to touch the [Sp, Sp]
+                # block as few times as possible — it is the kernel's
+                # dominant VPU cost (each pass is Sp^2 elements x heads x
+                # layers, vs Sp x hidden for everything else):
+                # 1. exp2 domain: scale * log2(e) folds into q before QK^T,
+                #    so scores arrive base-2 and exp2 needs no per-element
+                #    multiply (softmax is invariant to the base switch:
+                #    2^(s*log2e) = e^s).
+                # 2. the row-max pass is replaced by a Cauchy-Schwarz bound
+                #    m_b = ||q_row|| * max_r ||k_r|| computed from the
+                #    [Sp, head_dim] slices (O(Sp*head_dim), not O(Sp^2)).
+                #    Softmax is shift-invariant, so ANY shift >= the true
+                #    max gives the same result in exact arithmetic; the
+                #    bound is at most a few powers of two above the true
+                #    max (scores are inner products of the same vectors
+                #    the bound multiplies norms of), so 2^(s - m_b) stays
+                #    comfortably inside bf16's 2^-126 normal range and
+                #    loses NO relative precision (floating point scales).
+                # 3. the divide is deferred past AV: unnormalized
+                #    e = 2^(s - m_b) goes through the [Sp, Sp] @ [Sp, hd]
+                #    value matmul and the [Sp, head_dim] OUTPUT is
+                #    multiplied by 1/d — an O(Sp * head_dim) fixup instead
+                #    of an O(Sp^2) divide (the round-3 note about the
+                #    deferred form blowing VMEM applied to keeping a
+                #    SECOND f32 [Sp, Sp] block; e is cast to bf16 in the
+                #    exp2 pass itself, same liveness as the old p).
+                # Net: 2 VPU passes over [Sp, Sp] (exp2+cast, bf16-read
+                # sum) instead of 4 (max, exp, sum, divide+cast).
+                #
                 # Padded key rows (B>1, Sp > S): K/V pad rows are zeroed,
-                # so pads contribute exp(-m) each to the softmax denominator
+                # so pads contribute 2^(-m_b) each to the denominator
                 # (s_pad = q . 0 = 0) and nothing to the numerator
-                # (v_pad = 0); the denominator subtracts npad * exp(-m) in
-                # closed form — exact, no [Sp, Sp] score-mask add. The
-                # divide stays on the probability matrix (NOT deferred to
-                # the [Sp, head_dim] output): the deferred form keeps an
-                # extra f32 [Sp, Sp] block live per pipelined head and
-                # blows the 120 MB scoped-VMEM stack at B=1 (measured
-                # 122.8 MB on v5e).
-                qs = (q * scale).astype(jnp.bfloat16)
+                # (v_pad = 0); the denominator subtracts npad * 2^(-m_b)
+                # in closed form — exact, no [Sp, Sp] score-mask add.
+                LOG2E = 1.4426950408889634
+                qs = (q * (scale * LOG2E)).astype(jnp.bfloat16)
                 ks = k.astype(jnp.bfloat16)
                 vs = qkv[:, 2 * hidden :].astype(jnp.bfloat16)
                 if npad:
@@ -204,7 +265,19 @@ def _make_kernel(*, L, B, S, Sp, hidden, inter, heads, head_dim, eps,
                     return jax.lax.dot_general(
                         qs[:, sl], ks[:, sl], (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    )  # [Sp, Sp] f32
+                    )  # [Sp, Sp] f32, log2-domain scores
+
+                def shift_bound(hd):
+                    """[Sp, 1] f32 >= every score in this head's row (by
+                    Cauchy-Schwarz on the bf16 operands QK^T consumes)."""
+                    sl = slice(hd * head_dim, (hd + 1) * head_dim)
+                    qf = qs[:, sl].astype(jnp.float32)
+                    kf = ks[:, sl].astype(jnp.float32)
+                    qn = jnp.sum(qf * qf, axis=-1, keepdims=True)
+                    kn = jnp.max(jnp.sum(kf * kf, axis=-1, keepdims=True))
+                    # sqrt(qn)*sqrt(kn) with one rsqrt-free form: the
+                    # product under one sqrt; +tiny guards the zero row
+                    return jnp.sqrt(qn * kn + 1e-12)
 
                 def av(p, hd):
                     sl = slice(hd * head_dim, (hd + 1) * head_dim)
@@ -223,25 +296,23 @@ def _make_kernel(*, L, B, S, Sp, hidden, inter, heads, head_dim, eps,
                         if ablate == "nosoftmax":
                             p = (s_cur * 0.001).astype(jnp.bfloat16)
                             outs.append(av(p, hd).astype(jnp.bfloat16))
-                        elif npad:
-                            m = jnp.max(s_cur, axis=-1, keepdims=True)
-                            e = jnp.exp(s_cur - m)
-                            d = jnp.sum(e, axis=-1, keepdims=True) \
-                                - npad * jnp.exp(-m)
-                            p = (e / d).astype(jnp.bfloat16)
-                            outs.append(av(p, hd).astype(jnp.bfloat16))
                         else:
-                            # no pad rows: jax.nn.softmax lowers ~3% faster
-                            # than the manual m/e/d form (measured at B=1)
-                            p = jax.nn.softmax(s_cur, axis=-1).astype(
-                                jnp.bfloat16
+                            m = shift_bound(hd)
+                            e = jnp.exp2(s_cur - m).astype(jnp.bfloat16)
+                            d = jnp.sum(e, axis=-1, keepdims=True,
+                                        dtype=jnp.float32)
+                            if npad:
+                                d = d - npad * jnp.exp2(-m)
+                            outs.append(
+                                (av(e, hd) * (1.0 / d)).astype(jnp.bfloat16)
                             )
-                            outs.append(av(p, hd).astype(jnp.bfloat16))
                         s_cur = s_nxt
                     attn = jnp.concatenate(outs, axis=1)
 
-                o = dot(attn, w_proj[slot]) \
-                    + projb_ref[l].astype(jnp.float32)
+                o = dot(
+                    attn, w_proj[slot],
+                    projs_ref[l][None, :] if act_quant else None,
+                ) + projb_ref[l].astype(jnp.float32)
                 x = (
                     x.astype(jnp.float32)
                     + o.astype(jnp.bfloat16).astype(jnp.float32)
@@ -249,27 +320,35 @@ def _make_kernel(*, L, B, S, Sp, hidden, inter, heads, head_dim, eps,
                 ).astype(jnp.bfloat16)
 
                 h2 = _layer_norm(x, ln2w_ref[l], ln2b_ref[l], eps)
-                h2b = h2.astype(jnp.bfloat16)
                 # batched: MLP in two inter-dim chunks — halves the peak
                 # f32 working set (a full [Sp, inter] f32 value pushes
-                # B=8 past VMEM); B=1 has headroom, keep it single-chunk
+                # B=8 past VMEM); B=1 has headroom, keep it single-chunk.
+                # The chunk loop is software-pipelined like the head loop:
+                # chunk c+1's fc1 (MXU) is issued before chunk c's GELU
+                # (VPU) so the GELU's Horner passes hide under the matmul
+                # instead of serializing fc1 -> gelu -> fc2.
                 n_chunks = 1 if B == 1 else 2
                 half = inter // n_chunks
                 m2 = fc2b_ref[l].astype(jnp.float32)
-                for c in range(n_chunks):
+
+                def fc1(c):
                     ch = slice(c * half, (c + 1) * half)
-                    m = jax.lax.dot_general(
-                        h2b, w_fc1[slot][:, ch], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
+                    return dot(
+                        h2, w_fc1[slot][:, ch],
+                        fc1s_ref[l][ch][None, :] if act_quant else None,
                     ) + fc1b_ref[l][ch].astype(jnp.float32)
+
+                m_cur = fc1(0)
+                for c in range(n_chunks):
+                    m_nxt = fc1(c + 1) if c + 1 < n_chunks else None
                     # exact-erf GELU (reference nn.GELU; parity w/ XLA)
-                    if ablate != "nogelu":
-                        m = _gelu(m)
-                    m2 = m2 + jax.lax.dot_general(
-                        m.astype(jnp.bfloat16), w_fc2[slot][ch, :],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
+                    m = m_cur if ablate == "nogelu" else _gelu(m_cur)
+                    ch = slice(c * half, (c + 1) * half)
+                    m2 = m2 + dot(
+                        m, w_fc2[slot][ch, :],
+                        fc2s_ref[l][None, :] if act_quant else None,
                     )
+                    m_cur = m_nxt
                 x_s[rows, :] = (
                     x.astype(jnp.float32)
                     + m2.astype(jnp.bfloat16).astype(jnp.float32)
@@ -297,15 +376,18 @@ def _pad_rows(s: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "eps", "qk_norm",
-                                              "interpret", "ablate"))
+                                              "act_quant", "interpret",
+                                              "ablate"))
 def fused_vit_stack(
     x,  # [B, S, hidden] or [S, hidden] bf16 (embeddings + pos, CLS incl.)
     ln1w, ln1b, ln2w, ln2b, ls1, ls2, qnw, knw,
     qkvb, projb, fc1b, fc2b,
-    qkvw, projw, fc1w, fc2w,  # [L, ...] bf16
+    qkvw, projw, fc1w, fc2w,  # [L, ...] bf16 (or int8 when act_quant)
+    qkvs=None, projs=None, fc1s=None, fc2s=None,  # [L, N] f32 (act_quant)
     num_heads: int = 16,  # InternViT-300M (modeling_intern_vit.py:177)
     eps: float = 1e-6,
     qk_norm: bool = False,
+    act_quant: bool = False,  # w8a8: int8 weights + in-kernel act quant
     interpret: bool = False,
     ablate: str = "",  # profiling only — see _make_kernel
 ):
@@ -326,31 +408,36 @@ def fused_vit_stack(
 
     kernel = _make_kernel(
         L=L, B=B, S=S, Sp=Sp, hidden=hidden, inter=inter, heads=heads,
-        head_dim=head_dim, eps=eps, qk_norm=qk_norm, ablate=ablate,
+        head_dim=head_dim, eps=eps, qk_norm=qk_norm, act_quant=act_quant,
+        ablate=ablate,
     )
+    wdt = jnp.int8 if act_quant else jnp.bfloat16
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = lambda: pl.BlockSpec(memory_space=pltpu.ANY)
+    n_vmem_in = 12 + (4 if act_quant else 0)
+    args = [xp, ln1w, ln1b, ln2w, ln2b, ls1, ls2, qnw, knw,
+            qkvb, projb, fc1b, fc2b]
+    if act_quant:
+        args += [qkvs, projs, fc1s, fc2s]
+    args += [qkvw, projw, fc1w, fc2w]
     out = pl.pallas_call(
         kernel,
-        in_specs=[hbm()] + [vmem()] * 12 + [hbm()] * 4,
+        in_specs=[hbm()] + [vmem()] * n_vmem_in + [hbm()] * 4,
         out_specs=hbm(),
         out_shape=jax.ShapeDtypeStruct((B * Sp, hidden), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((B * Sp, hidden), jnp.bfloat16),
-            pltpu.VMEM((2, hidden, 3 * hidden), jnp.bfloat16),
-            pltpu.VMEM((2, hidden, hidden), jnp.bfloat16),
-            pltpu.VMEM((2, hidden, inter), jnp.bfloat16),
-            pltpu.VMEM((2, inter, hidden), jnp.bfloat16),
+            pltpu.VMEM((2, hidden, 3 * hidden), wdt),
+            pltpu.VMEM((2, hidden, hidden), wdt),
+            pltpu.VMEM((2, hidden, inter), wdt),
+            pltpu.VMEM((2, inter, hidden), wdt),
             pltpu.SemaphoreType.DMA((SEM_N,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(
-        xp, ln1w, ln1b, ln2w, ln2b, ls1, ls2, qnw, knw,
-        qkvb, projb, fc1b, fc2b, qkvw, projw, fc1w, fc2w,
-    )
+    )(*args)
     out = out.reshape(B, Sp, hidden)[:, :S]
     return out[0] if squeeze else out
 
@@ -367,17 +454,30 @@ def supports_fused_vit(vision_cfg) -> bool:
 def pack_vit_stack(variables, dtype=jnp.bfloat16):
     """InternVisionModel scanned params -> fused kernel layout. The nn.scan
     layout already stacks every per-layer tensor on [L]; this is dict
-    plumbing plus dtype casts (ViT weights stay bf16 — the pass is
-    MXU-bound, int8 is measured-neutral; docs/STATUS.md)."""
+    plumbing plus dtype casts.
+
+    If the encoder kernels were quantized into the `quant` collection
+    (core/quant VIT_W8A8_PATTERNS — the serving default since round 4),
+    the packed dict carries the int8 weights + per-output-channel scales
+    and sets act_quant=True, so call sites that splat this dict into
+    fused_vit_stack(**pack_vit_stack(v), ...) switch to the w8a8 kernel
+    automatically — with the SAME int8 weights the XLA encoder dequantizes
+    inline, so fused-vs-XLA diffs isolate the activation quantization.
+    Otherwise weights pass through as bf16 (weight-only int8 was measured
+    neutral for the bf16 MXU path; w8a8 doubles the MXU rate instead —
+    docs/STATUS.md round 4)."""
     enc = variables["params"]["vision_model"]["encoder"] \
         if "vision_model" in variables["params"] \
         else variables["params"]["encoder"]
+    qcol = variables.get("quant", {})
+    qenc = (qcol.get("vision_model", {}) or {}).get("encoder") \
+        if "vision_model" in qcol else qcol.get("encoder")
     att = enc["attn"]
     L, hidden = enc["norm1"]["weight"].shape
     # 300M has no QK-norm (qk_normalization=False) — pass ones; the kernel
     # skips the normalization entirely when qk_norm=False
     ones = jnp.ones((L, hidden), jnp.float32)
-    return dict(
+    out = dict(
         ln1w=enc["norm1"]["weight"].astype(jnp.float32),
         ln1b=enc["norm1"]["bias"].astype(jnp.float32),
         ln2w=enc["norm2"]["weight"].astype(jnp.float32),
@@ -392,8 +492,36 @@ def pack_vit_stack(variables, dtype=jnp.bfloat16):
         projb=att["proj"]["bias"].astype(jnp.float32),
         fc1b=enc["mlp"]["fc1"]["bias"].astype(jnp.float32),
         fc2b=enc["mlp"]["fc2"]["bias"].astype(jnp.float32),
-        qkvw=att["qkv"]["kernel"].astype(dtype),
-        projw=att["proj"]["kernel"].astype(dtype),
-        fc1w=enc["mlp"]["fc1"]["kernel"].astype(dtype),
-        fc2w=enc["mlp"]["fc2"]["kernel"].astype(dtype),
     )
+    sites = (("qkvw", "qkvs", ("attn", "qkv"), att["qkv"]),
+             ("projw", "projs", ("attn", "proj"), att["proj"]),
+             ("fc1w", "fc1s", ("mlp", "fc1"), enc["mlp"]["fc1"]),
+             ("fc2w", "fc2s", ("mlp", "fc2"), enc["mlp"]["fc2"]))
+
+    def _qsub(path):
+        sub = qenc
+        for k in path:
+            sub = (sub or {}).get(k)
+        return sub if sub and "kernel_q" in sub else None
+
+    qsubs = {wk: _qsub(path) for wk, _, path, _ in sites}
+    if all(q is not None for q in qsubs.values()):
+        # w8a8: int8 weights + per-output-channel scales; scales are
+        # stored [L, 1, N] (reduce over in-dim) -> [L, N]
+        for wk, sk, _, _ in sites:
+            q = qsubs[wk]
+            out[wk] = q["kernel_q"]
+            out[sk] = q["kernel_scale"][:, 0].astype(jnp.float32)
+        out["act_quant"] = True
+    else:
+        # bf16 path; a PARTIALLY quantized encoder (tiny configs whose
+        # small kernels fall under quantize_variables' size floor)
+        # dequantizes whatever is int8 — the kernel needs one dtype
+        for wk, _, _, psub in sites:
+            q = qsubs[wk]
+            out[wk] = (
+                (q["kernel_q"].astype(jnp.float32)
+                 * q["kernel_scale"].astype(jnp.float32)).astype(dtype)
+                if q is not None else psub["kernel"].astype(dtype)
+            )
+    return out

@@ -39,6 +39,12 @@ class LayerNorm(nn.Module):
         return ops.layer_norm(x, weight.astype(jnp.float32), bias.astype(jnp.float32), self.eps)
 
 
+# Minimum static row count (product of batch/seq dims) for a kernel_aq-
+# flagged Dense to take the int8-MXU w8a8 path; below it, weight-only
+# streaming wins (GEMV regime, measured in docs/STATUS.md).
+ACT_QUANT_MIN_ROWS = 128
+
+
 class Dense(nn.Module):
     """nn.Dense with explicit dtypes; kernel layout [in, out] (HF weight.T).
 
@@ -55,10 +61,37 @@ class Dense(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        y = None
         if self.has_variable("quant", "kernel_q"):
             kq = self.get_variable("quant", "kernel_q")
             ks = self.get_variable("quant", "kernel_scale")
-            kernel = kq.astype(self.compute_dtype) * ks.astype(self.compute_dtype)
+            rows = 1
+            for d in x.shape[:-1]:
+                rows *= d
+            if self.has_variable("quant", "kernel_aq") and \
+                    rows >= ACT_QUANT_MIN_ROWS:
+                # w8a8: per-token symmetric int8 activations -> int8 MXU
+                # dot (2x bf16 peak on v5e) -> fp32 rescale. Flagged
+                # kernels only (core/quant act_quant_patterns), and only
+                # at large-row call sites — 1..8-row decode/denoise GEMVs
+                # are weight-streaming-bound, where the dequantize-inline
+                # path below measures faster (docs/STATUS.md). The rows
+                # check is on STATIC shapes, so each call site traces one
+                # consistent mode.
+                xf = x.astype(jnp.float32)
+                am = jnp.maximum(
+                    jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-9
+                )
+                qa = jnp.round(xf * (127.0 / am)).astype(jnp.int8)
+                o = jax.lax.dot_general(
+                    qa, kq, (((qa.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                y = (o.astype(jnp.float32) * (am * (1.0 / 127.0))
+                     * ks.astype(jnp.float32)).astype(self.compute_dtype)
+            else:
+                kernel = kq.astype(self.compute_dtype) \
+                    * ks.astype(self.compute_dtype)
         else:
             kernel = self.param(
                 "kernel",
@@ -66,11 +99,12 @@ class Dense(nn.Module):
                 (x.shape[-1], self.features),
                 self.param_dtype,
             ).astype(self.compute_dtype)
-        y = jnp.dot(
-            x.astype(self.compute_dtype),
-            kernel,
-            preferred_element_type=self.compute_dtype,
-        )
+        if y is None:
+            y = jnp.dot(
+                x.astype(self.compute_dtype),
+                kernel,
+                preferred_element_type=self.compute_dtype,
+            )
         if self.has_variable("lora", "a"):
             # QLoRA-style activation-path low-rank adapter: y += s*(x A)B.
             # Never materializes base+delta, so it composes with the int8
