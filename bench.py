@@ -19,9 +19,21 @@ Prints ONE JSON line.
 
 import functools
 import json
+import os
 import sys
 
 import jax
+
+# Persistent XLA compilation cache (verified working through the axon
+# remote-compile backend): bench compiles dozens of serving variants —
+# ~40 min cold — and every fresh process repaid them. Mosaic kernel
+# compiles go through a separate helper and are not covered.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -500,7 +512,9 @@ def _bench_engine():
     import time
 
     from vlaser_tpu.core.config import vlaser_2b
-    from vlaser_tpu.core.quant import DEFAULT_PATTERNS, quantize_variables
+    from vlaser_tpu.core.quant import (DEFAULT_PATTERNS,
+                                       VLM_W8A8_ACT_PATTERNS,
+                                       quantize_variables)
     from vlaser_tpu.inference.sampling import make_generate_fn
     from vlaser_tpu.models.vlm import InternVLChatModel
     from vlaser_tpu.serve.engine import ContinuousBatchingEngine, Request
@@ -518,6 +532,11 @@ def _bench_engine():
         lambda: model.init(jax.random.PRNGKey(0), jnp.asarray(ids0), pixels1,
                            None)
     )
+    # int8 weights for decode streaming + w8a8 flags: admission prefill
+    # batches ([k, bucket] rows >= 128) run int8 MXU matmuls, the 1-token
+    # decode steps keep weight-only dequant (models/layers.Dense row
+    # threshold). Engine, static baseline, offline runner and the solo
+    # oracles all share this tree, so the comparison stays apples-to-apples.
     params = quantize_variables(
         jax.jit(lambda: jax.tree_util.tree_map(
             lambda s: (jax.random.normal(jax.random.PRNGKey(1), s.shape,
@@ -525,6 +544,7 @@ def _bench_engine():
             shapes,
         ))(),
         DEFAULT_PATTERNS,
+        act_quant_patterns=VLM_W8A8_ACT_PATTERNS,
     )
     rng = np.random.default_rng(7)
     reqs = []
@@ -550,12 +570,27 @@ def _bench_engine():
     engine = ContinuousBatchingEngine(
         model, params, prefill_buckets=(64, 128, 192, 256, 320), **ekw,
     )
+    rtt = measure_rtt()
+
+    def timed_median(fn, warmups=1, reps=3):
+        """Median of `reps` wall timings after `warmups` unmeasured runs.
+        Chip/session variance on this workload is ~+-6% run to run —
+        single-shot timings made the engine-vs-static comparison a coin
+        flip; medians make the BENCH fields reproducible. Extra warmups
+        cover paths whose compiled shapes only appear on a warm cache
+        (APC suffix admission, the adaptive-speculation fallback chunk)."""
+        for _ in range(warmups):
+            fn()
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            times.append(max(time.perf_counter() - t0 - rtt, 1e-9))
+        return sorted(times)[len(times) // 2]
+
     done = engine.run(reqs)  # compile every bucket + the decode step
     n_tok = sum(len(c.token_ids) for c in done)
-    rtt = measure_rtt()
-    t0 = time.perf_counter()
-    done = engine.run(reqs)
-    t_engine = max(time.perf_counter() - t0 - rtt, 1e-9)
+    t_engine = timed_median(lambda: engine.run(reqs))
 
     # static comparison: two padded batches of 8, everyone decoded to 64
     gen = make_generate_fn(model, max_new_tokens=64, eos_token_ids=[2],
@@ -576,9 +611,7 @@ def _bench_engine():
                            jax.random.PRNGKey(0))[0])
 
     run_static()  # compile
-    t0 = time.perf_counter()
-    run_static()
-    t_static = max(time.perf_counter() - t0 - rtt, 1e-9)
+    t_static = timed_median(run_static)
 
     # offline one-jit runner (serve/offline.py): the whole schedule on
     # device, ONE width (pad to the widest bucket), one host dispatch —
@@ -610,9 +643,7 @@ def _bench_engine():
         1 for c in off if c.token_ids != by_uid_al[c.uid].token_ids
     )
     _record_parity("engine_offline_token_mismatch_rows", float(mismatch))
-    t0 = time.perf_counter()
-    run_off()
-    t_off = max(time.perf_counter() - t0 - rtt, 1e-9)
+    t_off = timed_median(run_off)
 
     # speculative decode THROUGH the engine (per-slot prompt-lookup drafts,
     # serve/engine.py decode_chunk_spec), two workloads bracketing it:
@@ -636,9 +667,10 @@ def _bench_engine():
         1 for c in aligned if c.token_ids != by_uid_sp[c.uid].token_ids
     )
     _record_parity("engine_spec_token_mismatch_rows", float(spec_mismatch))
-    t0 = time.perf_counter()
-    eng_spec.run(reqs)
-    t_spec = max(time.perf_counter() - t0 - rtt, 1e-9)
+    # warmups=2: the first warm run settles the acceptance EMA below the
+    # occupancy break-even, the second compiles the adaptive fallback's
+    # history-carrying plain chunk
+    t_spec = timed_median(lambda: eng_spec.run(reqs), warmups=2)
 
     phrase = rng.integers(4, 1000, (16,)).astype(np.int32)
     rep_reqs = [
@@ -648,16 +680,12 @@ def _bench_engine():
     ]
     done_rep = eng_spec.run(rep_reqs)  # compiled already (same shapes)
     n_tok_rep = sum(len(c.token_ids) for c in done_rep)
-    t0 = time.perf_counter()
-    eng_spec.run(rep_reqs)
-    t_rep_spec = max(time.perf_counter() - t0 - rtt, 1e-9)
+    t_rep_spec = timed_median(lambda: eng_spec.run(rep_reqs), warmups=2)
     eng_aligned_plain = ContinuousBatchingEngine(
         model, params, prefill_buckets=(N,), **ekw,
     )
     eng_aligned_plain.run(rep_reqs)  # compile
-    t0 = time.perf_counter()
-    eng_aligned_plain.run(rep_reqs)
-    t_rep_plain = max(time.perf_counter() - t0 - rtt, 1e-9)
+    t_rep_plain = timed_median(lambda: eng_aligned_plain.run(rep_reqs))
 
     # shared-image QA workload (the GeneralQA.py shape: ONE frame, many
     # questions). Full-prompt serving re-prefills the 300-token image
@@ -681,9 +709,7 @@ def _bench_engine():
     )
     done_full = eng_full.run(full_reqs)  # compile
     n_tok_qa = sum(len(c.token_ids) for c in done_full)
-    t0 = time.perf_counter()
-    eng_full.run(full_reqs)
-    t_full = max(time.perf_counter() - t0 - rtt, 1e-9)
+    t_full = timed_median(lambda: eng_full.run(full_reqs))
 
     eng_pc = ContinuousBatchingEngine(
         model, params, prefill_buckets=buckets, **ekw,
@@ -707,9 +733,7 @@ def _bench_engine():
     # informational (bucketed widths differ between the two paths; exact
     # identity is pinned at fp32 in tests/test_engine.py)
     _record_parity("engine_prefix_cached_drift_rows", float(pc_drift))
-    t0 = time.perf_counter()
-    run_cached()
-    t_pc = max(time.perf_counter() - t0 - rtt, 1e-9)
+    t_pc = timed_median(run_cached)
 
     # AUTOMATIC prefix caching on the same QA workload: full prompts, no
     # register_prefix anywhere — the engine block-hashes each admitted
@@ -721,11 +745,12 @@ def _bench_engine():
         model, params, prefill_buckets=(64, 352, 384),
         auto_prefix_block=16, **ekw,
     )
-    eng_auto.run(full_reqs)  # compile + cold-cache pass (registers)
+    eng_auto.run(full_reqs)  # compile + cold-cache pass (registers only:
+    # at 16 slots the whole workload admits in ONE wave, before any store)
+    # warmups=1 by default is not enough here: the suffix-admission shapes
+    # only compile on the first WARM run, so give it one more
+    t_auto = timed_median(lambda: eng_auto.run(full_reqs), warmups=2)
     assert eng_auto.auto_prefix_hits >= 1, "APC never hit on the QA shape"
-    t0 = time.perf_counter()
-    eng_auto.run(full_reqs)
-    t_auto = max(time.perf_counter() - t0 - rtt, 1e-9)
 
     return (n_tok / t_engine, n_tok / t_static, n_tok / t_off,
             n_tok_qa / t_full, n_tok_qa / t_pc, n_tok_qa / t_auto,

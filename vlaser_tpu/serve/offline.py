@@ -71,7 +71,8 @@ def make_offline_runner(
     B = int(num_slots)
     K = int(chunk_size)
 
-    def _admit_wave(params, prompts, seg, max_new, pixels, image_flags, S):
+    def _admit_wave(params, prompts, seg, max_new, pixels, image_flags,
+                    pix_index, S):
         """Prefill a waiting request into EVERY vacant slot in ONE batched
         [B, W] forward (the device twin of engine.run's grouped admission:
         k serialized [1, W] prefills starve the MXU; one [B, W] pass does
@@ -93,7 +94,12 @@ def make_offline_runner(
         true_len = jnp.sum((segw != 0).astype(jnp.int32), axis=1)  # [B]
         px = flags = None
         if pixels is not None:
-            px = jnp.take(pixels, r_safe, axis=0)  # [B, T, ...]
+            # pixels is COMPACT ([n_img, T, ...], image requests only —
+            # shipping a dense [R, T, ...] buffer cost ~4x the bytes over
+            # the host link for this workload's 4-of-16 image requests);
+            # pix_index maps request -> compact row (0 for text rows,
+            # whose flags are all 0 so the zero tiles never scatter)
+            px = jnp.take(pixels, jnp.take(pix_index, r_safe), axis=0)
             px = px.reshape((-1,) + px.shape[2:])  # [B*T, ...]
             flags = jnp.take(image_flags, r_safe, axis=0)
             # a non-admitting lane's tiles must not claim scatter slots
@@ -142,7 +148,8 @@ def make_offline_runner(
                 slot_req, last_tok, budget, alive, out_buf, out_len)
 
     @functools.partial(jax.jit, static_argnames=())
-    def run(params, prompts, seg, max_new, pixels=None, image_flags=None):
+    def run(params, prompts, seg, max_new, pixels=None, image_flags=None,
+            pix_index=None):
         R, W = prompts.shape
         assert W + max_new_cap <= max_len, (
             f"prompt width {W} + max_new_cap {max_new_cap} exceeds "
@@ -175,7 +182,7 @@ def make_offline_runner(
             S = jax.lax.cond(
                 need,
                 lambda S: _admit_wave(params, prompts, seg, max_new,
-                                      pixels, image_flags, S),
+                                      pixels, image_flags, pix_index, S),
                 lambda S: S,
                 S,
             )
@@ -324,12 +331,18 @@ def run_offline(
         tiles = [0 if r.pixel_values is None
                  else np.asarray(r.pixel_values).shape[0] for r in group]
         T = max(tiles)
-        pixels = flags = None
+        pixels = flags = pix_index = None
         if T > 0:
+            # compact tile buffer: one row per IMAGE request (text rows
+            # map to row 0 with all-zero flags) — a dense [R, T, ...]
+            # ships mostly-zero tiles over the host link
+            n_img = sum(1 for t in tiles if t > 0)
             sample = next(np.asarray(r.pixel_values) for r in group
                           if r.pixel_values is not None)
-            pixels = np.zeros((R, T) + sample.shape[1:], sample.dtype)
+            pixels = np.zeros((n_img, T) + sample.shape[1:], sample.dtype)
             flags = np.zeros((R, T), np.int32)
+            pix_index = np.zeros((R,), np.int32)
+        img_row = 0
         for i, r in enumerate(group):
             n = len(r.input_ids)
             prompts[i, :n] = r.input_ids
@@ -337,8 +350,10 @@ def run_offline(
             max_new[i] = r.max_new_tokens
             if pixels is not None and r.pixel_values is not None:
                 t = tiles[i]
-                pixels[i, :t] = np.asarray(r.pixel_values)
+                pixels[img_row, :t] = np.asarray(r.pixel_values)
                 flags[i, :t] = 1
+                pix_index[i] = img_row
+                img_row += 1
 
         run = _cached_runner(
             model, num_slots=num_slots, max_len=max_len,
@@ -352,6 +367,7 @@ def run_offline(
             jnp.asarray(max_new),
             None if pixels is None else jnp.asarray(pixels),
             None if flags is None else jnp.asarray(flags),
+            None if pix_index is None else jnp.asarray(pix_index),
         )
         pending.append((group, toks, lens_out))
 
