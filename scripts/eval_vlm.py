@@ -56,7 +56,7 @@ def main():
                          "(serve/engine.py, the vLLM role): mixed-length "
                          "prompts decode in-flight instead of padding to "
                          "the longest row")
-    ap.add_argument("--num_slots", type=int, default=8,
+    ap.add_argument("--num_slots", type=int, default=16,
                     help="engine decode slots (--engine only)")
     ap.add_argument("--engine_max_len", type=int, default=4096,
                     help="engine KV length budget per slot (--engine only)")

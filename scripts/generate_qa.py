@@ -41,7 +41,7 @@ def main():
                     help="like --engine but the whole batch schedule "
                          "compiles onto the device (serve/offline.py): one "
                          "host dispatch per batch, greedy only")
-    ap.add_argument("--num_slots", type=int, default=8)
+    ap.add_argument("--num_slots", type=int, default=16)
     ap.add_argument("--spec_draft", type=int, default=0,
                     help="speculative decode through the engine (prompt-"
                          "lookup drafts; greedy token-identical, --engine "

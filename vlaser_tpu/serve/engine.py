@@ -162,14 +162,19 @@ class ContinuousBatchingEngine:
         model,
         params,
         *,
-        num_slots: int = 8,
+        # scheduling defaults from the round-4 on-chip sweep (docs/STATUS):
+        # 16 slots is the vLLM max_num_seqs role — continuous batching's
+        # edge IS a deep running batch (at 8 slots a 16-request mixed
+        # workload fragments into 4 admission waves and loses to static
+        # batching); chunk 64 amortizes the per-chunk host round trip
+        num_slots: int = 16,
         max_len: int = 1024,
         eos_token_ids: Sequence[int],
         pad_token_id: int,
         prefill_buckets: Optional[Sequence[int]] = None,
         tile_buckets: Optional[Sequence[int]] = None,
         cache_dtype=jnp.bfloat16,
-        chunk_size: int = 32,
+        chunk_size: int = 64,
         speculative_draft_len: int = 0,
         speculative_ngram: int = 2,
         speculative_adaptive: bool = True,

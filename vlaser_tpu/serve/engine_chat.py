@@ -38,13 +38,13 @@ class EngineChat:
         temperature: float = 0.0,
         top_k: int = 0,
         top_p: float = 1.0,
-        num_slots: int = 8,
+        num_slots: int = 16,
         max_len: int = 4096,
         prefill_buckets: Optional[Sequence[int]] = None,
         tile_buckets: Optional[Sequence[int]] = (1, 2, 4, 7, 13),
         system_message: Optional[str] = None,
         cache_dtype=jnp.bfloat16,
-        chunk_size: int = 16,
+        chunk_size: int = 64,
         backend: str = "engine",
         speculative_draft_len: int = 0,
         mesh=None,
