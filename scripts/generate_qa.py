@@ -40,7 +40,9 @@ def main():
     ap.add_argument("--offline", action="store_true",
                     help="like --engine but the whole batch schedule "
                          "compiles onto the device (serve/offline.py): one "
-                         "host dispatch per batch, greedy only")
+                         "host dispatch per batch, greedy only. API-parity "
+                         "mode — the engine is measured faster on mixed "
+                         "workloads")
     ap.add_argument("--num_slots", type=int, default=16)
     ap.add_argument("--spec_draft", type=int, default=0,
                     help="speculative decode through the engine (prompt-"

@@ -539,3 +539,112 @@ def test_spec_engine_admission_margin(vlm):
     ids = np.arange(2, 14, dtype=np.int32)
     with pytest.raises(AssertionError, match="speculative margin"):
         spec.run([Request(uid=0, input_ids=ids, max_new_tokens=17)])
+
+
+def test_engine_defaults_match_sweep(vlm):
+    """round-4 VERDICT #8: the SHIPPED scheduling defaults must equal the
+    round-4 on-chip sweep's winning config (docs/STATUS.md: 16 slots /
+    chunk 64 / pipeline_depth 1) — product users were getting
+    pipeline_depth=2 while the sweep measured 1 better. EngineChat must be
+    able to express the swept config without touching serve/engine.py."""
+    import inspect
+
+    from vlaser_tpu.serve.engine_chat import EngineChat
+
+    sig = inspect.signature(ContinuousBatchingEngine.__init__)
+    assert sig.parameters["num_slots"].default == 16
+    assert sig.parameters["chunk_size"].default == 64
+    assert sig.parameters["pipeline_depth"].default == 1
+
+    csig = inspect.signature(EngineChat.__init__)
+    assert csig.parameters["num_slots"].default == 16
+    assert csig.parameters["chunk_size"].default == 64
+    assert csig.parameters["pipeline_depth"].default == 1
+
+    cfg, model, params = vlm
+    eng = ContinuousBatchingEngine(
+        model, params, num_slots=3, max_len=64, eos_token_ids=EOS,
+        pad_token_id=0, pipeline_depth=2,
+    )
+    assert eng.pipeline_depth == 2  # knob still reachable
+
+
+def test_engine_chat_quantize_flag(vlm):
+    """EngineChat(quantize="w8a8") builds the serving quant collection
+    in-place (round-4 VERDICT #2): the engine's params carry the int8
+    LLM stack + encoder aq flags; quantize=None serves params as passed."""
+    from vlaser_tpu.serve.engine_chat import EngineChat
+
+    cfg, model, params = vlm
+
+    class _Tok:
+        def __call__(self, text, add_special_tokens=False):
+            return {"input_ids": [7 for _ in text[:4]]}
+
+        def convert_tokens_to_ids(self, tok):
+            return 3
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "x"
+
+    chat = EngineChat(model, params, _Tok(), max_new_tokens=4,
+                      num_slots=3, max_len=64, quantize="w8a8")
+    assert "quant" in chat.engine.params
+    q = chat.engine.params["quant"]["language_model"]
+    assert "embedding_q" in q["embed_tokens"]
+
+    plain = EngineChat(model, params, _Tok(), max_new_tokens=4,
+                       num_slots=3, max_len=64)
+    assert "quant" not in plain.engine.params
+
+
+def test_spec_probe_pessimistic_start_and_backoff(vlm):
+    """round-4 VERDICT #4 policy hardening: (a) the FIRST chunk with no
+    acceptance evidence is a BOUNDED probe (kcap <= 2), never a full
+    speculative chunk; (b) failed probes back off exponentially, so on
+    persistently undraftable text the probe interval grows past the base
+    reprobe interval and the engine converges to ~plain-chunk behavior;
+    (c) outputs stay token-identical throughout; (d) a draftable workload
+    turns speculation fully back on after one successful probe."""
+    cfg, model, params = vlm
+    rng = np.random.default_rng(31)
+    prompts = [rng.integers(1, 400, (n,)).astype(np.int32)
+               for n in (6, 11, 8)]
+    mk = lambda: [Request(uid=i, input_ids=p, max_new_tokens=30)
+                  for i, p in enumerate(prompts)]
+    plain = ContinuousBatchingEngine(
+        model, params, num_slots=3, max_len=96, eos_token_ids=EOS,
+        pad_token_id=0, prefill_buckets=(16,), cache_dtype=jnp.float32,
+        chunk_size=2,
+    )
+    want = {c.uid: c.token_ids for c in plain.run(mk())}
+
+    adap = ContinuousBatchingEngine(
+        model, params, num_slots=3, max_len=96, eos_token_ids=EOS,
+        pad_token_id=0, prefill_buckets=(16,), cache_dtype=jnp.float32,
+        chunk_size=2, speculative_draft_len=4, spec_reprobe_every=2,
+    )
+    got = {c.uid: c.token_ids for c in adap.run(mk())}
+    assert got == want  # (c) identity
+    # (a)+(b): on undraftable random text every probe fails — the interval
+    # must have backed off past the base, and full spec chunks must be a
+    # small minority of the ~15+ chunks this run dispatches
+    assert adap._spec_probe_interval > adap.spec_reprobe_every
+    assert adap.spec_chunks_run <= 4
+    assert adap.plain_chunks_run >= 4
+
+    # (d): a repetitive (draftable) workload re-enables full speculation
+    # after one successful probe — the EMA jumps to the measured rate
+    phrase = rng.integers(1, 400, (6,)).astype(np.int32)
+    rep = [Request(uid=i, input_ids=np.tile(phrase, 3), max_new_tokens=30)
+           for i in range(3)]
+    adap2 = ContinuousBatchingEngine(
+        model, params, num_slots=3, max_len=96, eos_token_ids=EOS,
+        pad_token_id=0, prefill_buckets=(32,), cache_dtype=jnp.float32,
+        chunk_size=2, speculative_draft_len=4, spec_reprobe_every=2,
+    )
+    adap2.run(rep)
+    if adap2.spec_last_ema is not None and \
+            adap2.spec_last_ema >= adap2.spec_threshold_base:
+        assert adap2._spec_probe_interval == adap2.spec_reprobe_every
+        assert adap2.spec_chunks_run >= 2  # probe + full spec chunks

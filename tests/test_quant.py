@@ -166,3 +166,142 @@ def test_dense_act_quant_flag_and_row_threshold():
     small_aq = dense.apply(qv_aq, x_small)
     np.testing.assert_allclose(np.asarray(small_aq), np.asarray(small_wo),
                                atol=0)  # identical: flag ignored for GEMVs
+
+
+def test_quantize_for_serving_plumbing():
+    """round-4 VERDICT #2 pattern plumbing: the one-call serving helper
+    (the entry scripts/eval_vlm.py --quantize and EngineChat(quantize=)
+    use) builds the measured-best w8a8 collection — encoder kernels int8
+    WITH kernel_aq flags (the fused-ViT w8a8 switch pack_vit_stack keys
+    on), LLM layer kernels int8 with flags (w8a8 admission prefill),
+    embeddings weight-only; "int8" mode carries no flags; an already-
+    quantized tree passes through unchanged."""
+    from flax import traverse_util
+
+    from vlaser_tpu.core.quant import quantize_for_serving
+    from vlaser_tpu.kernels.fused_vit import pack_vit_stack
+
+    cfg = tiny_vlm()
+    model = InternVLChatModel(cfg, compute_dtype=jnp.float32,
+                              attn_impl="reference")
+    rng = np.random.default_rng(3)
+    ids = rng.integers(1, 400, (1, 8))
+    ids[:, 1] = cfg.img_context_token_id
+    img = cfg.vision.image_size
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(ids),
+        jnp.asarray(rng.standard_normal((1, img, img, 3)).astype(np.float32)),
+        jnp.ones((1,), jnp.int32),
+    )
+    # min_size=0: tiny-config kernels must not fall under the size floor
+    # (production shapes are far above it)
+    qv = quantize_for_serving(variables, target="vlm", mode="w8a8",
+                              min_size=0)
+    paths = {"/".join(k)
+             for k in traverse_util.flatten_dict(qv["quant"]).keys()}
+    # encoder: quantized AND activation-flagged (fused ViT w8a8)
+    for site in ("attn/qkv", "attn/proj", "mlp/fc1", "mlp/fc2"):
+        assert any(p.endswith(f"encoder/{site}/kernel_q") for p in paths), \
+            site
+        assert any(p.endswith(f"encoder/{site}/kernel_aq") for p in paths), \
+            site
+    # LLM layer kernels: quantized + flagged (w8a8 prefill batches)
+    assert any(p.endswith("q_proj/kernel_q") for p in paths)
+    assert any(p.endswith("q_proj/kernel_aq") for p in paths)
+    # embedding: weight-only (streamed logits matmul)
+    assert any(p.endswith("embed_tokens/embedding_q") for p in paths)
+    # the fused-ViT packer must flip to the w8a8 kernel on this tree
+    packed = pack_vit_stack(qv)
+    assert packed.get("act_quant") is True
+    # int8 (weight-only) mode: no activation flags anywhere
+    qv_int8 = quantize_for_serving(variables, target="vlm", mode="int8",
+                                   min_size=0)
+    paths_int8 = {"/".join(k)
+                  for k in traverse_util.flatten_dict(
+                      qv_int8["quant"]).keys()}
+    assert not any(p.endswith("kernel_aq") for p in paths_int8)
+    # idempotent: a quantized tree passes through
+    assert quantize_for_serving(qv, target="vlm", mode="w8a8") is qv
+    # policy target plumbs the joint mixtures (smoke: patterns resolve)
+    with pytest.raises(ValueError):
+        quantize_for_serving(variables, target="nope")
+    with pytest.raises(ValueError):
+        quantize_for_serving(variables, target="vlm", mode="fp4")
+
+
+def test_w8a8_forward_qlora_training_trajectory():
+    """round-4 VERDICT #6 gradient-accuracy study: QLoRA SFT with the
+    w8a8 training forward (int8-MXU fwd via layers.w8a8_dot's STE
+    custom_vjp, bf16-class bwd) must track the weight-only-int8 baseline.
+    Asserts: (a) LoRA gradients through w8a8 layers are nonzero (the
+    naive round() gradient is zero — the STE is what makes this mode
+    trainable at all); (b) over a 150-step tiny-config run both losses
+    decrease and the trajectories stay close (same int8 base weights, so
+    the only difference is per-token activation rounding in the forward).
+    This is the in-suite assertion gating bench.py's w8a8 SFT forward."""
+    import optax
+
+    from vlaser_tpu.core.quant import (VLM_W8A8_ACT_PATTERNS,
+                                       quantize_variables)
+    from vlaser_tpu.models.layers import ACT_QUANT_MIN_ROWS
+    from vlaser_tpu.train.lora import init_qlora_collection
+    from vlaser_tpu.train.losses import make_sft_loss_chunked
+
+    cfg = tiny_vlm()
+    model = InternVLChatModel(cfg, compute_dtype=jnp.float32,
+                              attn_impl="reference")
+    B, N = 4, 64
+    assert B * N >= ACT_QUANT_MIN_ROWS  # the w8a8 branch must fire
+    rng = np.random.default_rng(17)
+    ids = rng.integers(1, 400, (B, N)).astype(np.int32)
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(
+            np.concatenate([ids[:, 1:], np.full((B, 1), -100, np.int32)], 1)
+        ),
+        "seg_ids": jnp.ones((B, N), jnp.int32),
+        "pixel_values": None,
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["input_ids"], None,
+                           jnp.ones((B, N), jnp.int32))
+
+    def train(act_patterns):
+        qv = quantize_variables(variables, DEFAULT_PATTERNS,
+                                act_quant_patterns=act_patterns, min_size=0)
+        lora = init_qlora_collection(jax.random.PRNGKey(1), qv, r=4,
+                                     alpha=8.0, dtype=jnp.float32)
+        loss_fn = make_sft_loss_chunked(model, chunk=128)
+        tx = optax.adamw(3e-3)
+        opt = tx.init(lora)
+
+        @jax.jit
+        def step(lora_tree, opt):
+            def f(lt):
+                return loss_fn(dict(qv, lora=lt), batch, None)
+
+            loss, grads = jax.value_and_grad(f)(lora_tree)
+            upd, opt2 = tx.update(grads, opt, lora_tree)
+            return optax.apply_updates(lora_tree, upd), opt2, loss, grads
+
+        losses, g0 = [], None
+        for _ in range(150):
+            lora, opt, loss, grads = step(lora, opt)
+            if g0 is None:
+                g0 = grads
+            losses.append(float(loss))
+        return np.asarray(losses), g0
+
+    losses_wo, _ = train(())
+    losses_aq, g0_aq = train(VLM_W8A8_ACT_PATTERNS)
+
+    # (a) STE: gradients through the w8a8 forward are alive
+    gmax = max(float(jnp.abs(l).max())
+               for l in jax.tree_util.tree_leaves(g0_aq))
+    assert gmax > 1e-6, "w8a8 training gradients are dead"
+
+    # (b) trajectory closeness: both decrease, curves track each other
+    assert losses_wo[-1] < losses_wo[0] * 0.98
+    assert losses_aq[-1] < losses_aq[0] * 0.98
+    rel = np.abs(losses_aq - losses_wo) / np.maximum(np.abs(losses_wo), 1e-6)
+    assert rel.mean() < 0.03, f"mean trajectory divergence {rel.mean():.4f}"
+    assert rel[-1] < 0.05, f"final loss divergence {rel[-1]:.4f}"

@@ -20,6 +20,19 @@ from ..tokenizer.conversation import build_chat_query, get_conv_template
 from .sampling import make_generate_fn, trim_output
 
 
+def _llm_is_quantized(params) -> bool:
+    """True when the variable tree carries an int8 LLM decode stack
+    (core/quant DEFAULT_PATTERNS layout) — the precondition for the fused
+    serving runner (inference/fused_runner.pack_qwen2_stack)."""
+    try:
+        q = params["quant"]["language_model"]
+        return ("embedding_q" in q["embed_tokens"]
+                and "kernel_q" in
+                q["model"]["layers"]["self_attn"]["q_proj"])
+    except (KeyError, TypeError):
+        return False
+
+
 def build_batch_queries(
     template: str,
     questions: Sequence[str],
@@ -123,6 +136,26 @@ class VlaserChat:
                 repetition_penalty=repetition_penalty,
                 cache_dtype=cache_dtype,
             )
+        # int8/w8a8-quantized params route single-stream greedy chat()
+        # through the fused serving runner (inference/fused_runner.py):
+        # decode steps run the fused int8 stack kernel and <=13-tile
+        # prompts run the w8a8 fused ViT — the measured-best serving path
+        # (docs/STATUS.md round 4: ViT 47.2 vs 70.9 ms at 13 tiles) now
+        # reachable from the standard chat entry, not only from bench.py
+        # (round-4 VERDICT #2). batch_chat / sampled / beam / penalty
+        # requests keep the XLA generator.
+        self._fused_gen = None
+        if (temperature == 0.0 and repetition_penalty == 1.0
+                and num_beams == 1 and speculative_draft_len == 0
+                and _llm_is_quantized(params)):
+            from .fused_runner import make_fused_generate_fn
+
+            self._fused_gen = make_fused_generate_fn(
+                model,
+                max_new_tokens=max_new_tokens,
+                eos_token_ids=[self.eos_token_id],
+                pad_token_id=self.cfg.pad_token_id,
+            )
         self._rng = jax.random.PRNGKey(0)
 
     def _encode(self, queries: Sequence[str]) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -143,7 +176,10 @@ class VlaserChat:
         ids, seg = self._encode(queries)
         pix = None if pixel_values is None else jnp.asarray(pixel_values)
         self._rng, sub = jax.random.split(self._rng)
-        tokens, num = self._gen(self.params, ids, seg, pix, sub)
+        gen = self._gen
+        if self._fused_gen is not None and ids.shape[0] == 1:
+            gen = self._fused_gen  # single-stream greedy: fused serving path
+        tokens, num = gen(self.params, ids, seg, pix, sub)
         outs = trim_output(tokens, num, [self.eos_token_id])
         texts = []
         for row in outs:

@@ -45,6 +45,55 @@ class LayerNorm(nn.Module):
 ACT_QUANT_MIN_ROWS = 128
 
 
+@jax.custom_vjp
+def w8a8_dot(x, kq, ks):
+    """Per-token symmetric int8 activation quant -> int8 MXU dot (2x bf16
+    peak on v5e) -> fp32 rescale: y ~= x @ (kq * ks), returned fp32.
+
+    custom_vjp (straight-through estimator): the naive autodiff gradient
+    through jnp.round is zero everywhere — backprop through a w8a8 layer
+    would silently cut the gradient to every upstream layer. The STE
+    backward is the dequantized-path gradient dx = g @ (kq*ks)^T computed
+    in g's dtype (bf16 in training), i.e. exactly the weight-only path's
+    activation gradient — which makes w8a8 usable as a TRAINING forward
+    (w8a8-fwd / bf16-bwd; the quantized kernel itself is frozen in QLoRA,
+    so no weight cotangent is needed and the returned zeros are DCE'd).
+    """
+    xf = x.astype(jnp.float32)
+    am = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-9)
+    qa = jnp.round(xf * (127.0 / am)).astype(jnp.int8)
+    o = jax.lax.dot_general(
+        qa, kq, (((qa.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (o.astype(jnp.float32) * (am * (1.0 / 127.0))
+            * ks.astype(jnp.float32))
+
+
+def _w8a8_dot_fwd(x, kq, ks):
+    # zero-size dtype token: residuals must be JAX types, and only x's
+    # dtype is needed for the backward
+    return w8a8_dot(x, kq, ks), (jnp.zeros((0,), jnp.asarray(x).dtype),
+                                 kq, ks)
+
+
+def _w8a8_dot_bwd(res, g):
+    # backward runs in the layer's compute dtype (x's dtype): bf16 in
+    # training — the fp32 cotangent of the rescaled output would otherwise
+    # drag the whole backward dot to fp32 (2x the MXU cost)
+    x_tok, kq, ks = res
+    x_dtype = x_tok.dtype
+    w = kq.astype(x_dtype) * ks.astype(x_dtype)  # [in, out]
+    dx = jax.lax.dot_general(
+        g.astype(x_dtype), w, (((g.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=x_dtype,
+    )
+    return dx, jnp.zeros_like(kq), jnp.zeros_like(ks)
+
+
+w8a8_dot.defvjp(_w8a8_dot_fwd, _w8a8_dot_bwd)
+
+
 class Dense(nn.Module):
     """nn.Dense with explicit dtypes; kernel layout [in, out] (HF weight.T).
 
@@ -77,18 +126,12 @@ class Dense(nn.Module):
                 # are weight-streaming-bound, where the dequantize-inline
                 # path below measures faster (docs/STATUS.md). The rows
                 # check is on STATIC shapes, so each call site traces one
-                # consistent mode.
-                xf = x.astype(jnp.float32)
-                am = jnp.maximum(
-                    jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-9
-                )
-                qa = jnp.round(xf * (127.0 / am)).astype(jnp.int8)
-                o = jax.lax.dot_general(
-                    qa, kq, (((qa.ndim - 1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                y = (o.astype(jnp.float32) * (am * (1.0 / 127.0))
-                     * ks.astype(jnp.float32)).astype(self.compute_dtype)
+                # consistent mode. w8a8_dot carries an STE custom_vjp, so
+                # this branch is also the TRAINING forward for w8a8 SFT
+                # (train/trainer.py quant_forward="w8a8").
+                y = w8a8_dot(
+                    x.astype(self.compute_dtype), kq, ks
+                ).astype(self.compute_dtype)
             else:
                 kernel = kq.astype(self.compute_dtype) \
                     * ks.astype(self.compute_dtype)

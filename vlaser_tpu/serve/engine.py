@@ -185,11 +185,15 @@ class ContinuousBatchingEngine:
         auto_prefix_block: Optional[int] = None,
         auto_prefix_max: int = 8,
         auto_prefix_min_gain: Optional[int] = None,
-        pipeline_depth: int = 2,
+        pipeline_depth: int = 1,
     ):
         llm = model.cfg.llm
         # chunks the pipelined greedy loop keeps in flight beyond the one
-        # being replayed; 2 covers a tunnel RTT even when kcap is small
+        # being replayed. Default 1 = the round-4 on-chip scheduling
+        # sweep's winner (docs/STATUS.md: deeper pipelines delay
+        # retirement discovery more than they hide RTT); the shipped
+        # default now equals the swept config (round-4 VERDICT #8),
+        # asserted by tests/test_engine.py::test_engine_defaults_match_sweep
         self.pipeline_depth = int(pipeline_depth)
         assert self.pipeline_depth >= 1
         assert llm.sliding_window is None, (
@@ -541,9 +545,22 @@ class ContinuousBatchingEngine:
         # commits ~1 token/row when drafts miss). The engine measures
         # tokens-per-row-per-pass on its own traffic (EMA) and falls back
         # to plain chunks whenever the EMA is under an occupancy-scaled
-        # break-even threshold, re-probing with one bounded 2-pass spec
-        # chunk every `spec_reprobe_every` plain chunks so it can turn
-        # itself back on when the text turns draftable.
+        # break-even threshold. Policy hardened round 5 (round-4 VERDICT
+        # #4: in a bad session the old policy cost −11% vs plain):
+        #  - PESSIMISTIC START: the first chunk is a bounded probe (1-2
+        #    verify passes), not a full speculative chunk — undraftable
+        #    text no longer pays up to chunk_size expensive passes before
+        #    the EMA exists;
+        #  - EXPONENTIAL BACKOFF: a failed probe doubles the plain-chunk
+        #    interval to the next probe (cap 16x spec_reprobe_every), so
+        #    persistently undraftable text converges to ~zero probe
+        #    overhead instead of paying a probe every 8 chunks forever;
+        #  - OCCUPANCY-BOUNDED PROBES: at >half-full slots a probe is 1
+        #    verify pass (the per-pass cost scales with live rows), 2
+        #    otherwise. A successful probe (acceptance >= the occupancy
+        #    threshold at dispatch) jumps the EMA to the measured rate and
+        #    resets the interval, so speculation turns fully on within
+        #    one chunk of the text turning draftable.
         self.speculative_adaptive = bool(speculative_adaptive)
         self.spec_threshold_base = float(spec_threshold_base)
         self.spec_threshold_slope = float(spec_threshold_slope)
@@ -552,6 +569,7 @@ class ContinuousBatchingEngine:
         self.plain_chunks_run = 0
         self.spec_last_ema: Optional[float] = None
         self._spec_plain_streak = 0
+        self._spec_probe_interval = self.spec_reprobe_every
         if Kd > 0:
             assert self.spec_ngram >= 1
             W = self.max_len + Kd + 1  # per-row token-history width
@@ -1130,7 +1148,10 @@ class ContinuousBatchingEngine:
         h_alive = np.zeros((B,), bool)
         inflight: deque = deque()  # ("adm", admitted, tok_parts) |
         #                            ("chunk", buf_dev, kcap) |
-        #                            ("spec", tg_dev, ct_dev, kcap)
+        #                            ("spec", tg_dev, ct_dev, kcap,
+        #                             probe_bar)  # probe_bar None = full
+        #                            spec chunk; float = bounded probe,
+        #                            judged against it at replay
 
         def finish(row: int, include_last: bool) -> None:
             st = slots[row]
@@ -1173,7 +1194,7 @@ class ContinuousBatchingEngine:
                         h_alive[row] = True
                 return
             if ev[0] == "spec":
-                _, tg_dev, ct_dev, kcap = ev
+                _, tg_dev, ct_dev, kcap, probe_bar = ev
                 tg, ct = np.asarray(tg_dev), np.asarray(ct_dev)
                 acc_toks = acc_rowpasses = 0
                 for p in range(min(tg.shape[0], kcap)):
@@ -1188,10 +1209,28 @@ class ContinuousBatchingEngine:
                                 break
                 if acc_rowpasses:
                     a = acc_toks / acc_rowpasses
-                    self.spec_last_ema = (
-                        a if self.spec_last_ema is None
-                        else 0.5 * self.spec_last_ema + 0.5 * a
-                    )
+                    if probe_bar is not None:
+                        # probe outcome (policy in __init__): success jumps
+                        # the EMA to the measured rate and resets the
+                        # interval; failure doubles the interval (capped)
+                        if a >= probe_bar:
+                            self.spec_last_ema = a
+                            self._spec_probe_interval = \
+                                self.spec_reprobe_every
+                        else:
+                            self.spec_last_ema = (
+                                a if self.spec_last_ema is None
+                                else 0.5 * self.spec_last_ema + 0.5 * a
+                            )
+                            self._spec_probe_interval = min(
+                                2 * self._spec_probe_interval,
+                                16 * self.spec_reprobe_every,
+                            )
+                    else:
+                        self.spec_last_ema = (
+                            a if self.spec_last_ema is None
+                            else 0.5 * self.spec_last_ema + 0.5 * a
+                        )
                 self.spec_chunks_run += 1
                 return
             _, buf_dev, kcap = ev
@@ -1281,15 +1320,25 @@ class ContinuousBatchingEngine:
                                        else self.chunk_size,
                                        self.chunk_size))
                 run_spec = use_spec
-                if use_spec and self.speculative_adaptive and \
-                        self.spec_last_ema is not None:
+                probe_bar = None
+                if use_spec and self.speculative_adaptive:
                     thresh = self.spec_threshold_base + \
                         self.spec_threshold_slope * len(caps)
-                    if self.spec_last_ema < thresh:
-                        if self._spec_plain_streak >= self.spec_reprobe_every:
-                            kcap_host = min(kcap_host, 2)  # bounded probe
-                        else:
+                    ema = self.spec_last_ema
+                    if ema is None or ema < thresh:
+                        if (ema is not None and self._spec_plain_streak
+                                < self._spec_probe_interval):
                             run_spec = False
+                        else:
+                            # bounded probe (pessimistic start when ema is
+                            # None): 1 verify pass at >half occupancy, 2
+                            # otherwise; outcome judged at replay against
+                            # the occupancy threshold of THIS dispatch
+                            probe_bar = thresh
+                            kcap_host = min(
+                                kcap_host,
+                                1 if len(caps) > self.num_slots // 2 else 2,
+                            )
                 kcap = jnp.asarray(kcap_host, jnp.int32)
                 self.stats["chunks"] += 1
                 self.stats["kcap_sum"] += kcap_host
@@ -1301,7 +1350,7 @@ class ContinuousBatchingEngine:
                         alive, budget, kcap,
                     )
                     self._spec_plain_streak = 0
-                    inflight.append(("spec", tg, ct, kcap_host))
+                    inflight.append(("spec", tg, ct, kcap_host, probe_bar))
                 elif use_spec:
                     self._spec_plain_streak += 1
                     self.plain_chunks_run += 1

@@ -48,14 +48,35 @@ class EngineChat:
         backend: str = "engine",
         speculative_draft_len: int = 0,
         mesh=None,
+        pipeline_depth: int = 1,
+        quantize: Optional[str] = None,
     ):
         """backend: "engine" = host-driven continuous batching (per-chunk
-        host sync; supports per-request sampling). "offline" = the one-jit
-        on-device schedule (serve/offline.py — the vLLM
-        LLM.generate(prompts) mode): greedy only, one host dispatch per
-        batch; sampled requests fall back to the engine."""
+        host sync; supports per-request sampling) — the FASTER mode on
+        mixed workloads (docs/STATUS.md round 5: ~1019-1103 vs ~860
+        tok/s). "offline" = the one-jit on-device schedule
+        (serve/offline.py — the vLLM LLM.generate(prompts) API-parity
+        mode): greedy only, one host dispatch per batch — pick it for the
+        dispatch shape (a host thread that must not babysit decode), not
+        for throughput; sampled requests fall back to the engine.
+
+        num_slots / chunk_size / pipeline_depth default to the round-4
+        on-chip scheduling sweep's winning config (16 / 64 / 1,
+        docs/STATUS.md) so product callers get the measured-best schedule
+        without touching serve/engine.py (round-4 VERDICT #8).
+
+        quantize: None (params served as passed), "w8a8" or "int8" —
+        builds the serving quant collection in place via
+        core/quant.quantize_for_serving, so the CLI / QA-generation
+        surfaces reach the measured-best w8a8 config with one flag
+        (round-4 VERDICT #2). Already-quantized params pass through."""
         assert backend in ("engine", "offline"), backend
         self.backend = backend
+        if quantize is not None:
+            from ..core.quant import quantize_for_serving
+
+            params = quantize_for_serving(params, target="vlm",
+                                          mode=quantize)
         self.params = params
         self.model = model
         self.tokenizer = tokenizer
@@ -79,6 +100,7 @@ class EngineChat:
             chunk_size=chunk_size,
             speculative_draft_len=speculative_draft_len,
             mesh=mesh,
+            pipeline_depth=pipeline_depth,
         )
         # the engine TP-shards its own param copy; offline fallback and
         # prompt assembly reuse the sharded tree

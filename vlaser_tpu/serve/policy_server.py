@@ -40,7 +40,14 @@ class PolicyServer:
         """mesh: optional (data, fsdp, tensor) mesh — params are TP-sharded
         and the jitted step runs under GSPMD. fused: batch-1 single-chip
         serving through the fused int8 denoise path (policy/fused_infer.py;
-        requires int8-quantized params)."""
+        requires int8-quantized params).
+
+        Serving default for `params`: quantize with
+        core.quant.quantize_for_serving(variables, target="policy") — the
+        POLICY_W8A8_* collection (int8 weight streaming on the denoise
+        GEMVs, w8a8 int8-MXU on the joint prefix + fused ViT), the
+        measured-best single-chip config (docs/STATUS.md round 4;
+        bench.py's headline control step is exactly this collection)."""
         self.model = model
         self.params = (shard_policy_params(params, mesh) if mesh is not None
                        else params)
