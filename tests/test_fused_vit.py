@@ -155,3 +155,36 @@ def test_fused_vit_stack_w8a8():
     # unquantized packing still takes the bf16 path
     stack_bf = pack_vit_stack(variables)
     assert "act_quant" not in stack_bf
+
+
+def test_fused_vit_stack_attn_qk_int8():
+    """attn_qk_int8 (round-4 VERDICT #7 attempt): int8 MXU QK^T with
+    per-row q / per-head k scales. Scores quantize but the softmax
+    weights stay bf16 and the residual stream full-precision, so the
+    output must stay close to the bf16-attention kernel; pad-row
+    correction must survive (B=3 exercises sublane padding)."""
+    cfg = _tiny_vision()
+    model = InternVisionModel(cfg, param_dtype=jnp.bfloat16,
+                              compute_dtype=jnp.bfloat16,
+                              attn_impl="reference")
+    rng = np.random.default_rng(7)
+    px = jnp.asarray(
+        rng.standard_normal((3, cfg.image_size, cfg.image_size, 3))
+        .astype(np.float32)
+    )
+    variables = jax.tree_util.tree_map(
+        lambda s: (jax.random.normal(jax.random.PRNGKey(8), s.shape,
+                                     jnp.float32) * 0.05).astype(s.dtype),
+        jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), px[:1])),
+    )
+    want = model.apply(variables, px)
+    emb = model.apply(variables, px, method=model.embed)
+    got = fused_vit_stack(
+        emb.astype(jnp.bfloat16), **pack_vit_stack(variables),
+        num_heads=cfg.num_heads, eps=cfg.layer_norm_eps,
+        qk_norm=cfg.qk_normalization, attn_qk_int8=True, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=0.12, atol=0.12,
+    )

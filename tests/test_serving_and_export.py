@@ -156,3 +156,103 @@ def test_export_save_safetensors(tmp_path):
     save_safetensors(sd, str(tmp_path / "model.safetensors"))
     back = load_safetensors_dir(str(tmp_path))
     np.testing.assert_array_equal(back["a.weight"], sd["a.weight"])
+
+
+def test_hf_checkpoint_dir_disk_roundtrip(tmp_path):
+    """round-4 VERDICT #10: a full HF-layout checkpoint DIRECTORY on disk
+    (config.json + SHARDED safetensors + index + tokenizer files) loads
+    through the exact calls `scripts/eval_vlm.py` makes on a real
+    download (AutoTokenizer.from_pretrained on the dir,
+    load_safetensors_dir -> convert_internvl_chat -> quantize_for_serving
+    -> VlaserChat), and the served greedy response is identical to the
+    in-memory model the checkpoint was exported from — making an eventual
+    real-weight run a pure data swap. Reference surface:
+    modeling_internvl_chat.py:48-110 + tools/internvl_hf2custom.py."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+
+    from vlaser_tpu.core.config import tiny_vlm
+    from vlaser_tpu.core.quant import quantize_for_serving
+    from vlaser_tpu.inference.chat import VlaserChat
+    from vlaser_tpu.models.vlm import InternVLChatModel
+    from vlaser_tpu.utils.hf_convert import (
+        convert_internvl_chat, export_internvl_chat, load_safetensors_dir,
+        save_hf_checkpoint_dir,
+    )
+
+    cfg = tiny_vlm()
+    model = InternVLChatModel(cfg, compute_dtype=jnp.float32,
+                              attn_impl="reference")
+    rng = np.random.default_rng(9)
+    ids = rng.integers(1, 400, (1, 8))
+    px = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(1), jnp.asarray(ids),
+                           jnp.asarray(px), None)
+    # randomize (init gives structured values; conversion bugs should not
+    # cancel)
+    leaves, td = jax.tree_util.tree_flatten(variables)
+    keys = jax.random.split(jax.random.PRNGKey(2), len(leaves))
+    variables = jax.tree_util.tree_unflatten(
+        td, [(jax.random.normal(k, l.shape) * 0.05).astype(l.dtype)
+             for k, l in zip(keys, leaves)])
+
+    ckpt = str(tmp_path / "tiny-vlaser")
+    save_hf_checkpoint_dir(
+        export_internvl_chat(variables["params"]), ckpt,
+        config={"architectures": ["InternVLChatModel"],
+                "template": cfg.template,
+                "vision_config": {"num_hidden_layers": cfg.vision.num_layers},
+                "llm_config": {"num_hidden_layers": cfg.llm.num_layers}},
+        num_shards=3,
+    )
+    # tokenizer files: a minimal slow GPT2 tokenizer (AutoTokenizer loads
+    # it from the directory exactly as it would a real checkpoint's)
+    vocab = {chr(c): i for i, c in enumerate(range(33, 127))}
+    vocab["<|endoftext|>"] = len(vocab)
+    (tmp_path / "tiny-vlaser" / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "tiny-vlaser" / "merges.txt").write_text("#version: 0.2\n")
+    (tmp_path / "tiny-vlaser" / "tokenizer_config.json").write_text(
+        json.dumps({"tokenizer_class": "GPT2Tokenizer"}))
+
+    # --- the eval_vlm.py load path, call for call ---
+    tok = AutoTokenizer.from_pretrained(ckpt, use_fast=False,
+                                        trust_remote_code=True)
+    assert tok("abc")["input_ids"]  # tokenizer files load
+    sd = load_safetensors_dir(ckpt)
+    assert len(sd) > 0
+    with open(f"{ckpt}/model.safetensors.index.json") as f:
+        index = json.load(f)
+    assert len({v for v in index["weight_map"].values()}) == 3  # sharded
+    params = {"params": convert_internvl_chat(
+        sd, cfg.vision.num_layers, cfg.llm.num_layers)}
+    # weight-identity: disk -> convert must reproduce the exported tree
+    want_flat = jax.tree_util.tree_leaves(variables["params"])
+    got_flat = jax.tree_util.tree_leaves(params["params"])
+    assert len(want_flat) == len(got_flat)
+    for w, g in zip(want_flat, got_flat):
+        np.testing.assert_array_equal(np.asarray(w, np.float32),
+                                      np.asarray(g, np.float32))
+
+    # serving-forward identity through the quantized chat entry
+    class _Tok:
+        def __call__(self, text, add_special_tokens=False):
+            return {"input_ids": [7 + (ord(c) % 89) for c in text[:16]]}
+
+        def convert_tokens_to_ids(self, t):
+            return 3
+
+        def decode(self, ids_, skip_special_tokens=True):
+            return " ".join(str(int(i)) for i in ids_)
+
+    def respond(v):
+        qv = quantize_for_serving(v, target="vlm", mode="w8a8", min_size=0)
+        chat = VlaserChat(model, qv, _Tok(), max_new_tokens=4, bucket=32,
+                          cache_dtype=jnp.float32)
+        return chat.chat("what is this?", px)
+
+    assert respond(params) == respond(variables)

@@ -89,7 +89,7 @@ def _gelu(x):
 
 
 def _make_kernel(*, L, B, S, Sp, hidden, inter, heads, head_dim, eps,
-                 qk_norm, act_quant=False, ablate=""):
+                 qk_norm, act_quant=False, attn_qk_int8=False, ablate=""):
     """`ablate` is a PROFILING-ONLY hook (scripts/profile_control_step.py)
     that voids one compute stage to locate where kernel time goes; every
     production call site passes the default "" (parity-gated on-chip in
@@ -288,6 +288,66 @@ def _make_kernel(*, L, B, S, Sp, hidden, inter, heads, head_dim, eps,
 
                 if ablate == "noattn":
                     attn = vs
+                elif attn_qk_int8 and ablate == "":
+                    # int8 QK^T (round-4 VERDICT #7 attempt): per-row int8
+                    # q + per-head-scalar int8 k feed an int8 MXU score
+                    # dot. The per-row rescale c_i = qam_i*kam/127^2 and
+                    # the shift fold into the exp2 pass (one fused VPU
+                    # pass over [Sp, Sp] either way); the shift bound is
+                    # Cauchy-Schwarz on the QUANTIZED operands, so the
+                    # pad-correction identity (pad cols score exactly 0 ->
+                    # e_pad = 2^-m) is preserved. AV stays bf16: e values
+                    # span [0, 2^-m..1] and int8's 1/127 step would bury
+                    # the long tail of a 1025-key attention row. k/v pad
+                    # rows are zeroed BEFORE quantization, so pad scores
+                    # stay exactly 0.
+                    qints, kints, cs, ms = [], [], [], []
+                    for hd in range(heads):
+                        sl = slice(hd * head_dim, (hd + 1) * head_dim)
+                        qf = qs[:, sl].astype(jnp.float32)
+                        kf = ks[:, sl].astype(jnp.float32)
+                        qam = jnp.maximum(
+                            jnp.max(jnp.abs(qf), axis=-1, keepdims=True),
+                            1e-9,
+                        )
+                        kam = jnp.maximum(jnp.max(jnp.abs(kf)), 1e-9)
+                        qa = jnp.round(qf * (127.0 / qam)).astype(jnp.int8)
+                        ka = jnp.round(kf * (127.0 / kam)).astype(jnp.int8)
+                        c = qam * (kam * (1.0 / 16129.0))
+                        qaf = qa.astype(jnp.float32)
+                        kaf = ka.astype(jnp.float32)
+                        qn = jnp.sum(qaf * qaf, axis=-1, keepdims=True)
+                        kn = jnp.max(jnp.sum(kaf * kaf, axis=-1,
+                                             keepdims=True))
+                        qints.append(qa)
+                        kints.append(ka)
+                        cs.append(c)
+                        ms.append(jnp.sqrt(qn * kn + 1e-12) * c)
+
+                    def qk_i(hd):
+                        return jax.lax.dot_general(
+                            qints[hd], kints[hd],
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32,
+                        )  # [Sp, Sp] int32 raw scores
+
+                    outs = []
+                    s_cur = qk_i(0)
+                    for hd in range(heads):
+                        s_nxt = qk_i(hd + 1) if hd + 1 < heads else None
+                        m = ms[hd]
+                        e = jnp.exp2(
+                            s_cur.astype(jnp.float32) * cs[hd] - m
+                        ).astype(jnp.bfloat16)
+                        d = jnp.sum(e, axis=-1, keepdims=True,
+                                    dtype=jnp.float32)
+                        if npad:
+                            d = d - npad * jnp.exp2(-m)
+                        outs.append(
+                            (av(e, hd) * (1.0 / d)).astype(jnp.bfloat16)
+                        )
+                        s_cur = s_nxt
+                    attn = jnp.concatenate(outs, axis=1)
                 else:
                     outs = []
                     s_cur = qk(0)
@@ -376,8 +436,8 @@ def _pad_rows(s: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "eps", "qk_norm",
-                                              "act_quant", "interpret",
-                                              "ablate"))
+                                              "act_quant", "attn_qk_int8",
+                                              "interpret", "ablate"))
 def fused_vit_stack(
     x,  # [B, S, hidden] or [S, hidden] bf16 (embeddings + pos, CLS incl.)
     ln1w, ln1b, ln2w, ln2b, ls1, ls2, qnw, knw,
@@ -388,6 +448,7 @@ def fused_vit_stack(
     eps: float = 1e-6,
     qk_norm: bool = False,
     act_quant: bool = False,  # w8a8: int8 weights + in-kernel act quant
+    attn_qk_int8: bool = False,  # int8 MXU QK^T (experimental; _make_kernel)
     interpret: bool = False,
     ablate: str = "",  # profiling only — see _make_kernel
 ):
@@ -409,7 +470,7 @@ def fused_vit_stack(
     kernel = _make_kernel(
         L=L, B=B, S=S, Sp=Sp, hidden=hidden, inter=inter, heads=heads,
         head_dim=head_dim, eps=eps, qk_norm=qk_norm, act_quant=act_quant,
-        ablate=ablate,
+        attn_qk_int8=attn_qk_int8, ablate=ablate,
     )
     wdt = jnp.int8 if act_quant else jnp.bfloat16
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)

@@ -9,7 +9,7 @@ Torch nn.Linear stores [out, in]; flax Dense kernels are [in, out] -> transpose.
 
 from __future__ import annotations
 
-from typing import Dict, Mapping
+from typing import Dict, Mapping, Optional
 
 import numpy as np
 
@@ -589,3 +589,37 @@ def save_safetensors(state_dict: Mapping, path: str):
     from safetensors.numpy import save_file
 
     save_file({k: np.ascontiguousarray(v) for k, v in state_dict.items()}, path)
+
+
+def save_hf_checkpoint_dir(state_dict: Mapping, path: str,
+                           config: Optional[Mapping] = None,
+                           num_shards: int = 2):
+    """Write a full HF-layout checkpoint DIRECTORY: sharded
+    model-XXXXX-of-YYYYY.safetensors + model.safetensors.index.json
+    (+ config.json when `config` is given) — the on-disk layout
+    `load_safetensors_dir` / `scripts/eval_vlm.py --model_path` consume,
+    and the layout a real Vlaser download has (reference loader:
+    modeling_internvl_chat.py:48-110 via HF from_pretrained). Keys are
+    round-robined into `num_shards` roughly-equal-byte shards."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    items = sorted(state_dict.items())
+    shards: list = [dict() for _ in range(num_shards)]
+    sizes = [0] * num_shards
+    for k, v in items:
+        i = sizes.index(min(sizes))  # greedy balance by bytes
+        shards[i][k] = v
+        sizes[i] += np.asarray(v).nbytes
+    index = {"metadata": {"total_size": int(sum(sizes))}, "weight_map": {}}
+    for i, shard in enumerate(shards):
+        name = f"model-{i + 1:05d}-of-{num_shards:05d}.safetensors"
+        save_safetensors(shard, os.path.join(path, name))
+        for k in shard:
+            index["weight_map"][k] = name
+    with open(os.path.join(path, "model.safetensors.index.json"), "w") as f:
+        json.dump(index, f, indent=2)
+    if config is not None:
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump(dict(config), f, indent=2)
