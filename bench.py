@@ -888,15 +888,21 @@ def _bench_chat_prefill_13tile():
     tiles = jnp.broadcast_to(px1, (13, img, img, 3)).astype(jnp.float32)
     rtt = measure_rtt()
 
-    # phase 1: the ViT encode at 13 tiles, the exact product code object
-    vit_fn = jax.jit(lambda p, px: fused_visual_features(model, p, px))
-    np.asarray(vit_fn(params, tiles))  # compile (Mosaic w8a8: minutes)
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(vit_fn(params, tiles))
-        ts.append(time.perf_counter() - t0)
-    vit_ms = (max(float(np.median(ts)) - rtt, 1e-9)) * 1e3
+    # phase 1: the ViT encode at 13 tiles, the exact product code object.
+    # Chained on-device iterations + scalar readback (time_scanned): a
+    # per-call wall timing would read the [13, 256, H] feature tensor
+    # (~10 MB) back over the tunneled host link every iteration and
+    # measure the link, not the kernel (first gated run: 278.8 "ms" vs
+    # the kernel's real 46.9).
+    from vlaser_tpu.utils.benchmark import time_scanned
+
+    def vit_step(carry, p):
+        px = tiles + carry.astype(jnp.float32) * 1e-9
+        feats = fused_visual_features(model, p, px)
+        return jnp.mean(feats).astype(jnp.float32)
+
+    vit_ms = time_scanned(vit_step, jnp.zeros(()), params, iters=6,
+                          repeats=3) * 1e3
 
     # phase 2: one full chat() call, the entry itself. Tiles stay device-
     # resident (jnp.asarray in chat is then a no-op): over the tunneled

@@ -52,6 +52,11 @@ def main():
                     help="sampling temperature for QA generation "
                          "(engine mode: per-request sampling params)")
     ap.add_argument("--top_p", type=float, default=1.0)
+    ap.add_argument("--quantize", choices=("none", "int8", "w8a8"),
+                    default="w8a8",
+                    help="serving quantization (core/quant."
+                         "quantize_for_serving): w8a8 is the measured-"
+                         "best serving collection (docs/STATUS.md)")
     args = ap.parse_args()
 
     import json
@@ -75,6 +80,11 @@ def main():
         load_safetensors_dir(args.model_path), cfg.vision.num_layers,
         cfg.llm.num_layers,
     )}
+    if args.quantize != "none":
+        from vlaser_tpu.core.quant import quantize_for_serving
+
+        params = quantize_for_serving(params, target="vlm",
+                                      mode=args.quantize)
     if args.engine or args.offline:
         from vlaser_tpu.serve.engine_chat import EngineChat
 

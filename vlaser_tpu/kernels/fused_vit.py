@@ -301,6 +301,20 @@ def _make_kernel(*, L, B, S, Sp, hidden, inter, heads, head_dim, eps,
                     # the long tail of a 1025-key attention row. k/v pad
                     # rows are zeroed BEFORE quantization, so pad scores
                     # stay exactly 0.
+                    #
+                    # MEASURED AND REJECTED as the serving default
+                    # (v5e, round 5, time_scanned medians): b8 28.93 ->
+                    # 30.96 ms, b13 46.90 -> 50.20 ms — 0.934x BOTH. The
+                    # 2x int8 MXU peak does not materialize at a 64-wide
+                    # contraction (the head_dim<128 utilization cap binds
+                    # identically for int8), while the per-head amax+round
+                    # VPU passes over q and k are pure added cost. Kept
+                    # behind the flag with its parity test so the result
+                    # is reproducible; the other VERDICT-#7 idea (packing
+                    # two 64-dim heads into one 128-wide pass) is
+                    # analytically dead: QK^T contracts over head_dim, so
+                    # pairing heads needs a block-diagonal K operand that
+                    # wastes exactly the MACs it saves.
                     qints, kints, cs, ms = [], [], [], []
                     for hd in range(heads):
                         sl = slice(hd * head_dim, (hd + 1) * head_dim)
