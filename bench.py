@@ -1293,6 +1293,15 @@ def main():
             break
         except Exception:
             _print_exc(f"_engine_fp32_gate attempt {attempt}")
+            if attempt == 1:
+                # preserve attempt-1 evidence before the retry overwrites
+                # it: a nondeterministic REAL gate failure (the class this
+                # tolerance-0 gate exists to catch) must not be absorbed
+                # into a passing artifact — the retried flag + any partial
+                # failing rows travel in the JSON, not just the stderr tail
+                for k in [k for k in PARITY if k.startswith("engine_fp32_")]:
+                    _record_parity(f"attempt1_{k}", PARITY[k])
+                _record_parity("engine_fp32_gate_retried", 1.0)
     _phase("fp32 gate done; policy bench setup")
 
     cfg = vlaser_2b_vla()

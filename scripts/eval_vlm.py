@@ -50,14 +50,15 @@ def main():
     ap.add_argument("--repetition_penalty", type=float, default=1.0)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--quantize", choices=("none", "int8", "w8a8"),
-                    default="w8a8",
+                    default=None,
                     help="serving quantization (core/quant.py): 'w8a8' "
                          "(default — int8 weights everywhere, int8-MXU "
                          "activation quant on prefill/ViT matmuls; the "
                          "measured-best serving collection), 'int8' "
                          "(weight-only), or 'none' (bf16)")
     ap.add_argument("--int8", action="store_true",
-                    help="deprecated alias for --quantize int8")
+                    help="deprecated alias for --quantize int8 "
+                         "(conflicts with an explicit --quantize)")
     ap.add_argument("--engine", action="store_true",
                     help="serve through the continuous-batching engine "
                          "(serve/engine.py, the vLLM role): mixed-length "
@@ -106,7 +107,12 @@ def main():
         load_safetensors_dir(args.model_path), cfg.vision.num_layers,
         cfg.llm.num_layers,
     )}
-    mode = "int8" if args.int8 else args.quantize
+    # --int8 is a deprecated alias; it must not silently override an
+    # explicitly chosen --quantize
+    if args.int8 and args.quantize is not None:
+        ap.error("--int8 conflicts with an explicit --quantize "
+                 f"{args.quantize!r}; drop the deprecated --int8")
+    mode = "int8" if args.int8 else (args.quantize or "w8a8")
     if mode != "none":
         # w8a8 (default): the same collection bench.py measures — decode
         # streams weight-only int8, admission-prefill batches and the

@@ -295,15 +295,23 @@ def test_chat_quantized_routes_fused_serving():
                               min_size=0)
 
     # unquantized -> XLA only; quantized + sampling/beams -> XLA only
-    assert VlaserChat(model, variables, ToyTok(),
+    assert VlaserChat(model, variables, ToyTok(), max_new_tokens=4,
+                      use_fused=True)._fused_gen is None
+    assert VlaserChat(model, qv, ToyTok(), max_new_tokens=4,
+                      temperature=0.7, use_fused=True)._fused_gen is None
+    assert VlaserChat(model, qv, ToyTok(), max_new_tokens=4,
+                      num_beams=2, use_fused=True)._fused_gen is None
+    # "auto" must NOT route off-TPU (interpret-mode Pallas would crawl)
+    # and must not route at a non-bf16 cache dtype (the fused stack's KV
+    # cache is bf16)
+    assert VlaserChat(model, qv, ToyTok(),
                       max_new_tokens=4)._fused_gen is None
     assert VlaserChat(model, qv, ToyTok(), max_new_tokens=4,
-                      temperature=0.7)._fused_gen is None
-    assert VlaserChat(model, qv, ToyTok(), max_new_tokens=4,
-                      num_beams=2)._fused_gen is None
+                      cache_dtype=jnp.float32,
+                      use_fused="auto")._fused_gen is None
 
     chat = VlaserChat(model, qv, ToyTok(), max_new_tokens=4, bucket=32,
-                      cache_dtype=jnp.float32)
+                      use_fused=True)
     assert chat._fused_gen is not None
     calls = []
     orig = chat._fused_gen
@@ -316,8 +324,9 @@ def test_chat_quantized_routes_fused_serving():
     chat.batch_chat(["hello", "hi"], None, num_patches_list=[0, 0])
     assert len(calls) == n
 
-    # identity vs the XLA path over the same quantized tree
+    # identity vs the XLA path over the same quantized tree (both at the
+    # fused stack's bf16 cache dtype)
     chat_xla = VlaserChat(model, qv, ToyTok(), max_new_tokens=4, bucket=32,
-                          cache_dtype=jnp.float32)
-    chat_xla._fused_gen = None
+                          use_fused=False)
+    assert chat_xla._fused_gen is None
     assert chat_xla.chat("what do you see?", pixels) == resp_fused

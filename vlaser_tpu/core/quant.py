@@ -75,6 +75,14 @@ VLM_W8A8_ACT_PATTERNS: Tuple[str, ...] = (
 # streaming) + the encoder kernels (int8 MXU through kernels/fused_vit).
 VLM_W8A8_PATTERNS: Tuple[str, ...] = DEFAULT_PATTERNS + VIT_W8A8_PATTERNS
 
+# The VLM SERVING act set (LLM prefill batches + the fused ViT) — the
+# canonical name for what quantize_for_serving("vlm", "w8a8") flags,
+# mirroring POLICY_W8A8_ACT_PATTERNS. (Training-side SFT benches use the
+# narrower VLM_W8A8_ACT_PATTERNS: the ViT stays frozen/bf16 there.)
+VLM_W8A8_SERVING_ACT_PATTERNS: Tuple[str, ...] = (
+    VLM_W8A8_ACT_PATTERNS + VIT_W8A8_PATTERNS
+)
+
 
 def quantize_for_serving(variables: dict, target: str = "vlm",
                          mode: str = "w8a8",
@@ -97,8 +105,7 @@ def quantize_for_serving(variables: dict, target: str = "vlm",
     if "quant" in variables:
         return variables
     if target == "vlm":
-        pats, acts = VLM_W8A8_PATTERNS, VLM_W8A8_ACT_PATTERNS + \
-            VIT_W8A8_PATTERNS
+        pats, acts = VLM_W8A8_PATTERNS, VLM_W8A8_SERVING_ACT_PATTERNS
         if mode == "int8":
             pats, acts = DEFAULT_PATTERNS, ()
     elif target == "policy":

@@ -79,10 +79,12 @@ class VlaserChat:
         bucket: int = 256,
         system_message: Optional[str] = None,
         cache_dtype=jnp.bfloat16,
+        use_fused="auto",
     ):
         """num_beams > 1 selects the jitted beam searcher (greedy beams);
         repetition_penalty follows HF semantics — the generation_config
-        surface of modeling_internvl_chat.py:400-438."""
+        surface of modeling_internvl_chat.py:400-438. use_fused:
+        "auto" | True | False — see the fused-routing comment below."""
         self.model = model
         self.params = params
         self.tokenizer = tokenizer
@@ -143,9 +145,19 @@ class VlaserChat:
         # (docs/STATUS.md round 4: ViT 47.2 vs 70.9 ms at 13 tiles) now
         # reachable from the standard chat entry, not only from bench.py
         # (round-4 VERDICT #2). batch_chat / sampled / beam / penalty
-        # requests keep the XLA generator.
+        # requests keep the XLA generator. use_fused "auto" routes only on
+        # a real TPU backend (off-TPU the Pallas kernels would run in
+        # interpret mode — orders of magnitude slower than the XLA path)
+        # and only at the kernel's bf16 KV-cache dtype (the fused decode
+        # stack does not honor a custom cache_dtype); True forces it
+        # (tests/interpret), False disables.
         self._fused_gen = None
-        if (temperature == 0.0 and repetition_penalty == 1.0
+        fused_ok = (use_fused is True) or (
+            use_fused == "auto"
+            and jax.default_backend() == "tpu"
+            and cache_dtype == jnp.bfloat16
+        )
+        if (fused_ok and temperature == 0.0 and repetition_penalty == 1.0
                 and num_beams == 1 and speculative_draft_len == 0
                 and _llm_is_quantized(params)):
             from .fused_runner import make_fused_generate_fn

@@ -600,7 +600,8 @@ def save_hf_checkpoint_dir(state_dict: Mapping, path: str,
     `load_safetensors_dir` / `scripts/eval_vlm.py --model_path` consume,
     and the layout a real Vlaser download has (reference loader:
     modeling_internvl_chat.py:48-110 via HF from_pretrained). Keys are
-    round-robined into `num_shards` roughly-equal-byte shards."""
+    greedily assigned to the currently-smallest shard, giving
+    `num_shards` roughly-equal-byte shards."""
     import json
     import os
 
