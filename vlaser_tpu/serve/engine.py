@@ -1242,6 +1242,18 @@ class ContinuousBatchingEngine:
                         continue
                     commit(row, buf[k, row])
 
+
+        def _prefetch_host(*arrs):
+            """Start async device->host copies at DISPATCH time so the
+            replay's np.asarray finds the data already local — the D2H
+            latency overlaps the next chunk's host work instead of adding
+            to the oldest event's blocking sync (host-RTT tail shaving;
+            round-4 VERDICT #3)."""
+            for a in arrs:
+                f = getattr(a, "copy_to_host_async", None)
+                if f is not None:
+                    f()
+
         def chunks_in_flight() -> int:
             return sum(1 for ev in inflight if ev[0] in ("chunk", "spec"))
 
@@ -1295,6 +1307,7 @@ class ContinuousBatchingEngine:
                     off += k_real
                 for row, req, n, pk, tail in admitted:
                     slots[row] = _PendingSlot(req)
+                _prefetch_host(*tok_parts)
                 inflight.append(("adm", admitted, tok_parts))
 
             # 3) dispatch the next decode chunk off the device-resident
@@ -1350,6 +1363,7 @@ class ContinuousBatchingEngine:
                         alive, budget, kcap,
                     )
                     self._spec_plain_streak = 0
+                    _prefetch_host(tg, ct)
                     inflight.append(("spec", tg, ct, kcap_host, probe_bar))
                 elif use_spec:
                     self._spec_plain_streak += 1
@@ -1359,6 +1373,7 @@ class ContinuousBatchingEngine:
                         self.params, self.cache, sbuf, stotals, tokens,
                         alive, budget, kcap,
                     )
+                    _prefetch_host(buf)
                     inflight.append(("chunk", buf, kcap_host))
                 else:
                     buf, self.cache, tokens, alive, budget = \
@@ -1366,6 +1381,7 @@ class ContinuousBatchingEngine:
                             self.params, self.cache, tokens, alive, budget,
                             kcap,
                         )
+                    _prefetch_host(buf)
                     inflight.append(("chunk", buf, kcap_host))
             elif inflight:
                 # nothing runnable until an event lands — drain one
