@@ -330,3 +330,33 @@ def test_chat_quantized_routes_fused_serving():
                           use_fused=False)
     assert chat_xla._fused_gen is None
     assert chat_xla.chat("what do you see?", pixels) == resp_fused
+
+
+def test_quantized_params_through_beams_and_penalty():
+    """The non-fused generation surfaces (beam search, repetition
+    penalty, sampling) must serve a quantized tree through the XLA
+    dequant path — the product CLIs now quantize by DEFAULT, so every
+    generation mode sees the quant collection, not just greedy chat."""
+    from vlaser_tpu.core.quant import quantize_for_serving
+
+    cfg = tiny_vlm()
+    model = InternVLChatModel(cfg, compute_dtype=jnp.float32,
+                              attn_impl="reference")
+    rng = np.random.default_rng(5)
+    ids = rng.integers(1, 400, (1, 8))
+    pixels = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                           jnp.asarray(pixels), None)
+    qv = quantize_for_serving(variables, target="vlm", mode="w8a8",
+                              min_size=0)
+    beams = VlaserChat(model, qv, ToyTok(), max_new_tokens=4, bucket=32,
+                       num_beams=2, cache_dtype=jnp.float32)
+    assert isinstance(beams.chat("what do you see?", pixels), str)
+    pen = VlaserChat(model, qv, ToyTok(), max_new_tokens=4, bucket=32,
+                     repetition_penalty=1.3, cache_dtype=jnp.float32)
+    assert isinstance(pen.chat("what do you see?", pixels), str)
+    sampled = VlaserChat(model, qv, ToyTok(), max_new_tokens=4, bucket=32,
+                         temperature=0.8, top_k=5, cache_dtype=jnp.float32)
+    assert isinstance(sampled.chat("what do you see?", pixels), str)
