@@ -256,3 +256,104 @@ def test_hf_checkpoint_dir_disk_roundtrip(tmp_path):
         return chat.chat("what is this?", px)
 
     assert respond(params) == respond(variables)
+
+
+def test_chat_http_server_openai_roundtrip():
+    """OpenAI-compatible chat serving (serve/chat_server.py — the vLLM
+    API-server role, RoboTwin-QA/GeneralQA.py:3-8): POST
+    /v1/chat/completions with text + a data-URL image over a real socket
+    against the tiny model; multi-turn history; error paths."""
+    import base64
+    import io
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from vlaser_tpu.core.config import tiny_vlm
+    from vlaser_tpu.inference.chat import VlaserChat
+    from vlaser_tpu.models.vlm import InternVLChatModel
+    from vlaser_tpu.serve.chat_server import (
+        ChatHTTPServer, chat_completion_request,
+    )
+
+    class _Tok:
+        def __call__(self, text, add_special_tokens=False):
+            return {"input_ids": [7 + (ord(c) % 89) for c in text[:48]]}
+
+        def convert_tokens_to_ids(self, t):
+            return 3
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(str(int(i)) for i in ids)
+
+    cfg = tiny_vlm()
+    model = InternVLChatModel(cfg, compute_dtype=jnp.float32,
+                              attn_impl="reference")
+    rng = np.random.default_rng(13)
+    ids = rng.integers(1, 400, (1, 8))
+    px = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                        jnp.asarray(px), None)
+    chat = VlaserChat(model, params, _Tok(), max_new_tokens=4, bucket=32,
+                      cache_dtype=jnp.float32)
+    srv = ChatHTTPServer(chat, host="127.0.0.1", port=0,
+                         model_name="tiny-vlaser", max_tiles=2)
+    assert srv.image_size == cfg.vision.image_size  # follows the model cfg
+    srv.start_background()
+    try:
+        url = f"http://127.0.0.1:{srv.port}"
+        # text-only
+        out = chat_completion_request(url, [
+            {"role": "user", "content": "what do you see?"},
+        ])
+        assert out["object"] == "chat.completion"
+        text1 = out["choices"][0]["message"]["content"]
+        assert isinstance(text1, str)
+
+        # image via data URL (OpenAI vision content parts)
+        im = Image.fromarray(
+            rng.integers(0, 255, (64, 64, 3), np.uint8), "RGB")
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        data_url = ("data:image/png;base64,"
+                    + base64.b64encode(buf.getvalue()).decode())
+        out2 = chat_completion_request(url, [
+            {"role": "user", "content": [
+                {"type": "text", "text": "describe the image"},
+                {"type": "image_url", "image_url": {"url": data_url}},
+            ]},
+        ])
+        assert isinstance(out2["choices"][0]["message"]["content"], str)
+
+        # multi-turn history passes through
+        out3 = chat_completion_request(url, [
+            {"role": "user", "content": "what do you see?"},
+            {"role": "assistant", "content": text1},
+            {"role": "user", "content": "and now?"},
+        ])
+        assert isinstance(out3["choices"][0]["message"]["content"], str)
+
+        # /v1/models + health
+        with urllib.request.urlopen(url + "/v1/models", timeout=10) as r:
+            assert _json.loads(r.read())["data"][0]["id"] == "tiny-vlaser"
+        with urllib.request.urlopen(url + "/health", timeout=10) as r:
+            assert _json.loads(r.read())["ok"] is True
+
+        # bad request: no user message
+        req = urllib.request.Request(
+            url + "/v1/chat/completions",
+            _json.dumps({"messages": [
+                {"role": "assistant", "content": "x"}]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 400
+    finally:
+        srv.shutdown()

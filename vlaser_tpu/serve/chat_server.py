@@ -1,0 +1,233 @@
+"""OpenAI-compatible HTTP chat serving (the vLLM API-server role,
+stdlib-only).
+
+Parity surface: the reference's QA pipeline serves its model through a
+vLLM OpenAI server (data-pipeline/RoboTwin-QA/GeneralQA.py:3-8 builds an
+`LLM` and the slurm scripts stand it behind the OpenAI-compatible API);
+this module is that role for the TPU build — `POST /v1/chat/completions`
+over any chat backend exposing the VlaserChat surface
+(inference/chat.VlaserChat or serve/engine_chat.EngineChat). Rebuilt on
+http.server (no fastapi/uvicorn in the image).
+
+Request schema (OpenAI chat-completions subset):
+  {"model": "...", "messages": [{"role": "user"|"assistant"|"system",
+   "content": "text" | [{"type": "text", "text": ...},
+                        {"type": "image_url",
+                         "image_url": {"url": "data:image/png;base64,..."
+                                              | "file:///path"}}]}]}
+Prior user/assistant turns become chat history; data-URL / file images run
+the dynamic-tiling preprocess (image/tiling.load_image_tiles). The
+response is OpenAI-shaped: choices[0].message.content + usage counts.
+
+Generation length is the backend's compiled `max_new_tokens` (one jitted
+program per length — a per-request `max_tokens` above it is clamped and
+reported in the response's `usage`; below it, EOS semantics already stop
+early for the engine backend). Concurrent requests serialize on a lock:
+the batching layer is the ENGINE behind this server (EngineChat admits a
+whole request list), not HTTP-level interleaving.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+def _decode_image(url: str):
+    """data:/file: image URL -> PIL image."""
+    from PIL import Image
+
+    if url.startswith("data:"):
+        b64 = url.split(",", 1)[1]
+        return Image.open(io.BytesIO(base64.b64decode(b64)))
+    if url.startswith("file://"):
+        return Image.open(url[len("file://"):])
+    raise ValueError(
+        f"unsupported image url scheme {url.split(':', 1)[0]!r} "
+        "(data: and file:// are served; http fetch is not — no egress)"
+    )
+
+
+def _parse_messages(messages: List[Dict[str, Any]], max_tiles: int,
+                    image_size: int = 448):
+    """OpenAI messages -> (question, pixel_values|None, history, system).
+
+    The LAST user message is the question; earlier user/assistant pairs
+    become VlaserChat-style history; an initial system message passes
+    through as the system prompt. Images are taken from the last user
+    message's content parts (tiles concatenate in order)."""
+    from ..image.tiling import load_image_tiles
+
+    system = None
+    turns: List[Dict[str, Any]] = []
+    for m in messages:
+        role = m.get("role")
+        if role == "system":
+            system = m.get("content") if isinstance(m.get("content"), str) \
+                else None
+            continue
+        if role in ("user", "assistant"):
+            turns.append(m)
+    if not turns or turns[-1]["role"] != "user":
+        raise ValueError("the last non-system message must be role=user")
+
+    def text_and_images(content):
+        if isinstance(content, str):
+            return content, []
+        texts, images = [], []
+        for part in content:
+            if part.get("type") == "text":
+                texts.append(part.get("text", ""))
+            elif part.get("type") == "image_url":
+                images.append(_decode_image(part["image_url"]["url"]))
+        return "\n".join(texts), images
+
+    question, images = text_and_images(turns[-1]["content"])
+    history = []
+    for prev, nxt in zip(turns[:-1:2], turns[1:-1:2]):
+        if prev["role"] == "user" and nxt["role"] == "assistant":
+            q, _ = text_and_images(prev["content"])
+            a, _ = text_and_images(nxt["content"])
+            history.append((q, a))
+    pixel_values = None
+    if images:
+        per_img = max(1, max_tiles // len(images))
+        tiles = [load_image_tiles(im, image_size=image_size,
+                                  max_num=per_img) for im in images]
+        pixel_values = np.concatenate(tiles, axis=0)
+    return question, pixel_values, history or None, system
+
+
+class ChatHTTPServer:
+    """POST /v1/chat/completions over a VlaserChat-surface backend.
+
+    GET /health -> {"ok": true}; GET /v1/models lists the served name.
+    """
+
+    def __init__(self, chat, host: str = "0.0.0.0", port: int = 8000,
+                 model_name: str = "vlaser-tpu", max_tiles: int = 12):
+        self.chat = chat
+        self.model_name = model_name
+        self.max_tiles = int(max_tiles)
+        # tile size follows the served model's vision config
+        self.image_size = int(getattr(
+            getattr(getattr(chat, "cfg", None), "vision", None),
+            "image_size", 448,
+        ))
+        self._lock = threading.Lock()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code: int, payload: Dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/health":
+                    self._send(200, {"ok": True})
+                elif self.path == "/v1/models":
+                    self._send(200, {"object": "list", "data": [
+                        {"id": outer.model_name, "object": "model"}]})
+                else:
+                    self._send(404, {"error": "unknown path"})
+
+            def do_POST(self):
+                if self.path != "/v1/chat/completions":
+                    self._send(404, {"error": "unknown path"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    question, pixels, history, system = _parse_messages(
+                        req["messages"], outer.max_tiles, outer.image_size
+                    )
+                except (KeyError, ValueError, IndexError) as e:
+                    self._send(400, {"error": f"bad request: {e}"})
+                    return
+                except Exception as e:
+                    self._send(400, {"error": f"bad json: {e}"})
+                    return
+                try:
+                    with outer._lock:  # chat backends are not thread-safe
+                        if system is not None:
+                            # per-request system messages would retrace the
+                            # prompt; the constructor-level system_message
+                            # is the supported path — surface the mismatch
+                            cur = getattr(outer.chat, "system_message",
+                                          None)
+                            if cur not in (None, system):
+                                raise ValueError(
+                                    "per-request system message differs "
+                                    "from the server's configured one"
+                                )
+                        text = outer.chat.chat(question, pixels,
+                                               history=history)
+                    self._send(200, {
+                        "id": f"chatcmpl-{int(time.time() * 1e3)}",
+                        "object": "chat.completion",
+                        "model": outer.model_name,
+                        "choices": [{
+                            "index": 0,
+                            "message": {"role": "assistant",
+                                        "content": text},
+                            "finish_reason": "stop",
+                        }],
+                        "usage": {
+                            "completion_text_chars": len(text),
+                            "max_new_tokens":
+                                getattr(outer.chat, "max_new_tokens", None),
+                        },
+                    })
+                except Exception as e:
+                    import traceback
+
+                    self._send(500, {"error": str(e),
+                                     "traceback": traceback.format_exc()})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def serve_forever(self):
+        self._httpd.serve_forever()
+
+    def start_background(self) -> threading.Thread:
+        t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+
+def chat_completion_request(url: str, messages: List[Dict[str, Any]],
+                            model: str = "vlaser-tpu",
+                            timeout: float = 120.0) -> Dict[str, Any]:
+    """Stdlib client for the endpoint (an OpenAI SDK pointed at base_url
+    works the same way)."""
+    import urllib.request
+
+    req = urllib.request.Request(
+        url.rstrip("/") + "/v1/chat/completions",
+        json.dumps({"model": model, "messages": messages}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return json.loads(resp.read())
