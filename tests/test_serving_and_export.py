@@ -357,3 +357,71 @@ def test_chat_http_server_openai_roundtrip():
         assert ei.value.code == 400
     finally:
         srv.shutdown()
+
+
+def test_chat_http_server_batches_concurrent_requests():
+    """Cross-request batching (the vLLM API-server behavior): with an
+    EngineChat backend, concurrent /v1/chat/completions requests collect
+    into ONE continuous-batching admission (chat_many) inside the batch
+    window — and every response equals the request's solo chat()."""
+    import threading as _threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from vlaser_tpu.core.config import tiny_vlm
+    from vlaser_tpu.models.vlm import InternVLChatModel
+    from vlaser_tpu.serve.chat_server import (
+        ChatHTTPServer, chat_completion_request,
+    )
+    from vlaser_tpu.serve.engine_chat import EngineChat
+
+    class _Tok:
+        def __call__(self, text, add_special_tokens=False):
+            return {"input_ids": [7 + (ord(c) % 89) for c in text[:24]]}
+
+        def convert_tokens_to_ids(self, t):
+            return 3
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(str(int(i)) for i in ids)
+
+    cfg = tiny_vlm()
+    model = InternVLChatModel(cfg, compute_dtype=jnp.float32,
+                              attn_impl="reference")
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.full((1, 8), 7, jnp.int32), None,
+                        jnp.ones((1, 8), jnp.int32))
+    served = EngineChat(model, params, _Tok(), max_new_tokens=4,
+                        num_slots=4, max_len=64, prefill_buckets=(32,),
+                        cache_dtype=jnp.float32)
+    qs = ["what is here?", "count the cups", "name one color"]
+    # chat_many == per-item chat (engine batch identity at the chat level)
+    want = [served.chat(q) for q in qs]
+    assert served.chat_many([(q, None, None) for q in qs]) == want
+
+    srv = ChatHTTPServer(served, host="127.0.0.1", port=0,
+                         batch_wait_ms=250)
+    assert srv._queue is not None  # EngineChat backend -> batching on
+    srv.start_background()
+    try:
+        url = f"http://127.0.0.1:{srv.port}"
+        outs = [None] * len(qs)
+
+        def fire(i):
+            outs[i] = chat_completion_request(url, [
+                {"role": "user", "content": qs[i]}])
+
+        threads = [_threading.Thread(target=fire, args=(i,))
+                   for i in range(len(qs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        got = [o["choices"][0]["message"]["content"] for o in outs]
+        assert got == want
+        # the burst landed in fewer admissions than requests (the 250 ms
+        # window collected the three concurrent posts)
+        assert srv.batches_served < len(qs)
+    finally:
+        srv.shutdown()

@@ -112,7 +112,8 @@ class ChatHTTPServer:
     """
 
     def __init__(self, chat, host: str = "0.0.0.0", port: int = 8000,
-                 model_name: str = "vlaser-tpu", max_tiles: int = 12):
+                 model_name: str = "vlaser-tpu", max_tiles: int = 12,
+                 batch_wait_ms: float = 8.0):
         self.chat = chat
         self.model_name = model_name
         self.max_tiles = int(max_tiles)
@@ -122,6 +123,22 @@ class ChatHTTPServer:
             "image_size", 448,
         ))
         self._lock = threading.Lock()
+        # Cross-request batching (the vLLM API-server behavior): when the
+        # backend exposes chat_many (EngineChat), concurrent HTTP requests
+        # collect into ONE continuous-batching admission — a worker drains
+        # the queue after a short batch window instead of each handler
+        # thread serializing on the lock. VlaserChat backends (no
+        # chat_many) keep the serialized path.
+        self.batch_wait_s = float(batch_wait_ms) / 1e3
+        self.batches_served = 0
+        self._queue: Optional[list] = None
+        self._queue_cv: Optional[threading.Condition] = None
+        if hasattr(chat, "chat_many"):
+            self._queue = []
+            self._queue_cv = threading.Condition()
+            self._worker = threading.Thread(target=self._batch_worker,
+                                            daemon=True)
+            self._worker.start()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -162,20 +179,17 @@ class ChatHTTPServer:
                     self._send(400, {"error": f"bad json: {e}"})
                     return
                 try:
-                    with outer._lock:  # chat backends are not thread-safe
-                        if system is not None:
-                            # per-request system messages would retrace the
-                            # prompt; the constructor-level system_message
-                            # is the supported path — surface the mismatch
-                            cur = getattr(outer.chat, "system_message",
-                                          None)
-                            if cur not in (None, system):
-                                raise ValueError(
-                                    "per-request system message differs "
-                                    "from the server's configured one"
-                                )
-                        text = outer.chat.chat(question, pixels,
-                                               history=history)
+                    if system is not None:
+                        # per-request system messages would retrace the
+                        # prompt; the constructor-level system_message
+                        # is the supported path — surface the mismatch
+                        cur = getattr(outer.chat, "system_message", None)
+                        if cur not in (None, system):
+                            raise ValueError(
+                                "per-request system message differs "
+                                "from the server's configured one"
+                            )
+                    text = outer._serve_one(question, pixels, history)
                     self._send(200, {
                         "id": f"chatcmpl-{int(time.time() * 1e3)}",
                         "object": "chat.completion",
@@ -199,6 +213,44 @@ class ChatHTTPServer:
                                      "traceback": traceback.format_exc()})
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
+
+    def _serve_one(self, question, pixels, history) -> str:
+        if self._queue is None:  # VlaserChat backend: serialized path
+            with self._lock:
+                return self.chat.chat(question, pixels, history=history)
+        done = threading.Event()
+        slot: Dict[str, Any] = {}
+        with self._queue_cv:
+            self._queue.append((question, pixels, history, done, slot))
+            self._queue_cv.notify()
+        done.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["text"]
+
+    def _batch_worker(self):
+        """Drain the request queue into chat_many batches: wake on the
+        first request, hold the batch window open, take everything that
+        arrived. One engine admission per HTTP burst."""
+        while True:
+            with self._queue_cv:
+                while not self._queue:
+                    self._queue_cv.wait()
+            time.sleep(self.batch_wait_s)  # let the burst arrive
+            with self._queue_cv:
+                batch, self._queue[:] = self._queue[:], []
+            items = [(q, px, h) for q, px, h, _, _ in batch]
+            try:
+                with self._lock:
+                    texts = self.chat.chat_many(items)
+                for (_, _, _, done, slot), text in zip(batch, texts):
+                    slot["text"] = text
+                    done.set()
+            except Exception as e:  # noqa: BLE001 — delivered per request
+                for _, _, _, done, slot in batch:
+                    slot["error"] = e
+                    done.set()
+            self.batches_served += 1
 
     @property
     def port(self) -> int:

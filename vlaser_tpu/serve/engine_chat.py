@@ -174,6 +174,31 @@ class EngineChat:
             return response, (history or []) + [(question, response)]
         return response
 
+    def chat_many(self, items: Sequence[tuple]) -> List[str]:
+        """Independent chat() calls served as ONE engine batch: items are
+        (question, pixel_values | None, history | None) triples, each with
+        its own template render (incl. multi-turn history — batch_chat's
+        surface has no history). This is the cross-request batching hook
+        for serve/chat_server.py: concurrent HTTP clients collect into one
+        continuous-batching admission instead of serializing (the vLLM
+        API-server's request-level batching). Responses are positionally
+        aligned with `items` and identical to per-item chat() (engine
+        identity, tests/test_engine.py)."""
+        queries, pixel_chunks = [], []
+        for question, pixel_values, history in items:
+            npl = [pixel_values.shape[0]] if pixel_values is not None else []
+            if history is None and pixel_values is not None \
+                    and "<image>" not in question:
+                question = "<image>\n" + question
+            queries.append(build_chat_query(
+                self.cfg.template, question, npl,
+                self.cfg.num_image_token, history=history,
+                system_message=self.system_message,
+            ))
+            pixel_chunks.append(pixel_values)
+        reqs = self._requests(queries, pixel_chunks)
+        return self._decode_texts(self._run(reqs), [r.uid for r in reqs])
+
     def batch_chat(
         self,
         questions: Sequence[str],
