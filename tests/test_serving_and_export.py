@@ -425,3 +425,63 @@ def test_chat_http_server_batches_concurrent_requests():
         assert srv.batches_served < len(qs)
     finally:
         srv.shutdown()
+
+
+def test_chat_http_server_stream_shim():
+    """"stream": true returns a valid SSE body (one delta + [DONE]) with
+    the same content as the non-streaming path — streaming OpenAI clients
+    work against the server (token-level streaming is not claimed; the
+    engine commits per decode chunk)."""
+    import json as _json
+    import urllib.request
+
+    import jax
+    import jax.numpy as jnp
+
+    from vlaser_tpu.core.config import tiny_vlm
+    from vlaser_tpu.inference.chat import VlaserChat
+    from vlaser_tpu.models.vlm import InternVLChatModel
+    from vlaser_tpu.serve.chat_server import (
+        ChatHTTPServer, chat_completion_request,
+    )
+
+    class _Tok:
+        def __call__(self, text, add_special_tokens=False):
+            return {"input_ids": [7 + (ord(c) % 89) for c in text[:24]]}
+
+        def convert_tokens_to_ids(self, t):
+            return 3
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(str(int(i)) for i in ids)
+
+    cfg = tiny_vlm()
+    model = InternVLChatModel(cfg, compute_dtype=jnp.float32,
+                              attn_impl="reference")
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.full((1, 8), 7, jnp.int32), None,
+                        jnp.ones((1, 8), jnp.int32))
+    chat = VlaserChat(model, params, _Tok(), max_new_tokens=4, bucket=32,
+                      cache_dtype=jnp.float32)
+    srv = ChatHTTPServer(chat, host="127.0.0.1", port=0)
+    srv.start_background()
+    try:
+        url = f"http://127.0.0.1:{srv.port}"
+        plain = chat_completion_request(url, [
+            {"role": "user", "content": "what is here?"}])
+        want = plain["choices"][0]["message"]["content"]
+        req = urllib.request.Request(
+            url + "/v1/chat/completions",
+            _json.dumps({"stream": True, "messages": [
+                {"role": "user", "content": "what is here?"}]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.headers["Content-Type"] == "text/event-stream"
+            lines = [ln for ln in r.read().decode().split("\n\n") if ln]
+        assert lines[-1] == "data: [DONE]"
+        delta = _json.loads(lines[0][len("data: "):])
+        assert delta["object"] == "chat.completion.chunk"
+        assert delta["choices"][0]["delta"]["content"] == want
+    finally:
+        srv.shutdown()

@@ -190,8 +190,34 @@ class ChatHTTPServer:
                                 "from the server's configured one"
                             )
                     text = outer._serve_one(question, pixels, history)
+                    rid = f"chatcmpl-{int(time.time() * 1e3)}"
+                    if req.get("stream"):
+                        # API-compat shim: decode is batch-committed (the
+                        # engine emits per 64-step chunk), so the "stream"
+                        # is one delta + [DONE] — streaming CLIENTS work,
+                        # token-by-token latency is not claimed
+                        chunk = json.dumps({
+                            "id": rid,
+                            "object": "chat.completion.chunk",
+                            "model": outer.model_name,
+                            "choices": [{
+                                "index": 0,
+                                "delta": {"role": "assistant",
+                                          "content": text},
+                                "finish_reason": "stop",
+                            }],
+                        })
+                        body = (f"data: {chunk}\n\n"
+                                "data: [DONE]\n\n").encode()
+                        self.send_response(200)
+                        self.send_header("Content-Type",
+                                         "text/event-stream")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                        return
                     self._send(200, {
-                        "id": f"chatcmpl-{int(time.time() * 1e3)}",
+                        "id": rid,
                         "object": "chat.completion",
                         "model": outer.model_name,
                         "choices": [{
