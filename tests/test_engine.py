@@ -648,3 +648,34 @@ def test_spec_probe_pessimistic_start_and_backoff(vlm):
             adap2.spec_last_ema >= adap2.spec_threshold_base:
         assert adap2._spec_probe_interval == adap2.spec_reprobe_every
         assert adap2.spec_chunks_run >= 2  # probe + full spec chunks
+
+
+@pytest.mark.parametrize("mode", ["greedy", "spec", "sampled"])
+def test_on_token_stream_equals_completions(vlm, mode):
+    """The on_token streaming callback (the vLLM streaming role at commit
+    granularity) must deliver, per uid, EXACTLY the returned
+    Completion.token_ids — in order, EOS never emitted, retirement trims
+    applied — across all three run paths (pipelined greedy, speculative,
+    sampled blocking loop)."""
+    cfg, model, params = vlm
+    rng = np.random.default_rng(41)
+    kw = dict(num_slots=3, max_len=96, eos_token_ids=EOS, pad_token_id=0,
+              prefill_buckets=(16, 32), cache_dtype=jnp.float32,
+              chunk_size=4)
+    if mode == "spec":
+        kw.update(speculative_draft_len=4, speculative_adaptive=False)
+    eng = ContinuousBatchingEngine(model, params, **kw)
+    reqs = []
+    for i in range(6):
+        n = (4, 9, 5, 13, 7, 6)[i]
+        reqs.append(Request(
+            uid=i, input_ids=rng.integers(1, 400, (n,)).astype(np.int32),
+            max_new_tokens=(1, 7, 20)[i % 3],
+            temperature=0.8 if mode == "sampled" else 0.0,
+            top_k=5 if mode == "sampled" else 0, seed=i,
+        ))
+    streamed: dict = {}
+    done = eng.run(reqs, on_token=lambda uid, tok:
+                   streamed.setdefault(uid, []).append(tok))
+    for c in done:
+        assert streamed.get(c.uid, []) == c.token_ids, (mode, c.uid)

@@ -485,3 +485,72 @@ def test_chat_http_server_stream_shim():
         assert delta["choices"][0]["delta"]["content"] == want
     finally:
         srv.shutdown()
+
+
+def test_chat_http_server_true_streaming_with_engine():
+    """With an EngineChat backend, "stream": true delivers REAL SSE
+    deltas fed by the engine's per-commit on_token hook — multiple
+    events whose concatenation equals the non-streaming response, then a
+    stop chunk and [DONE]."""
+    import json as _json
+    import urllib.request
+
+    import jax
+    import jax.numpy as jnp
+
+    from vlaser_tpu.core.config import tiny_vlm
+    from vlaser_tpu.models.vlm import InternVLChatModel
+    from vlaser_tpu.serve.chat_server import (
+        ChatHTTPServer, chat_completion_request,
+    )
+    from vlaser_tpu.serve.engine_chat import EngineChat
+
+    class _Tok:
+        def __call__(self, text, add_special_tokens=False):
+            return {"input_ids": [7 + (ord(c) % 89) for c in text[:24]]}
+
+        def convert_tokens_to_ids(self, t):
+            return 3
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(str(int(i)) for i in ids)
+
+    cfg = tiny_vlm()
+    model = InternVLChatModel(cfg, compute_dtype=jnp.float32,
+                              attn_impl="reference")
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.full((1, 8), 7, jnp.int32), None,
+                        jnp.ones((1, 8), jnp.int32))
+    served = EngineChat(model, params, _Tok(), max_new_tokens=8,
+                        num_slots=2, max_len=64, prefill_buckets=(32,),
+                        cache_dtype=jnp.float32, chunk_size=2)
+    srv = ChatHTTPServer(served, host="127.0.0.1", port=0,
+                         batch_wait_ms=20)
+    srv.start_background()
+    try:
+        url = f"http://127.0.0.1:{srv.port}"
+        want = chat_completion_request(url, [
+            {"role": "user", "content": "what is here?"},
+        ])["choices"][0]["message"]["content"]
+
+        req = urllib.request.Request(
+            url + "/v1/chat/completions",
+            _json.dumps({"stream": True, "messages": [
+                {"role": "user", "content": "what is here?"}]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.headers["Content-Type"] == "text/event-stream"
+            events = [e for e in r.read().decode().split("\n\n") if e]
+        assert events[-1] == "data: [DONE]"
+        parsed = [_json.loads(e[len("data: "):]) for e in events[:-1]]
+        deltas = [p["choices"][0]["delta"].get("content", "")
+                  for p in parsed]
+        # multiple content deltas (chunk_size=2, 8 new tokens), and the
+        # concatenation reproduces the non-streaming text modulo edge
+        # whitespace (the final text is .strip()ed by the chat surface)
+        assert sum(1 for d in deltas if d) >= 2
+        assert "".join(d for d in deltas if d).strip() == want
+        assert parsed[-1]["choices"][0]["finish_reason"] == "stop"
+    finally:
+        srv.shutdown()

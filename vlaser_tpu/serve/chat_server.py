@@ -22,9 +22,15 @@ response is OpenAI-shaped: choices[0].message.content + usage counts.
 Generation length is the backend's compiled `max_new_tokens` (one jitted
 program per length — a per-request `max_tokens` above it is clamped and
 reported in the response's `usage`; below it, EOS semantics already stop
-early for the engine backend). Concurrent requests serialize on a lock:
-the batching layer is the ENGINE behind this server (EngineChat admits a
-whole request list), not HTTP-level interleaving.
+early for the engine backend).
+
+Scheduling: with an EngineChat backend, concurrent requests CROSS-REQUEST
+BATCH — a worker drains the queue into one `chat_many` engine admission
+per burst (batch window, default 8 ms), and `"stream": true` delivers
+REAL SSE deltas fed by the engine's per-commit `on_token` hook (delta
+granularity = the engine's decode chunk). VlaserChat backends serialize
+on a lock and answer `"stream": true` with a single-delta compatibility
+shim.
 """
 
 from __future__ import annotations
@@ -153,6 +159,56 @@ class ChatHTTPServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _sse_event(self, payload: Dict):
+                self.wfile.write(
+                    f"data: {json.dumps(payload)}\n\n".encode())
+                self.wfile.flush()
+
+            def _stream_sse(self, rid, question, pixels, history):
+                sq = outer._enqueue_stream(question, pixels, history)
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.end_headers()
+
+                def delta_event(delta, finish=None):
+                    self._sse_event({
+                        "id": rid,
+                        "object": "chat.completion.chunk",
+                        "model": outer.model_name,
+                        "choices": [{
+                            "index": 0,
+                            "delta": ({"role": "assistant",
+                                       "content": delta}
+                                      if delta is not None else {}),
+                            "finish_reason": finish,
+                        }],
+                    })
+
+                toks: list = []
+                prev = ""
+                while True:
+                    kind, val = sq.get()
+                    if kind == "tok":
+                        toks.append(int(val))
+                        cur = outer._stream_decode(toks)
+                        # deltas only when the decode grows monotonically
+                        # (mid-merge byte states can transiently shrink)
+                        if cur.startswith(prev) and len(cur) > len(prev):
+                            delta_event(cur[len(prev):])
+                            prev = cur
+                    elif kind == "done":
+                        final = val
+                        if final.startswith(prev) and \
+                                len(final) > len(prev):
+                            delta_event(final[len(prev):])
+                        delta_event(None, finish="stop")
+                        self.wfile.write(b"data: [DONE]\n\n")
+                        self.wfile.flush()
+                        return
+                    else:  # err
+                        self._sse_event({"error": str(val)})
+                        return
+
             def do_GET(self):
                 if self.path == "/health":
                     self._send(200, {"ok": True})
@@ -189,13 +245,18 @@ class ChatHTTPServer:
                                 "per-request system message differs "
                                 "from the server's configured one"
                             )
-                    text = outer._serve_one(question, pixels, history)
                     rid = f"chatcmpl-{int(time.time() * 1e3)}"
+                    if req.get("stream") and outer._queue is not None:
+                        # REAL streaming through the engine: tokens arrive
+                        # via the on_token commit hook (per decode chunk)
+                        # and stream as SSE deltas; the response is
+                        # close-delimited (no Content-Length)
+                        self._stream_sse(rid, question, pixels, history)
+                        return
+                    text = outer._serve_one(question, pixels, history)
                     if req.get("stream"):
-                        # API-compat shim: decode is batch-committed (the
-                        # engine emits per 64-step chunk), so the "stream"
-                        # is one delta + [DONE] — streaming CLIENTS work,
-                        # token-by-token latency is not claimed
+                        # VlaserChat backend has no commit hook: API-compat
+                        # shim — one delta + [DONE], streaming CLIENTS work
                         chunk = json.dumps({
                             "id": rid,
                             "object": "chat.completion.chunk",
@@ -254,10 +315,33 @@ class ChatHTTPServer:
             raise slot["error"]
         return slot["text"]
 
+    def _stream_decode(self, token_ids) -> str:
+        """Incremental detokenization for SSE deltas: full-prefix decode
+        (robust to merge boundaries; Completion token ids never contain
+        EOS, so no separator stripping is needed)."""
+        return self.chat.tokenizer.decode(token_ids,
+                                          skip_special_tokens=True)
+
+    def _enqueue_stream(self, question, pixels, history):
+        """Register a STREAMING request with the batch worker: returns a
+        per-request event queue fed ("tok", id) per committed token (the
+        engine's on_token hook) and terminated by ("done", final_text) or
+        ("err", exception)."""
+        import queue as _queue_mod
+
+        sq: Any = _queue_mod.Queue()
+        slot: Dict[str, Any] = {"stream": sq}
+        with self._queue_cv:
+            self._queue.append((question, pixels, history, None, slot))
+            self._queue_cv.notify()
+        return sq
+
     def _batch_worker(self):
         """Drain the request queue into chat_many batches: wake on the
         first request, hold the batch window open, take everything that
-        arrived. One engine admission per HTTP burst."""
+        arrived. One engine admission per HTTP burst; streaming requests
+        in the batch get their tokens routed live through chat_many's
+        on_token callback."""
         while True:
             with self._queue_cv:
                 while not self._queue:
@@ -266,16 +350,31 @@ class ChatHTTPServer:
             with self._queue_cv:
                 batch, self._queue[:] = self._queue[:], []
             items = [(q, px, h) for q, px, h, _, _ in batch]
+            streams = {i: s["stream"] for i, (_, _, _, _, s)
+                       in enumerate(batch) if "stream" in s}
+
+            def route(i, tok):
+                sq = streams.get(i)
+                if sq is not None:
+                    sq.put(("tok", tok))
+
             try:
                 with self._lock:
-                    texts = self.chat.chat_many(items)
+                    texts = self.chat.chat_many(
+                        items, on_token=route if streams else None)
                 for (_, _, _, done, slot), text in zip(batch, texts):
-                    slot["text"] = text
-                    done.set()
+                    if "stream" in slot:
+                        slot["stream"].put(("done", text))
+                    else:
+                        slot["text"] = text
+                        done.set()
             except Exception as e:  # noqa: BLE001 — delivered per request
                 for _, _, _, done, slot in batch:
-                    slot["error"] = e
-                    done.set()
+                    if "stream" in slot:
+                        slot["stream"].put(("err", e))
+                    else:
+                        slot["error"] = e
+                        done.set()
             self.batches_served += 1
 
     @property

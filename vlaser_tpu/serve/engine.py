@@ -1101,7 +1101,8 @@ class ContinuousBatchingEngine:
         return admitted, tok_parts, sample_jobs
 
     def _run_pipelined(self, requests: Sequence[Request],
-                       use_spec: bool = False) -> List[Completion]:
+                       use_spec: bool = False,
+                       on_token=None) -> List[Completion]:
         """Greedy serving with a software-pipelined scheduler.
 
         The non-pipelined loop blocks on every chunk readback: over a
@@ -1158,6 +1159,8 @@ class ContinuousBatchingEngine:
             toks = list(st.generated)
             if include_last:
                 toks.append(st.last_token)
+                if on_token is not None and st.last_token not in self.eos:
+                    on_token(st.req.uid, st.last_token)
             out = []
             for t in toks:
                 if t in self.eos:
@@ -1171,6 +1174,8 @@ class ContinuousBatchingEngine:
             mirror of the device's _advance); returns row-still-alive."""
             st = slots[row]
             st.generated.append(st.last_token)
+            if on_token is not None:
+                on_token(st.req.uid, st.generated[-1])
             st.last_token = int(tok)
             if st.last_token in self.eos:
                 finish(row, include_last=False)
@@ -1388,9 +1393,18 @@ class ContinuousBatchingEngine:
                 replay(inflight.popleft())
         return done
 
-    def run(self, requests: Sequence[Request]) -> List[Completion]:
+    def run(self, requests: Sequence[Request],
+            on_token=None) -> List[Completion]:
         """Serve all requests to completion; returns completions in the
-        order requests finish (sort by uid for submission order)."""
+        order requests finish (sort by uid for submission order).
+
+        on_token: optional streaming callback `(uid, token_id)` fired for
+        every committed token at host-replay time (i.e. per decode chunk
+        over a tunneled link — the vLLM streaming role at the engine's
+        commit granularity). The streamed sequence per uid equals the
+        returned Completion.token_ids exactly: EOS is never emitted and
+        the retirement trims are applied before the callback. The
+        callback runs on the scheduler thread — keep it O(append)."""
         for req in requests:
             if req.max_new_tokens < 1:
                 raise ValueError(
@@ -1406,7 +1420,8 @@ class ContinuousBatchingEngine:
             # loop: chunk i+1 chains off chunk i's device-resident row
             # state (including the draft-history window when speculating),
             # so host replay/admission hides behind device compute
-            return self._run_pipelined(requests, use_spec=use_spec)
+            return self._run_pipelined(requests, use_spec=use_spec,
+                                       on_token=on_token)
         queue = deque(requests)
         slots: List[Optional[_Slot]] = [None] * self.num_slots
         done: List[Completion] = []
@@ -1417,6 +1432,8 @@ class ContinuousBatchingEngine:
             toks = list(st.generated)
             if include_last:
                 toks.append(st.last_token)
+                if on_token is not None and st.last_token not in self.eos:
+                    on_token(st.req.uid, st.last_token)
             # trim at EOS (the engine stops on it, but a max_new cut can
             # land exactly on one)
             out = []
@@ -1524,6 +1541,8 @@ class ContinuousBatchingEngine:
                     if st is None or not alive[row]:
                         continue
                     st.generated.append(st.last_token)
+                    if on_token is not None:
+                        on_token(st.req.uid, st.generated[-1])
                     st.last_token = int(toks[k, row])
                     if st.last_token in self.eos:
                         finish(row, include_last=False)

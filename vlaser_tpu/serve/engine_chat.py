@@ -107,8 +107,11 @@ class EngineChat:
         self.params = self.engine.params
         self._uid = 0
 
-    def _run(self, reqs):
-        if self.backend == "offline" and self.temperature == 0.0:
+    def _run(self, reqs, on_token=None):
+        # streaming needs per-chunk host commits — the one-jit offline
+        # schedule has none, so a streamed call rides the engine
+        if self.backend == "offline" and self.temperature == 0.0 \
+                and on_token is None:
             from .offline import run_offline
 
             return run_offline(
@@ -121,7 +124,7 @@ class EngineChat:
                 cache_dtype=self.engine.cache_dtype,
                 prefill_buckets=self.engine.prefill_buckets,
             )
-        return self.engine.run(reqs)
+        return self.engine.run(reqs, on_token=on_token)
 
     def _requests(self, queries, pixel_chunks) -> List[Request]:
         reqs = []
@@ -174,7 +177,8 @@ class EngineChat:
             return response, (history or []) + [(question, response)]
         return response
 
-    def chat_many(self, items: Sequence[tuple]) -> List[str]:
+    def chat_many(self, items: Sequence[tuple],
+                  on_token=None) -> List[str]:
         """Independent chat() calls served as ONE engine batch: items are
         (question, pixel_values | None, history | None) triples, each with
         its own template render (incl. multi-turn history — batch_chat's
@@ -183,7 +187,11 @@ class EngineChat:
         continuous-batching admission instead of serializing (the vLLM
         API-server's request-level batching). Responses are positionally
         aligned with `items` and identical to per-item chat() (engine
-        identity, tests/test_engine.py)."""
+        identity, tests/test_engine.py).
+
+        on_token: optional `(item_index, token_id)` streaming callback —
+        the engine's per-commit stream re-keyed from internal uids to the
+        caller's item positions (serve/chat_server.py SSE streaming)."""
         queries, pixel_chunks = [], []
         for question, pixel_values, history in items:
             npl = [pixel_values.shape[0]] if pixel_values is not None else []
@@ -197,7 +205,12 @@ class EngineChat:
             ))
             pixel_chunks.append(pixel_values)
         reqs = self._requests(queries, pixel_chunks)
-        return self._decode_texts(self._run(reqs), [r.uid for r in reqs])
+        cb = None
+        if on_token is not None:
+            idx_of = {r.uid: i for i, r in enumerate(reqs)}
+            cb = lambda uid, tok: on_token(idx_of[uid], tok)
+        return self._decode_texts(self._run(reqs, on_token=cb),
+                                  [r.uid for r in reqs])
 
     def batch_chat(
         self,
