@@ -138,3 +138,55 @@ def test_offline_rejects_sampled_requests(vlm):
                      temperature=0.7)],
             num_slots=2, max_len=64, eos_token_ids=EOS, pad_token_id=0,
         )
+
+
+def test_image_admission_under_occupied_lane(vlm):
+    """Round-5 regression (self-review finding, reproduced before the
+    fix): when a wave admits an IMAGE request while another lane is still
+    OCCUPIED, the occupied lane's replicated candidate row used to keep
+    its <IMG_CONTEXT> tokens — consuming scatter slots in
+    scatter_image_embeds' GLOBAL cumsum and silently prefilling the
+    admitting lane with zero image embeddings (wrong tokens for uid 2
+    below). Non-admitting lanes' image tokens now become pad."""
+    cfg, model, params = vlm
+    rng = np.random.default_rng(17)
+    npt = cfg.num_image_token
+    img = cfg.vision.image_size
+
+    def img_req(uid, max_new):
+        row = rng.integers(4, 400, (8 + npt,)).astype(np.int32)
+        row[2:2 + npt] = cfg.img_context_token_id
+        px = rng.standard_normal((1, img, img, 3)).astype(np.float32)
+        return Request(uid=uid, input_ids=row, pixel_values=px,
+                       max_new_tokens=max_new)
+
+    reqs = [
+        # long text request keeps slot 0 occupied through wave 2
+        Request(uid=0,
+                input_ids=rng.integers(4, 400, (6,)).astype(np.int32),
+                max_new_tokens=12),
+        img_req(1, 2),   # short image request frees slot 1 early
+        img_req(2, 3),   # admitted in wave 2 while slot 0 is occupied
+    ]
+    want = {r.uid: _oracle(model, params, r.input_ids, r.pixel_values,
+                           max_new=r.max_new_tokens) for r in reqs}
+    got = {c.uid: c.token_ids for c in run_offline(
+        model, params, reqs, num_slots=2, max_len=64, eos_token_ids=EOS,
+        pad_token_id=0, cache_dtype=jnp.float32, chunk_size=2)}
+    assert got == want
+
+
+def test_bucketed_prompt_width_up_to_max_len(vlm):
+    """Round-5 review fix: a prompt whose BUCKET pads up to max_len must
+    serve as long as each request's true len + max_new fits the cache
+    (the old trace-time assert W + cap <= max_len rejected it)."""
+    cfg, model, params = vlm
+    rng = np.random.default_rng(19)
+    row = rng.integers(4, 400, (40,)).astype(np.int32)
+    reqs = [Request(uid=0, input_ids=row, max_new_tokens=6)]
+    want = {0: _oracle(model, params, row, max_new=6)}
+    got = {c.uid: c.token_ids for c in run_offline(
+        model, params, reqs, num_slots=1, max_len=64, eos_token_ids=EOS,
+        pad_token_id=0, cache_dtype=jnp.float32,
+        prefill_buckets=(64,))}  # bucket == max_len
+    assert got == want

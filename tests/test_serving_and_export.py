@@ -554,3 +554,112 @@ def test_chat_http_server_true_streaming_with_engine():
         assert parsed[-1]["choices"][0]["finish_reason"] == "stop"
     finally:
         srv.shutdown()
+
+
+def test_chat_http_server_max_tokens_and_multimage():
+    """Round-5 review fixes: (a) per-request max_tokens is honored by the
+    engine backend (clamped to the compiled length, reported in usage);
+    (b) robust history pairing (leading assistant greeting, consecutive
+    user turns); (c) multi-image messages plumb per-image tile counts
+    (num_patches_list) instead of collapsing into one <image> block;
+    (d) content-parts system messages are extracted, not dropped."""
+    import base64
+    import io
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from vlaser_tpu.core.config import tiny_vlm
+    from vlaser_tpu.models.vlm import InternVLChatModel
+    from vlaser_tpu.serve.chat_server import (
+        ChatHTTPServer, _parse_messages, chat_completion_request,
+    )
+    from vlaser_tpu.serve.engine_chat import EngineChat
+
+    class _Tok:
+        def __call__(self, text, add_special_tokens=False):
+            return {"input_ids": [7 + (ord(c) % 89) for c in text[:24]]}
+
+        def convert_tokens_to_ids(self, t):
+            return 3
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(str(int(i)) for i in ids)
+
+    # --- _parse_messages unit coverage (b)(c)(d) ---
+    rng = np.random.default_rng(23)
+
+    def durl():
+        im = Image.fromarray(
+            rng.integers(0, 255, (40, 40, 3), np.uint8), "RGB")
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        return ("data:image/png;base64,"
+                + base64.b64encode(buf.getvalue()).decode())
+
+    q, px, hist, system, npl = _parse_messages([
+        {"role": "system",
+         "content": [{"type": "text", "text": "be brief"}]},
+        {"role": "assistant", "content": "hello! how can I help?"},
+        {"role": "user", "content": "hi"},
+        {"role": "user", "content": "actually, one question"},
+        {"role": "assistant", "content": "go ahead"},
+        {"role": "user", "content": [
+            {"type": "text", "text": "compare these"},
+            {"type": "image_url", "image_url": {"url": durl()}},
+            {"type": "image_url", "image_url": {"url": durl()}},
+        ]},
+    ], max_tiles=4, image_size=28)
+    assert system == "be brief"  # (d) content-parts system extracted
+    # (b): the assistant greeting is ignored; the consecutive-user case
+    # pairs the LATEST open user turn with the next assistant turn
+    assert hist == [("actually, one question", "go ahead")]
+    # (c): two images -> two per-image tile counts and two <image> tags
+    assert npl is not None and len(npl) == 2
+    assert px.shape[0] == sum(npl)
+    assert q.count("<image>") == 2
+
+    # --- (a) max_tokens through the engine backend over a socket ---
+    cfg = tiny_vlm()
+    model = InternVLChatModel(cfg, compute_dtype=jnp.float32,
+                              attn_impl="reference")
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.full((1, 8), 7, jnp.int32), None,
+                        jnp.ones((1, 8), jnp.int32))
+    served = EngineChat(model, params, _Tok(), max_new_tokens=8,
+                        num_slots=2, max_len=64, prefill_buckets=(32,),
+                        cache_dtype=jnp.float32)
+    srv = ChatHTTPServer(served, host="127.0.0.1", port=0,
+                         batch_wait_ms=5)
+    srv.start_background()
+    try:
+        url = f"http://127.0.0.1:{srv.port}"
+        import urllib.request
+
+        def post(payload):
+            req = urllib.request.Request(
+                url + "/v1/chat/completions",
+                _json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return _json.loads(r.read())
+
+        full = post({"messages": [{"role": "user", "content": "hi?"}]})
+        capped = post({"max_tokens": 2,
+                       "messages": [{"role": "user", "content": "hi?"}]})
+        # the stub detokenizer emits one decimal id per token, so token
+        # counts are directly readable from the text
+        n_full = len(full["choices"][0]["message"]["content"].split())
+        n_capped = len(capped["choices"][0]["message"]["content"].split())
+        assert n_capped <= 2 < n_full
+        assert capped["usage"]["max_new_tokens"] == 2
+        assert capped["usage"]["max_new_tokens_cap"] == 8
+        # over-cap requests clamp to the compiled length
+        over = post({"max_tokens": 4096,
+                     "messages": [{"role": "user", "content": "hi?"}]})
+        assert over["usage"]["max_new_tokens"] == 8
+    finally:
+        srv.shutdown()

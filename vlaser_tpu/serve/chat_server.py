@@ -19,10 +19,12 @@ Prior user/assistant turns become chat history; data-URL / file images run
 the dynamic-tiling preprocess (image/tiling.load_image_tiles). The
 response is OpenAI-shaped: choices[0].message.content + usage counts.
 
-Generation length is the backend's compiled `max_new_tokens` (one jitted
-program per length — a per-request `max_tokens` above it is clamped and
-reported in the response's `usage`; below it, EOS semantics already stop
-early for the engine backend).
+Generation length: the compiled ceiling is the backend's
+`max_new_tokens` (one jitted program per length). A per-request
+`max_tokens` is clamped to that ceiling and — on the EngineChat backend —
+HONORED per request (the engine supports per-row decode budgets
+natively); VlaserChat backends serve the compiled length and report the
+clamp in `usage`.
 
 Scheduling: with an EngineChat backend, concurrent requests CROSS-REQUEST
 BATCH — a worker drains the queue into one `chat_many` engine admission
@@ -71,19 +73,6 @@ def _parse_messages(messages: List[Dict[str, Any]], max_tiles: int,
     message's content parts (tiles concatenate in order)."""
     from ..image.tiling import load_image_tiles
 
-    system = None
-    turns: List[Dict[str, Any]] = []
-    for m in messages:
-        role = m.get("role")
-        if role == "system":
-            system = m.get("content") if isinstance(m.get("content"), str) \
-                else None
-            continue
-        if role in ("user", "assistant"):
-            turns.append(m)
-    if not turns or turns[-1]["role"] != "user":
-        raise ValueError("the last non-system message must be role=user")
-
     def text_and_images(content):
         if isinstance(content, str):
             return content, []
@@ -95,20 +84,44 @@ def _parse_messages(messages: List[Dict[str, Any]], max_tiles: int,
                 images.append(_decode_image(part["image_url"]["url"]))
         return "\n".join(texts), images
 
+    system = None
+    turns: List[Dict[str, Any]] = []
+    for m in messages:
+        role = m.get("role")
+        if role == "system":
+            # OpenAI allows content-parts arrays for system messages too
+            system, _ = text_and_images(m.get("content") or "")
+            continue
+        if role in ("user", "assistant"):
+            turns.append(m)
+    if not turns or turns[-1]["role"] != "user":
+        raise ValueError("the last non-system message must be role=user")
+
     question, images = text_and_images(turns[-1]["content"])
+    # history pairing tolerant of any legal sequence (leading assistant
+    # greeting, consecutive user messages): each assistant turn closes
+    # the most recent open user turn
     history = []
-    for prev, nxt in zip(turns[:-1:2], turns[1:-1:2]):
-        if prev["role"] == "user" and nxt["role"] == "assistant":
-            q, _ = text_and_images(prev["content"])
-            a, _ = text_and_images(nxt["content"])
-            history.append((q, a))
-    pixel_values = None
+    pending_user = None
+    for m in turns[:-1]:
+        text, _ = text_and_images(m["content"])
+        if m["role"] == "user":
+            pending_user = text
+        elif pending_user is not None:
+            history.append((pending_user, text))
+            pending_user = None
+    pixel_values, num_patches_list = None, None
     if images:
         per_img = max(1, max_tiles // len(images))
         tiles = [load_image_tiles(im, image_size=image_size,
                                   max_num=per_img) for im in images]
         pixel_values = np.concatenate(tiles, axis=0)
-    return question, pixel_values, history or None, system
+        num_patches_list = [t.shape[0] for t in tiles]
+        # each image needs its own <image> tag for the template render
+        missing = len(images) - question.count("<image>")
+        if missing > 0:
+            question = "<image>\n" * missing + question
+    return question, pixel_values, history or None, system, num_patches_list
 
 
 class ChatHTTPServer:
@@ -164,11 +177,16 @@ class ChatHTTPServer:
                     f"data: {json.dumps(payload)}\n\n".encode())
                 self.wfile.flush()
 
-            def _stream_sse(self, rid, question, pixels, history):
-                sq = outer._enqueue_stream(question, pixels, history)
+            def _stream_sse(self, rid, question, pixels, history,
+                            npl, max_new):
+                sq = outer._enqueue_stream(question, pixels, history,
+                                           npl, max_new)
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
                 self.end_headers()
+                # from here on the 200 + SSE headers are on the wire: any
+                # failure must terminate the stream in-band, never via
+                # _send(500) (which would inject a status line mid-body)
 
                 def delta_event(delta, finish=None):
                     self._sse_event({
@@ -186,28 +204,46 @@ class ChatHTTPServer:
 
                 toks: list = []
                 prev = ""
-                while True:
-                    kind, val = sq.get()
-                    if kind == "tok":
-                        toks.append(int(val))
-                        cur = outer._stream_decode(toks)
-                        # deltas only when the decode grows monotonically
-                        # (mid-merge byte states can transiently shrink)
-                        if cur.startswith(prev) and len(cur) > len(prev):
-                            delta_event(cur[len(prev):])
-                            prev = cur
-                    elif kind == "done":
-                        final = val
-                        if final.startswith(prev) and \
-                                len(final) > len(prev):
-                            delta_event(final[len(prev):])
-                        delta_event(None, finish="stop")
+                try:
+                    while True:
+                        kind, val = sq.get()
+                        if kind == "tok":
+                            toks.append(int(val))
+                            cur = outer._stream_decode(toks)
+                            # hold back while the decode ends mid-UTF-8
+                            # (byte-level BPE splits multi-byte chars
+                            # across tokens; emitting the transient
+                            # replacement char would break the monotonic
+                            # prefix and lock the stream out)
+                            if cur.endswith("\ufffd"):
+                                continue
+                            # deltas only when the decode grows
+                            # monotonically
+                            if cur.startswith(prev) and \
+                                    len(cur) > len(prev):
+                                delta_event(cur[len(prev):])
+                                prev = cur
+                        elif kind == "done":
+                            final = val
+                            if final.startswith(prev) and \
+                                    len(final) > len(prev):
+                                delta_event(final[len(prev):])
+                            delta_event(None, finish="stop")
+                            self.wfile.write(b"data: [DONE]\n\n")
+                            self.wfile.flush()
+                            return
+                        else:  # err
+                            self._sse_event({"error": str(val)})
+                            return
+                except Exception:
+                    # client went away or decode failed mid-stream:
+                    # best-effort in-band termination, never a second
+                    # HTTP response
+                    try:
                         self.wfile.write(b"data: [DONE]\n\n")
-                        self.wfile.flush()
-                        return
-                    else:  # err
-                        self._sse_event({"error": str(val)})
-                        return
+                    except Exception:
+                        pass
+                    return
 
             def do_GET(self):
                 if self.path == "/health":
@@ -225,9 +261,17 @@ class ChatHTTPServer:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
-                    question, pixels, history, system = _parse_messages(
+                    (question, pixels, history, system,
+                     npl) = _parse_messages(
                         req["messages"], outer.max_tiles, outer.image_size
                     )
+                    served_cap = getattr(outer.chat, "max_new_tokens",
+                                         None)
+                    max_new = None
+                    if req.get("max_tokens") is not None:
+                        max_new = max(1, int(req["max_tokens"]))
+                        if served_cap is not None:
+                            max_new = min(max_new, served_cap)
                 except (KeyError, ValueError, IndexError) as e:
                     self._send(400, {"error": f"bad request: {e}"})
                     return
@@ -251,9 +295,11 @@ class ChatHTTPServer:
                         # via the on_token commit hook (per decode chunk)
                         # and stream as SSE deltas; the response is
                         # close-delimited (no Content-Length)
-                        self._stream_sse(rid, question, pixels, history)
+                        self._stream_sse(rid, question, pixels, history,
+                                         npl, max_new)
                         return
-                    text = outer._serve_one(question, pixels, history)
+                    text = outer._serve_one(question, pixels, history,
+                                            npl, max_new)
                     if req.get("stream"):
                         # VlaserChat backend has no commit hook: API-compat
                         # shim — one delta + [DONE], streaming CLIENTS work
@@ -289,8 +335,13 @@ class ChatHTTPServer:
                         }],
                         "usage": {
                             "completion_text_chars": len(text),
-                            "max_new_tokens":
-                                getattr(outer.chat, "max_new_tokens", None),
+                            # served decode budget: the request's
+                            # max_tokens clamped to the compiled length
+                            # (engine backends honor it per request;
+                            # VlaserChat serves the compiled length)
+                            "max_new_tokens": (max_new if max_new
+                                               is not None else served_cap),
+                            "max_new_tokens_cap": served_cap,
                         },
                     })
                 except Exception as e:
@@ -301,14 +352,19 @@ class ChatHTTPServer:
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
 
-    def _serve_one(self, question, pixels, history) -> str:
+    def _serve_one(self, question, pixels, history, npl=None,
+                   max_new=None) -> str:
         if self._queue is None:  # VlaserChat backend: serialized path
+            # VlaserChat's generate length is compiled; max_new is
+            # reported in usage rather than honored per request
             with self._lock:
-                return self.chat.chat(question, pixels, history=history)
+                return self.chat.chat(question, pixels, history=history,
+                                      num_patches_list=npl)
         done = threading.Event()
         slot: Dict[str, Any] = {}
         with self._queue_cv:
-            self._queue.append((question, pixels, history, done, slot))
+            self._queue.append(
+                ((question, pixels, history, npl, max_new), done, slot))
             self._queue_cv.notify()
         done.wait()
         if "error" in slot:
@@ -322,7 +378,8 @@ class ChatHTTPServer:
         return self.chat.tokenizer.decode(token_ids,
                                           skip_special_tokens=True)
 
-    def _enqueue_stream(self, question, pixels, history):
+    def _enqueue_stream(self, question, pixels, history, npl=None,
+                        max_new=None):
         """Register a STREAMING request with the batch worker: returns a
         per-request event queue fed ("tok", id) per committed token (the
         engine's on_token hook) and terminated by ("done", final_text) or
@@ -332,7 +389,8 @@ class ChatHTTPServer:
         sq: Any = _queue_mod.Queue()
         slot: Dict[str, Any] = {"stream": sq}
         with self._queue_cv:
-            self._queue.append((question, pixels, history, None, slot))
+            self._queue.append(
+                ((question, pixels, history, npl, max_new), None, slot))
             self._queue_cv.notify()
         return sq
 
@@ -349,8 +407,8 @@ class ChatHTTPServer:
             time.sleep(self.batch_wait_s)  # let the burst arrive
             with self._queue_cv:
                 batch, self._queue[:] = self._queue[:], []
-            items = [(q, px, h) for q, px, h, _, _ in batch]
-            streams = {i: s["stream"] for i, (_, _, _, _, s)
+            items = [it for it, _, _ in batch]
+            streams = {i: s["stream"] for i, (_, _, s)
                        in enumerate(batch) if "stream" in s}
 
             def route(i, tok):
@@ -362,14 +420,14 @@ class ChatHTTPServer:
                 with self._lock:
                     texts = self.chat.chat_many(
                         items, on_token=route if streams else None)
-                for (_, _, _, done, slot), text in zip(batch, texts):
+                for (_, done, slot), text in zip(batch, texts):
                     if "stream" in slot:
                         slot["stream"].put(("done", text))
                     else:
                         slot["text"] = text
                         done.set()
             except Exception as e:  # noqa: BLE001 — delivered per request
-                for _, _, _, done, slot in batch:
+                for _, done, slot in batch:
                     if "stream" in slot:
                         slot["stream"].put(("err", e))
                     else:

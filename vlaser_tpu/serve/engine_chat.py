@@ -126,16 +126,23 @@ class EngineChat:
             )
         return self.engine.run(reqs, on_token=on_token)
 
-    def _requests(self, queries, pixel_chunks) -> List[Request]:
+    def _requests(self, queries, pixel_chunks,
+                  max_new_list=None) -> List[Request]:
         reqs = []
-        for q, px in zip(queries, pixel_chunks):
+        for i, (q, px) in enumerate(zip(queries, pixel_chunks)):
             ids = np.asarray(
                 self.tokenizer(q, add_special_tokens=False)["input_ids"],
                 np.int32,
             )
+            mn = self.max_new_tokens
+            if max_new_list is not None and max_new_list[i] is not None:
+                # per-request decode budget (OpenAI max_tokens), clamped
+                # to the configured length — the engine honors per-row
+                # max_new_tokens natively
+                mn = max(1, min(int(max_new_list[i]), mn))
             reqs.append(Request(
                 uid=self._uid, input_ids=ids, pixel_values=px,
-                max_new_tokens=self.max_new_tokens,
+                max_new_tokens=mn,
                 temperature=self.temperature, top_k=self.top_k,
                 top_p=self.top_p, seed=self._uid,
             ))
@@ -180,9 +187,12 @@ class EngineChat:
     def chat_many(self, items: Sequence[tuple],
                   on_token=None) -> List[str]:
         """Independent chat() calls served as ONE engine batch: items are
-        (question, pixel_values | None, history | None) triples, each with
-        its own template render (incl. multi-turn history — batch_chat's
-        surface has no history). This is the cross-request batching hook
+        (question, pixel_values | None, history | None) triples — or
+        5-tuples adding (num_patches_list | None, max_new | None) for
+        per-item multi-image tile counts and a per-request decode budget
+        (the OpenAI max_tokens, clamped to the configured length) — each
+        with its own template render (incl. multi-turn history —
+        batch_chat's surface has no history). This is the cross-request batching hook
         for serve/chat_server.py: concurrent HTTP clients collect into one
         continuous-batching admission instead of serializing (the vLLM
         API-server's request-level batching). Responses are positionally
@@ -192,9 +202,14 @@ class EngineChat:
         on_token: optional `(item_index, token_id)` streaming callback —
         the engine's per-commit stream re-keyed from internal uids to the
         caller's item positions (serve/chat_server.py SSE streaming)."""
-        queries, pixel_chunks = [], []
-        for question, pixel_values, history in items:
-            npl = [pixel_values.shape[0]] if pixel_values is not None else []
+        queries, pixel_chunks, max_new_list = [], [], []
+        for it in items:
+            question, pixel_values, history = it[0], it[1], it[2]
+            npl = it[3] if len(it) > 3 and it[3] is not None else None
+            max_new_list.append(it[4] if len(it) > 4 else None)
+            if npl is None:
+                npl = ([pixel_values.shape[0]]
+                       if pixel_values is not None else [])
             if history is None and pixel_values is not None \
                     and "<image>" not in question:
                 question = "<image>\n" + question
@@ -204,7 +219,7 @@ class EngineChat:
                 system_message=self.system_message,
             ))
             pixel_chunks.append(pixel_values)
-        reqs = self._requests(queries, pixel_chunks)
+        reqs = self._requests(queries, pixel_chunks, max_new_list)
         cb = None
         if on_token is not None:
             idx_of = {r.uid: i for i, r in enumerate(reqs)}

@@ -106,6 +106,20 @@ def make_offline_runner(
         admit = jnp.logical_and(vac, r_idx < R)
         r_safe = jnp.clip(r_idx, 0, R - 1)
         ids = jnp.take(prompts, r_safe, axis=0)  # [B, W]
+        # Non-admitting lanes replicate a real request row (well-formed
+        # softmax rows), but a replicated row's <IMG_CONTEXT> tokens would
+        # consume scatter slots in scatter_image_embeds' GLOBAL cumsum and
+        # shift every later lane's image features — when an OCCUPIED lane
+        # replicates an image request, the admitting lane silently
+        # prefills with zero image embeddings (found+fixed round 5;
+        # regression: tests/test_offline.py image-admission-under-
+        # occupied-lane case). Dead lanes' outputs are discarded, so
+        # their image tokens can safely become pad.
+        ctx = getattr(model.cfg, "img_context_token_id", None)
+        if ctx is not None:
+            ids = jnp.where(
+                jnp.logical_or(admit[:, None], ids != ctx), ids, pad,
+            )
         segw = jnp.take(seg, r_safe, axis=0)
         true_len = jnp.sum((segw != 0).astype(jnp.int32), axis=1)  # [B]
         px = flags = None
@@ -167,9 +181,15 @@ def make_offline_runner(
     def run(params, prompts, seg, max_new, pixels=None, image_flags=None,
             pix_index=None):
         R, W = prompts.shape
-        assert W + max_new_cap <= max_len, (
-            f"prompt width {W} + max_new_cap {max_new_cap} exceeds "
-            f"max_len {max_len}"
+        # Decode writes at each row's TRUE length, not at the padded
+        # bucket width W, and run_offline validates per request that
+        # len(input_ids) + max_new_tokens <= max_len — so the static
+        # requirement is only that the prefill itself fits the cache.
+        # (The old `W + max_new_cap <= max_len` rejected legal request
+        # sets whose prompts merely bucketed up to max_len — e.g. a
+        # 13-tile chat prompt in a 4096 cache; round-5 review fix.)
+        assert W <= max_len, (
+            f"prompt bucket width {W} exceeds max_len {max_len}"
         )
         cache = KVCache.create(
             llm.num_layers, B, max_len, llm.num_kv_heads, llm.head_dim,
